@@ -1,0 +1,31 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's "fake backend" testing discipline (SURVEY.md §4):
+MockProver-style checks on CPU, multi-chip sharding validated with XLA's
+host-platform device simulation instead of real hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers the axon TPU platform and
+# overrides JAX_PLATFORMS; pin the config back to CPU so tests never touch
+# the (single, tunneled) real chip.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xC0FFEE)
