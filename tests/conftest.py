@@ -19,6 +19,13 @@ import jax  # noqa: E402
 # the (single, tunneled) real chip.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the limb-arithmetic graphs are expensive for
+# XLA:CPU to compile (seconds per field-mul chain); cache them across test
+# runs so only the first invocation pays.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_zkevm_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

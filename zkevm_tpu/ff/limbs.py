@@ -138,43 +138,51 @@ class FieldSpec:
 
 # ---------------------------------------------------------------------------
 # Low-level limb kernels (all uint32, jit-safe)
+#
+# Internally every operation unstacks the trailing limb axis into a Python
+# list of per-limb arrays and computes with plain elementwise add/mul/shift.
+# This is deliberate: scatter/dynamic-update-slice chains (a previous
+# formulation) compile orders of magnitude slower in XLA and serialize on
+# TPU, whereas unstacked limb lists trace to pure fusible vector ops over
+# the batch dimensions (each limb row occupies full 8x128 VPU lanes).
 # ---------------------------------------------------------------------------
 
-def _ripple_carry(cols, ncols_out: int):
-    """Propagate carries over accumulation columns; returns (limbs, carry)."""
-    limbs = []
-    carry = jnp.zeros(cols.shape[:-1], U32)
-    for k in range(ncols_out):
-        v = cols[..., k] + carry
-        limbs.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(limbs, axis=-1), carry
+def _unstack(a):
+    return [a[..., i] for i in range(a.shape[-1])]
 
 
-def _raw_sub(a, b):
-    """Limbwise a - b with ripple borrow. Returns (diff mod 2^256, borrow)."""
-    limbs = []
-    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), U32)
+def _restack(rows):
+    return jnp.stack(rows, axis=-1)
+
+
+def _sub_rows(ar, br):
+    """Limb-row a - b with ripple borrow -> (diff rows, borrow row)."""
+    out = []
+    borrow = np.uint32(0)
     for k in range(L):
-        v = a[..., k] + np.uint32(1 << LIMB_BITS) - b[..., k] - borrow
-        limbs.append(v & MASK)
+        v = ar[k] + np.uint32(1 << LIMB_BITS) - br[k] - borrow
+        out.append(v & MASK)
         borrow = np.uint32(1) - (v >> LIMB_BITS)
-    return jnp.stack(limbs, axis=-1), borrow
+    return out, borrow
 
 
-def _raw_add(a, b):
-    """Limbwise a + b mod 2^256 (drops final carry)."""
-    s = a + b
-    limbs, _ = _ripple_carry(s, L)
-    return limbs
+def _add_rows(ar, br):
+    """Limb-row a + b mod 2^256 (drops final carry)."""
+    out = []
+    carry = np.uint32(0)
+    for k in range(L):
+        v = ar[k] + br[k] + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return out
 
 
-def _cond_sub_p(spec: FieldSpec, a):
-    """Subtract p once if a >= p (a must be < 2p)."""
-    p = jnp.asarray(spec.p_limbs)
-    d, borrow = _raw_sub(a, p)
-    keep = (borrow != 0)[..., None]
-    return jnp.where(keep, a, d)
+def _cond_sub_p_rows(spec: FieldSpec, rows):
+    """Subtract p once if value >= p (value must be < 2p). Row form."""
+    p = spec.p_limbs
+    d, borrow = _sub_rows(rows, [np.uint32(x) for x in p])
+    keep = borrow != 0
+    return [jnp.where(keep, a_k, d_k) for a_k, d_k in zip(rows, d)]
 
 
 # ---------------------------------------------------------------------------
@@ -182,15 +190,23 @@ def _cond_sub_p(spec: FieldSpec, a):
 # ---------------------------------------------------------------------------
 
 def add(spec: FieldSpec, a, b):
-    s = a + b  # limb sums < 2^17
-    limbs, _ = _ripple_carry(s, L)  # a+b < 2p < 2^256 => no final carry
-    return _cond_sub_p(spec, limbs)
+    a, b = jnp.asarray(a, U32), jnp.asarray(b, U32)
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, batch + (L,))
+    b = jnp.broadcast_to(b, batch + (L,))
+    s = _add_rows(_unstack(a), _unstack(b))  # a+b < 2p < 2^256: no final carry
+    return _restack(_cond_sub_p_rows(spec, s))
 
 
 def sub(spec: FieldSpec, a, b):
-    d, borrow = _raw_sub(a, b)
-    dp = _raw_add(d, jnp.asarray(spec.p_limbs))
-    return jnp.where((borrow != 0)[..., None], dp, d)
+    a, b = jnp.asarray(a, U32), jnp.asarray(b, U32)
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, batch + (L,))
+    b = jnp.broadcast_to(b, batch + (L,))
+    d, borrow = _sub_rows(_unstack(a), _unstack(b))
+    dp = _add_rows(d, [np.uint32(x) for x in spec.p_limbs])
+    under = borrow != 0
+    return _restack([jnp.where(under, x, y) for x, y in zip(dp, d)])
 
 
 def neg(spec: FieldSpec, a):
@@ -198,39 +214,73 @@ def neg(spec: FieldSpec, a):
     return sub(spec, z, a)
 
 
+import os
+
+# 1 = fully unrolled CIOS iterations (max fusion / runtime throughput on
+# TPU); 0 = lax.scan over the 16 iterations (graph ~16x smaller — compile
+# time dominates XLA:CPU development loops and large composite circuits).
+UNROLL_MUL = os.environ.get("ZKEVM_TPU_UNROLL_FF", "0") == "1"
+
+
 def mont_mul(spec: FieldSpec, a, b):
     """Montgomery product: (a * b * R^{-1}) mod p.
 
-    Separated operand-scanning: schoolbook product into 33 accumulation
-    columns (lo/hi split keeps every column < 2^22), then 16 rounds of
-    Montgomery reduction, then one carry propagation + conditional subtract.
+    Interleaved CIOS with lazy carries: per scalar-limb iteration the
+    (..., 17)-row accumulator gains a_i*b and m_i*p at FIXED offsets 0/1 and
+    is then shifted down one limb — small fusible vector ops, no scatters,
+    no dynamic offsets. Row magnitudes stay < ~2^23 (4 products of < 2^16
+    per row per iteration over 16 iterations, plus the pushed t[0] carry),
+    far below the u32 ceiling. One final ripple-carry + conditional
+    subtract canonicalizes. The 16 iterations run unrolled or as a
+    ``lax.scan`` (see UNROLL_MUL).
     """
     a = jnp.asarray(a, U32)
     b = jnp.asarray(b, U32)
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     a = jnp.broadcast_to(a, batch + (L,))
     b = jnp.broadcast_to(b, batch + (L,))
-
-    t = jnp.zeros(batch + (2 * L + 1,), U32)
-    for i in range(L):
-        prod = a[..., i : i + 1] * b  # exact 16x16 -> 32-bit products
-        t = t.at[..., i : i + L].add(prod & MASK)
-        t = t.at[..., i + 1 : i + L + 1].add(prod >> LIMB_BITS)
-
-    p = jnp.asarray(spec.p_limbs)
     ninv = spec.ninv16
-    for i in range(L):
-        m = (t[..., i] * ninv) & MASK
-        prod = m[..., None] * p
-        t = t.at[..., i : i + L].add(prod & MASK)
-        t = t.at[..., i + 1 : i + L + 1].add(prod >> LIMB_BITS)
-        # column i is now divisible by 2^16; push its carry up
-        t = t.at[..., i + 1].add(t[..., i] >> LIMB_BITS)
+    p_vec = jnp.asarray(spec.p_limbs)  # (16,)
+    pad_cfg_lo = [(0, 0)] * (len(batch)) + [(0, 1)]  # rows 0..15 of 17
+    pad_cfg_hi = [(0, 0)] * (len(batch)) + [(1, 0)]  # rows 1..16 of 17
+    zeros1 = jnp.zeros(batch + (1,), U32)
 
-    # result = t / 2^256 lives in columns 16..32; value < 2p so column 32
-    # carries out to zero after propagation.
-    limbs, _ = _ripple_carry(t[..., L : 2 * L + 1], L)
-    return _cond_sub_p(spec, limbs)
+    def iteration(t, ai):
+        prod = ai[..., None] * b  # (..., 16) exact 16x16 products
+        t = (
+            t
+            + jnp.pad(prod & MASK, pad_cfg_lo)
+            + jnp.pad(prod >> LIMB_BITS, pad_cfg_hi)
+        )
+        m = (t[..., 0:1] * ninv) & MASK
+        mprod = m * p_vec
+        t = (
+            t
+            + jnp.pad(mprod & MASK, pad_cfg_lo)
+            + jnp.pad(mprod >> LIMB_BITS, pad_cfg_hi)
+        )
+        # row 0 is now divisible by 2^16: push its carry into row 1 and
+        # shift the accumulator down one limb in a single concat.
+        carry0 = t[..., 0:1] >> LIMB_BITS
+        return jnp.concatenate([t[..., 1:2] + carry0, t[..., 2:], zeros1], axis=-1)
+
+    t = jnp.zeros(batch + (L + 1,), U32)
+    if UNROLL_MUL:
+        for i in range(L):
+            t = iteration(t, a[..., i])
+    else:
+        a_scan = jnp.moveaxis(a, -1, 0)  # (16, ...batch)
+        t, _ = jax.lax.scan(lambda tt, ai: (iteration(tt, ai), None), t, a_scan)
+
+    # ripple-carry the 16 result rows; final carry is 0 since value < 2p.
+    rows = _unstack(t[..., :L])
+    out = []
+    carry = np.uint32(0)
+    for k in range(L):
+        v = rows[k] + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return _restack(_cond_sub_p_rows(spec, out))
 
 
 def sqr(spec: FieldSpec, a):
@@ -321,6 +371,24 @@ def scalar_window(scalars, window_idx: int, c: int):
     if got < c and limb + 1 < L:
         lo = lo | (scalars[..., limb + 1] << got)
     return lo & np.uint32((1 << c) - 1)
+
+
+# ---------------------------------------------------------------------------
+# jit wrappers: callers outside an enclosing jit (the prover does most field
+# math "eagerly") hit jax.jit's shape-keyed cache instead of re-lowering the
+# scan bodies on every call — this is the difference between milliseconds
+# and minutes per MSM. Inside an enclosing jit these inline as usual.
+# ---------------------------------------------------------------------------
+
+add = jax.jit(add, static_argnums=0)
+sub = jax.jit(sub, static_argnums=0)
+neg = jax.jit(neg, static_argnums=0)
+mont_mul = jax.jit(mont_mul, static_argnums=0)
+sqr = jax.jit(sqr, static_argnums=0)
+to_mont = jax.jit(to_mont, static_argnums=0)
+from_mont = jax.jit(from_mont, static_argnums=0)
+pow_const = jax.jit(pow_const, static_argnums=(0, 2))
+inv = jax.jit(inv, static_argnums=0)
 
 
 @lru_cache(maxsize=None)
