@@ -1,0 +1,129 @@
+"""KZG commitment parameters (SRS) + commit/open on device.
+
+TPU-native analog of halo2_proofs' `ParamsKZG<Bn256>` (reference:
+scroll-tech/halo2 via /root/reference/Cargo.toml:40; SRS loading and s_g2
+fingerprinting at prover/src/utils.rs:36-84). Differences by design:
+
+- the SRS lives as a device G1 batch (N, limbs) with an optional
+  FixedBaseMSM window table (the commit hot path);
+- commit_lagrange = device iNTT + monomial commit (no Lagrange SRS copy);
+- single-point opens compute the quotient in *evaluation* form with a
+  batched Fermat inversion — fully lane-parallel, no sequential synthetic
+  division;
+- verification is host-side via the golden pairing (production proofs are
+  verified on-chain / by the recursion circuit, as in the reference).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zkevm_tpu.ec import goldens as g1g, group, pairing as pr
+from zkevm_tpu.ec.group import G1
+from zkevm_tpu.ec.msm import FixedBaseMSM, msm
+from zkevm_tpu.ff import limbs as ff
+from zkevm_tpu.ff.goldens import FR_MOD
+from zkevm_tpu.ff.limbs import fr_spec
+from zkevm_tpu.poly import ntt as nttmod
+
+FR = fr_spec()
+
+
+@dataclass
+class ParamsKZG:
+    k: int
+    g1_powers: G1  # (n,) device batch: [tau^i] G1
+    g2: tuple  # host affine Fq2 pair
+    s_g2: tuple  # [tau] G2
+    committer: FixedBaseMSM | None = None
+
+    @property
+    def n(self) -> int:
+        return 1 << self.k
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def unsafe_setup(cls, k: int, tau: int = 0xDEAD_BEEF_CAFE, *, windowed: bool = True):
+        """Test-only SRS from a known tau (the reference loads production
+        SRS files; perpetuating tau here is deliberate for golden checks)."""
+        n = 1 << k
+        tau %= FR_MOD
+        powers = np.empty((n, ff.L), dtype=np.uint32)
+        t = 1
+        for i in range(n):
+            powers[i] = ff.limbs_from_int(t)
+            t = t * tau % FR_MOD
+        gen = group.from_affine_ints([g1g.G1_GEN])
+        base = G1(
+            jnp.broadcast_to(gen.x, (n, ff.L)),
+            jnp.broadcast_to(gen.y, (n, ff.L)),
+            jnp.broadcast_to(gen.z, (n, ff.L)),
+        )
+        g1_powers = group.scalar_mul(base, jnp.asarray(powers))
+        s_g2 = pr.g2_scalar_mul(pr.G2_GEN, tau)
+        committer = FixedBaseMSM(g1_powers) if windowed else None
+        return cls(k=k, g1_powers=g1_powers, g2=pr.G2_GEN, s_g2=s_g2, committer=committer)
+
+    # ------------------------------------------------------------------
+    def commit(self, coeffs_mont) -> G1:
+        """Commit to a coefficient-form polynomial ((n, 16) Montgomery)."""
+        scalars = ff.from_mont(FR, jnp.asarray(coeffs_mont))
+        if self.committer is not None:
+            return self.committer(scalars)
+        return msm(self.g1_powers, scalars)
+
+    def commit_lagrange(self, evals_mont) -> G1:
+        return self.commit(nttmod.intt(jnp.asarray(evals_mont), self.k))
+
+
+def open_single(params: ParamsKZG, evals_mont, z: int):
+    """KZG open of a polynomial (given in evaluation form over the 2^k
+    domain) at an arbitrary point z NOT in the domain.
+
+    Returns (value_int, proof_point). Quotient is computed pointwise:
+    q(w^i) = (f(w^i) - f(z)) / (w^i - z), with f(z) via barycentric
+    interpolation — all batched device math.
+    """
+    n, k = params.n, params.k
+    evals = jnp.asarray(evals_mont)
+
+    from zkevm_tpu.poly.goldens import domain_omega
+
+    omega = domain_omega(k)
+    # domain points and barycentric pieces (host scalars, device vectors)
+    xs = nttmod._power_table(omega, n)  # Montgomery limbs of w^i
+    z_m = jnp.asarray(FR.encode(z))
+    diff = ff.sub(FR, jnp.asarray(xs), z_m)  # (n,16) w^i - z
+    diff_inv = ff.inv(FR, diff)
+    # barycentric: f(z) = (z^n - 1)/n * sum_i f_i * w^i / (z - w^i)
+    zn1 = (pow(z, n, FR_MOD) - 1) % FR_MOD
+    factor = zn1 * pow(n, FR_MOD - 2, FR_MOD) % FR_MOD
+    neg_inv = ff.neg(FR, diff_inv)  # 1/(z - w^i)
+    terms = ff.mont_mul(FR, ff.mont_mul(FR, evals, jnp.asarray(xs)), neg_inv)
+    total = terms
+    m = n
+    while m > 1:
+        m //= 2
+        total = ff.add(FR, total[:m], total[m:])
+    fz_m = ff.mont_mul(FR, total[0], jnp.asarray(FR.encode(factor)))
+    # quotient evals and commitment
+    q_evals = ff.mont_mul(FR, ff.sub(FR, evals, fz_m), diff_inv)
+    proof = params.commit_lagrange(q_evals)
+    return FR.decode(np.asarray(fz_m)), proof
+
+
+def verify_single(params: ParamsKZG, commitment: G1, z: int, value: int, proof: G1) -> bool:
+    """e(W, [tau - z]_2) == e(C - [v]_1, H) check via the golden pairing."""
+    c_aff = group.to_affine_ints(commitment)[0]
+    w_aff = group.to_affine_ints(proof)[0]
+    # C - v*G1
+    v_g1 = g1g.scalar_mul(g1g.G1_GEN, value)
+    lhs = g1g.add(c_aff, g1g.neg(v_g1))
+    # e(W, s_g2 - z*g2) * e(-(C - vG), g2) == 1
+    z_g2 = pr.g2_scalar_mul(pr.G2_GEN, z)
+    s_minus_z = pr.g2_add(params.s_g2, pr.g2_neg(z_g2))
+    return pr.pairing_check([(w_aff, s_minus_z), (g1g.neg(lhs), pr.G2_GEN)])
