@@ -1,0 +1,449 @@
+"""The PLONKish prover: create_proof.
+
+Analog of halo2_proofs plonk::create_proof (scroll-tech/halo2 v1.1; the
+reference's hot path, invoked three times per chunk proof — SURVEY.md §3.3).
+Every heavy step is device math:
+
+- column commitments: iNTT + fixed-base windowed MSM;
+- grand products: batched factor computation + Fermat inversion + an
+  associative scan (log-depth prefix product — the TPU answer to halo2's
+  sequential z-building loop);
+- quotient: all constraints evaluated on the extended coset with batched
+  field kernels, y-combined, divided by Z_H pointwise;
+- multiopen: SHPLONK with quotients computed in evaluation form on the
+  coset (no sequential synthetic division anywhere).
+
+Host work is only transcript bytes and the lookup permutation ordering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zkevm_tpu.ec import group
+from zkevm_tpu.ec.group import G1
+from zkevm_tpu.ff import limbs as ff
+from zkevm_tpu.ff.goldens import FR_MOD
+from zkevm_tpu.ff.limbs import fr_spec
+from zkevm_tpu.kzg.params import ParamsKZG
+from zkevm_tpu.plonk import shplonk
+from zkevm_tpu.plonk.assign import Assignment
+from zkevm_tpu.plonk.cs import ConstraintSystem
+from zkevm_tpu.plonk.expr import EvalContext
+from zkevm_tpu.plonk.keygen import ProvingKey
+from zkevm_tpu.plonk.protocol import build_protocol
+from zkevm_tpu.poly import ntt as nttmod
+from zkevm_tpu.transcript import KeccakTranscript
+
+FR = fr_spec()
+
+
+@dataclass
+class Proof:
+    advice_commitments: list  # affine pairs, cs.advice_columns order
+    lookup_permuted: list  # (a_comm, s_comm) per lookup
+    perm_z_commitments: list
+    lookup_z_commitments: list
+    random_commitment: tuple
+    h_commitments: list
+    evals: list  # ints, protocol query order (+ random poly eval last)
+    shplonk_h: tuple
+    shplonk_w: tuple
+
+
+def _commit(params: ParamsKZG, coeff) -> tuple:
+    return group.to_affine_ints(params.commit(coeff))[0]
+
+
+def _powers_table(x: int, n: int) -> np.ndarray:
+    out = np.empty((n, ff.L), dtype=np.uint32)
+    v = 1
+    for i in range(n):
+        out[i] = FR.encode(v)
+        v = v * x % FR_MOD
+    return out
+
+
+def eval_polys_at(coeff_stack: jnp.ndarray, x: int) -> list[int]:
+    """(m, n, 16) coefficient stack -> [poly_i(x)] as ints."""
+    m, n = coeff_stack.shape[0], coeff_stack.shape[1]
+    pows = jnp.asarray(_powers_table(x, n))
+    terms = ff.mont_mul(FR, coeff_stack, pows)
+    while n > 1:
+        half = n // 2
+        terms = ff.add(FR, terms[:, :half], terms[:, half : 2 * half])
+        n = half
+    return [FR.decode(np.asarray(terms[i, 0])) for i in range(m)]
+
+
+@jax.jit
+def prefix_product(factors: jnp.ndarray) -> jnp.ndarray:
+    """(n, 16) Montgomery factors -> exclusive prefix products (z[0] = 1)."""
+    ps = jax.lax.associative_scan(lambda a, b: ff.mont_mul(FR, a, b), factors, axis=0)
+    one = jnp.asarray(FR.encode(1))[None]
+    return jnp.concatenate([one, ps[:-1]], axis=0)
+
+
+def _permute_lookup(a_ints, s_ints, active: int, n: int, rng):
+    """halo2 lookup::permute_expression_pair: returns (a', s') int lists of
+    length n (tail rows random)."""
+    a_act = sorted(a_ints[:active])
+    from collections import Counter
+
+    leftovers = Counter(s_ints[:active])
+    s_prime = [None] * active
+    for i, v in enumerate(a_act):
+        if i == 0 or v != a_act[i - 1]:
+            if leftovers[v] <= 0:
+                raise ValueError(f"lookup failure: input {v} not in table")
+            leftovers[v] -= 1
+            s_prime[i] = v
+    fill = iter(leftovers.elements())
+    for i in range(active):
+        if s_prime[i] is None:
+            s_prime[i] = next(fill)
+    tail = [int(rng.integers(1, 1 << 62)) for _ in range(n - active)]
+    tail2 = [int(rng.integers(1, 1 << 62)) for _ in range(n - active)]
+    return a_act + tail, s_prime + tail2
+
+
+def create_proof(
+    params: ParamsKZG,
+    pk: ProvingKey,
+    instances: list[list[int]],
+    witness_phases,
+    *,
+    seed: int = 42,
+    transcript: KeccakTranscript | None = None,
+) -> Proof:
+    """witness_phases: callable (phase, challenges: dict[Challenge,int]) ->
+    {advice Column: (n,16) uint32 Montgomery array} covering that phase's
+    columns. For single-phase circuits, a plain dict {Column: array} or an
+    Assignment also works.
+    """
+    cs = pk.vk.cs
+    domain = pk.vk.domain
+    k, n = domain.k, domain.n
+    usable = cs.usable_rows(n)
+    u_row = usable - 1
+    rng = np.random.default_rng(seed)
+    tr = transcript or KeccakTranscript()
+
+    if isinstance(witness_phases, Assignment):
+        adv = {c: witness_phases.cols[c] for c in cs.advice_columns}
+        witness_phases = lambda phase, ch: (
+            {c: a for c, a in adv.items() if c.phase == phase}
+        )
+    elif isinstance(witness_phases, dict):
+        adv = dict(witness_phases)
+        witness_phases = lambda phase, ch: (
+            {c: a for c, a in adv.items() if c.phase == phase}
+        )
+
+    # -- 0. bind statement ----------------------------------------------
+    tr.common_scalar(k)
+    for inst in instances:
+        for v in inst:
+            tr.common_scalar(v)
+    for c in pk.vk.fixed_commitments + pk.vk.sigma_commitments:
+        tr.common_point(c)
+
+    # -- 1. advice commitments per phase, interleaved with challenges ----
+    advice_lagrange: dict = {}
+    advice_coeff: dict = {}
+    advice_comm: dict = {}
+    challenge_vals: dict = {}
+
+    def blind(arr):
+        out = np.array(arr, dtype=np.uint32)
+        for r in range(usable, n):
+            out[r] = FR.encode(int(rng.integers(1, 1 << 62)))
+        return out
+
+    for phase in range(cs.num_phases):
+        ch_by_obj = {c: challenge_vals.get(c.index) for c in cs.challenges}
+        new_cols = witness_phases(phase, ch_by_obj)
+        for c in cs.advice_columns:
+            if c.phase != phase:
+                continue
+            arr = blind(new_cols[c])
+            advice_lagrange[c] = arr
+            coeff = nttmod.intt(jnp.asarray(arr), k)
+            advice_coeff[c] = coeff
+            advice_comm[c] = _commit(params, coeff)
+            tr.common_point(advice_comm[c])
+        for ch in cs.challenges:
+            if ch.phase == phase + 1:
+                challenge_vals[ch.index] = tr.challenge()
+
+    challenges_int = [challenge_vals.get(i, 0) for i in range(len(cs.challenges))]
+    ch_mont = [jnp.asarray(FR.encode(v)) for v in challenges_int]
+
+    # -- 2. theta; lookup permuted columns -------------------------------
+    theta = tr.challenge()
+    base_cols = {}
+    base_cols.update({c: jnp.asarray(a) for c, a in pk.fixed_lagrange.items()})
+    base_cols.update({c: jnp.asarray(a) for c, a in advice_lagrange.items()})
+    for c, inst in zip(cs.instance_columns, instances):
+        arr = np.zeros((n, ff.L), np.uint32)
+        for i, v in enumerate(inst):
+            arr[i] = FR.encode(v)
+        base_cols[c] = jnp.asarray(arr)
+    base_ctx = EvalContext(dict(base_cols), ch_mont)
+
+    def compress_vals(exprs):
+        acc = None
+        th = jnp.asarray(FR.encode(theta))
+        for e in exprs:
+            v = e.evaluate(base_ctx)
+            v = jnp.broadcast_to(v, (n, ff.L))
+            acc = v if acc is None else ff.add(FR, ff.mont_mul(FR, acc, th), v)
+        return acc
+
+    lookup_data = []
+    for lk in cs.lookups:
+        a_vals = compress_vals(lk.inputs)
+        s_vals = compress_vals(lk.tables)
+        a_ints = FR.decode_many(np.asarray(a_vals))
+        s_ints = FR.decode_many(np.asarray(s_vals))
+        ap_ints, sp_ints = _permute_lookup(a_ints, s_ints, u_row, n, rng)
+        ap = np.stack([FR.encode(v) for v in ap_ints])
+        sp = np.stack([FR.encode(v) for v in sp_ints])
+        lookup_data.append(
+            {"a": a_vals, "s": s_vals, "ap": jnp.asarray(ap), "sp": jnp.asarray(sp)}
+        )
+
+    lookup_permuted = []
+    for ld in lookup_data:
+        ld["ap_coeff"] = nttmod.intt(ld["ap"], k)
+        ld["sp_coeff"] = nttmod.intt(ld["sp"], k)
+        ca = _commit(params, ld["ap_coeff"])
+        cb = _commit(params, ld["sp_coeff"])
+        lookup_permuted.append((ca, cb))
+        tr.common_point(ca)
+        tr.common_point(cb)
+
+    # -- 3. beta, gamma; grand products ----------------------------------
+    beta = tr.challenge()
+    gamma = tr.challenge()
+    beta_m = jnp.asarray(FR.encode(beta))
+    gamma_m = jnp.asarray(FR.encode(gamma))
+    one_m = jnp.asarray(FR.encode(1))
+    active_mask = np.zeros((n, 1), dtype=bool)
+    active_mask[:u_row] = True
+    active_mask = jnp.asarray(active_mask)
+
+    protocol = build_protocol(cs, n, theta, beta, gamma)
+    chunk_len = cs.permutation_chunk_len()
+
+    perm_z_arrays = []
+    last_tail = None
+    for ci, cols in enumerate(protocol.perm_chunks):
+        num = None
+        den = None
+        for j, col in enumerate(cols):
+            jg = ci * chunk_len + j
+            val = base_cols[col]
+            sig = jnp.asarray(pk.sigma_lagrange[jg])
+            idb = jnp.asarray(pk.identity_base[jg])
+            f_num = ff.add(FR, ff.add(FR, val, ff.mont_mul(FR, beta_m, sig)), gamma_m)
+            f_den = ff.add(FR, ff.add(FR, val, ff.mont_mul(FR, beta_m, idb)), gamma_m)
+            num = f_num if num is None else ff.mont_mul(FR, num, f_num)
+            den = f_den if den is None else ff.mont_mul(FR, den, f_den)
+        factors = ff.mont_mul(FR, num, ff.inv(FR, den))
+        factors = jnp.where(active_mask, factors, one_m[None])
+        z = prefix_product(factors)
+        # chain: multiply by previous chunk's final value
+        if ci > 0:
+            z = ff.mont_mul(FR, z, last_tail)
+        last_tail = z[u_row]
+        z = np.array(z)
+        for r in range(usable, n):
+            z[r] = FR.encode(int(rng.integers(1, 1 << 62)))
+        perm_z_arrays.append(z)
+
+    lookup_z_arrays = []
+    for ld in lookup_data:
+        num = ff.mont_mul(FR, ff.add(FR, ld["a"], beta_m), ff.add(FR, ld["s"], gamma_m))
+        den = ff.mont_mul(FR, ff.add(FR, ld["ap"], beta_m), ff.add(FR, ld["sp"], gamma_m))
+        factors = ff.mont_mul(FR, num, ff.inv(FR, den))
+        factors = jnp.where(active_mask, factors, one_m[None])
+        z = np.array(prefix_product(factors))
+        for r in range(usable, n):
+            z[r] = FR.encode(int(rng.integers(1, 1 << 62)))
+        lookup_z_arrays.append(z)
+
+    perm_z_comm, perm_z_coeff = [], []
+    for z in perm_z_arrays:
+        coeff = nttmod.intt(jnp.asarray(z), k)
+        perm_z_coeff.append(coeff)
+        c = _commit(params, coeff)
+        perm_z_comm.append(c)
+        tr.common_point(c)
+    lookup_z_comm, lookup_z_coeff = [], []
+    for z in lookup_z_arrays:
+        coeff = nttmod.intt(jnp.asarray(z), k)
+        lookup_z_coeff.append(coeff)
+        c = _commit(params, coeff)
+        lookup_z_comm.append(c)
+        tr.common_point(c)
+
+    # -- 4. vanishing: random poly, y, quotient --------------------------
+    random_ints = [int(rng.integers(1, 1 << 62)) for _ in range(n)]
+    random_coeff = jnp.asarray(np.stack([FR.encode(v) for v in random_ints]))
+    random_comm = _commit(params, random_coeff)
+    tr.common_point(random_comm)
+    y = tr.challenge()
+
+    # extended-domain arrays for every column the constraints reference
+    ext_cols = {}
+    for c, coeff in pk.fixed_coeff.items():
+        ext_cols[c] = pk.fixed_ext[c]
+    for c, coeff in advice_coeff.items():
+        ext_cols[c] = domain.coeff_to_extended(coeff)
+    for c, inst in zip(cs.instance_columns, instances):
+        arr = np.zeros((n, ff.L), np.uint32)
+        for i, v in enumerate(inst):
+            arr[i] = FR.encode(v)
+        ext_cols[c] = domain.coeff_to_extended(nttmod.intt(jnp.asarray(arr), k))
+    for i, sig_col in enumerate(protocol.sigma_cols):
+        ext_cols[sig_col] = pk.sigma_ext[i]
+    l0c, llastc, lblindc = protocol.virtual_cols
+    ext_cols[l0c] = pk.l0_ext
+    ext_cols[llastc] = pk.llast_ext
+    ext_cols[lblindc] = pk.lblind_ext
+    aux_coeffs = {}
+    for i, ld in enumerate(lookup_data):
+        from zkevm_tpu.plonk.protocol import aux
+
+        aux_coeffs[aux(f"lookup_a_perm{i}")] = ld["ap_coeff"]
+        aux_coeffs[aux(f"lookup_s_perm{i}")] = ld["sp_coeff"]
+        aux_coeffs[aux(f"lookup_z{i}")] = lookup_z_coeff[i]
+    for ci in range(len(protocol.perm_chunks)):
+        from zkevm_tpu.plonk.protocol import aux
+
+        aux_coeffs[aux(f"perm_z{ci}")] = perm_z_coeff[ci]
+    for c, coeff in aux_coeffs.items():
+        ext_cols[c] = domain.coeff_to_extended(coeff)
+
+    rot_scale = domain.extended_n // n
+    ext_ctx = EvalContext(ext_cols, ch_mont, rot_scale=rot_scale, n=domain.extended_n)
+    # coset points g * W^i as the DomainX array
+    coset_pts = nttmod._power_table(domain.extended_omega, domain.extended_n)
+    gc = jnp.asarray(FR.encode(domain.g_coset))
+    ext_ctx.set_domain_x(ff.mont_mul(FR, jnp.asarray(coset_pts), gc))
+
+    y_m = jnp.asarray(FR.encode(y))
+    zero_m = jnp.zeros((domain.extended_n, ff.L), jnp.uint32)
+    h_ext = zero_m
+    for con, width in protocol.constraints:
+        v = con.evaluate(ext_ctx)
+        if width:
+            # vector constraint: (ext_n, W, 16); fold lanes in order —
+            # equivalent to W sequential scalar folds (verifier's view)
+            ypows = np.stack(
+                [FR.encode(pow(y, width - 1 - z, FR_MOD)) for z in range(width)]
+            )
+            fold = ff.mont_mul(FR, v, jnp.asarray(ypows)[None])
+            m = 1
+            while m < width:
+                m *= 2
+            if m != width:  # pad lane axis with zeros (additive identity)
+                pad = jnp.zeros((fold.shape[0], m - width, ff.L), jnp.uint32)
+                fold = jnp.concatenate([fold, pad], axis=1)
+            while m > 1:  # tree-sum the lane axis (log2 W adds)
+                m //= 2
+                fold = ff.add(FR, fold[:, :m], fold[:, m:])
+            yw = jnp.asarray(FR.encode(pow(y, width, FR_MOD)))
+            h_ext = ff.add(FR, ff.mont_mul(FR, h_ext, yw), fold[:, 0])
+        else:
+            v = jnp.broadcast_to(v, (domain.extended_n, ff.L))
+            h_ext = ff.add(FR, ff.mont_mul(FR, h_ext, y_m), v)
+    h_ext = domain.divide_by_vanishing_poly(h_ext)
+    h_coeff_full = domain.extended_to_coeff(h_ext)
+    # quotient degree < (gate_degree - 1) * n; split into n-chunks
+    num_pieces = domain.extended_n // n
+    h_pieces = [h_coeff_full[i * n : (i + 1) * n] for i in range(num_pieces)]
+    h_comms = []
+    for hp in h_pieces:
+        c = _commit(params, hp)
+        h_comms.append(c)
+        tr.common_point(c)
+
+    x = tr.challenge()
+
+    # -- 5. evaluations ---------------------------------------------------
+    def coeff_of(col):
+        if col.kind == "fixed":
+            return pk.fixed_coeff[col]
+        if col.kind == "advice":
+            return advice_coeff[col]
+        if col.kind == "aux":
+            if str(col.index).startswith("sigma"):
+                return pk.sigma_coeff[int(str(col.index)[5:])]
+            return aux_coeffs[col]
+        raise KeyError(col)
+
+    omega = domain.omega
+    by_rot: dict[int, list] = {}
+    for col, rot in protocol.queries:
+        by_rot.setdefault(rot, []).append(col)
+    evals_map = {}
+    for rot, cols_r in by_rot.items():
+        pt = pow(omega, rot % n, FR_MOD) * x % FR_MOD
+        stack = jnp.stack([coeff_of(c) for c in cols_r])
+        vals = eval_polys_at(stack, pt)
+        for c, v in zip(cols_r, vals):
+            evals_map[(c, rot)] = v
+    random_eval = eval_polys_at(random_coeff[None], x)[0]
+
+    evals_list = [evals_map[q] for q in protocol.queries] + [random_eval]
+    for v in evals_list:
+        tr.common_scalar(v)
+
+    # -- 6. SHPLONK multiopen ---------------------------------------------
+    # collapsed h polynomial: sum x^{n i} h_i
+    xn = pow(x, n, FR_MOD)
+    h_collapsed = None
+    w = 1
+    weights = []
+    for i in range(num_pieces):
+        weights.append(w)
+        w = w * xn % FR_MOD
+    h_stack = jnp.stack(h_pieces)
+    w_m = jnp.asarray(np.stack([FR.encode(v) for v in weights]))[:, None, :]
+    h_collapsed = ff.mont_mul(FR, h_stack, w_m)
+    hc = h_collapsed[0]
+    for i in range(1, num_pieces):
+        hc = ff.add(FR, hc, h_collapsed[i])
+
+    # actual collapsed-h eval; the verifier recomputes the EXPECTED value
+    # from the gate identity — if they differ the shplonk check fails.
+    h_eval = eval_polys_at(hc[None], x)[0]
+
+    sh_queries = []  # (label, coeff_array, point, eval)
+    for (col, rot) in protocol.queries:
+        pt = pow(omega, rot % n, FR_MOD) * x % FR_MOD
+        sh_queries.append(
+            (f"{col.kind}:{col.index}", coeff_of(col), pt, evals_map[(col, rot)])
+        )
+    sh_queries.append(("random", random_coeff, x, random_eval))
+    sh_queries.append(("h_collapsed", hc, x, h_eval))
+
+    sh_h, sh_w = shplonk.open_many(params, domain, sh_queries, tr)
+
+    return Proof(
+        advice_commitments=[advice_comm[c] for c in cs.advice_columns],
+        lookup_permuted=lookup_permuted,
+        perm_z_commitments=perm_z_comm,
+        lookup_z_commitments=lookup_z_comm,
+        random_commitment=random_comm,
+        h_commitments=h_comms,
+        evals=evals_list,
+        shplonk_h=sh_h,
+        shplonk_w=sh_w,
+    )
