@@ -110,7 +110,11 @@ def keccak_f(state: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(flat, axis=-2).astype(U32)
 
 
-keccak_f = jax.jit(keccak_f)  # shape-keyed cache for eager transcript use
+# NOTE: keccak_f is intentionally NOT jax.jit-wrapped. The fused xor-chain
+# graph (24 unrolled rounds) makes XLA:CPU's LLVM backend pathologically
+# slow/unreliable to compile; eager per-op dispatch runs a permutation in
+# ~1s on CPU and each tiny op is compile-cached. On TPU, wrap call sites
+# in an outer jit where measurements justify it.
 
 RATE_BYTES = 136  # keccak256 rate (17 lanes)
 
@@ -157,7 +161,6 @@ def keccak256_batch(msgs: list[bytes]) -> np.ndarray:
         data[i, : b.shape[0]] = b
         nblk[i] = b.shape[0]
 
-    @jax.jit
     def run(data, nblk):
         state = jnp.zeros((n, 25, 2), U32)
         digest = jnp.zeros((n, 4, 2), U32)

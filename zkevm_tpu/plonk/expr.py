@@ -166,6 +166,17 @@ class Neg(Expr):
         return ff.neg(FR, self.inner.evaluate(ctx))
 
 
+def _align(a, b):
+    """Insert a lane axis when a scalar-column value (rows, 16) meets a
+    vector-group value (rows, W, 16) in one expression."""
+    if hasattr(a, "ndim") and hasattr(b, "ndim") and a.ndim >= 2 and b.ndim >= 2:
+        if a.ndim + 1 == b.ndim:
+            a = a[..., None, :]
+        elif b.ndim + 1 == a.ndim:
+            b = b[..., None, :]
+    return a, b
+
+
 @dataclass(frozen=True)
 class Sum(Expr):
     a: Expr
@@ -179,7 +190,8 @@ class Sum(Expr):
         self.b._collect(out)
 
     def evaluate(self, ctx):
-        return ff.add(FR, self.a.evaluate(ctx), self.b.evaluate(ctx))
+        va, vb = _align(self.a.evaluate(ctx), self.b.evaluate(ctx))
+        return ff.add(FR, va, vb)
 
 
 @dataclass(frozen=True)
@@ -195,7 +207,8 @@ class Prod(Expr):
         self.b._collect(out)
 
     def evaluate(self, ctx):
-        return ff.mont_mul(FR, self.a.evaluate(ctx), self.b.evaluate(ctx))
+        va, vb = _align(self.a.evaluate(ctx), self.b.evaluate(ctx))
+        return ff.mont_mul(FR, va, vb)
 
 
 class EvalContext:

@@ -41,6 +41,8 @@ from zkevm_tpu.transcript import KeccakTranscript
 
 FR = fr_spec()
 
+_DEBUG: dict = {}  # populated by create_proof for test introspection
+
 
 @dataclass
 class Proof:
@@ -250,8 +252,10 @@ def create_proof(
             val = base_cols[col]
             sig = jnp.asarray(pk.sigma_lagrange[jg])
             idb = jnp.asarray(pk.identity_base[jg])
-            f_num = ff.add(FR, ff.add(FR, val, ff.mont_mul(FR, beta_m, sig)), gamma_m)
-            f_den = ff.add(FR, ff.add(FR, val, ff.mont_mul(FR, beta_m, idb)), gamma_m)
+            # constraint: z(wX) * prod(col + b*sigma + g) = z(X) * prod(col + b*dX + g)
+            # so z accumulates identity-terms / sigma-terms
+            f_num = ff.add(FR, ff.add(FR, val, ff.mont_mul(FR, beta_m, idb)), gamma_m)
+            f_den = ff.add(FR, ff.add(FR, val, ff.mont_mul(FR, beta_m, sig)), gamma_m)
             num = f_num if num is None else ff.mont_mul(FR, num, f_num)
             den = f_den if den is None else ff.mont_mul(FR, den, f_den)
         factors = ff.mont_mul(FR, num, ff.inv(FR, den))
@@ -375,6 +379,12 @@ def create_proof(
         tr.common_point(c)
 
     x = tr.challenge()
+
+    _DEBUG.clear()
+    _DEBUG.update(
+        ext_ctx=ext_ctx, protocol=protocol, x=x, y=y, domain=domain,
+        challenges=challenges_int, theta=theta, beta=beta, gamma=gamma,
+    )
 
     # -- 5. evaluations ---------------------------------------------------
     def coeff_of(col):
