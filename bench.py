@@ -33,27 +33,27 @@ def main():
     from zkevm_tpu.poly import ntt as nttmod
 
     platform = jax.devices()[0].platform
-    # TPU: full-size transform; CPU (CI/dev): small
+    # TPU: full-size transform (limbs-first four-step path); CPU: small
     k = 18 if platform == "tpu" else 10
-    batch = 4 if platform == "tpu" else 2
     n = 1 << k
 
     rng = np.random.default_rng(0)
-    data32 = rng.integers(0, 1 << 16, size=(batch, n, 16), dtype=np.uint32)
+    data32 = rng.integers(0, 1 << 16, size=(16, n), dtype=np.uint32)
     a = jnp.asarray(data32)
 
-    run = jax.jit(lambda x: nttmod.ntt(x, k))
+    run = jax.jit(nttmod.ntt_t, static_argnums=1)
     t0 = time.time()
-    jax.block_until_ready(run(a))
+    jax.block_until_ready(run(a, k))
     compile_s = time.time() - t0
 
-    iters = 5 if platform == "tpu" else 2
+    iters = 10 if platform == "tpu" else 2
     t0 = time.time()
     for _ in range(iters):
-        out = run(a)
-    jax.block_until_ready(out)
+        out = run(a, k)
+        jax.block_until_ready(out)  # block every iteration: honest timing
     dt = (time.time() - t0) / iters
-    elems_per_s = batch * n / dt
+    batch = 1
+    elems_per_s = n / dt
 
     print(
         f"[bench] platform={platform} k={k} batch={batch} "

@@ -79,3 +79,17 @@ def test_domain_quotient_division(rng):
     got = FR.decode_many(h_coeffs)
     assert got[:n] == h
     assert all(v == 0 for v in got[n:])
+
+
+def test_ntt_t_fourstep_matches_naive(rng):
+    """limbs-first four-step NTT (TPU hot path) vs the golden DFT."""
+    import jax.numpy as jnp
+
+    for k in (4, 9):  # below and above the four-step split threshold
+        n = 1 << k
+        coeffs = rand_fr(rng, n)
+        a_t = jnp.asarray(enc(coeffs).T)
+        got = FR.decode_many(np.asarray(nttmod.ntt_t(a_t, k)).T)
+        assert got == pg.naive_ntt(coeffs, pg.domain_omega(k)), k
+        back = FR.decode_many(np.asarray(nttmod.intt_t(nttmod.ntt_t(a_t, k), k)).T)
+        assert back == coeffs, k

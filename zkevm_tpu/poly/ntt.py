@@ -116,3 +116,92 @@ def coset_ntt(a: jnp.ndarray, shift: int) -> jnp.ndarray:
 def coset_intt(a: jnp.ndarray, shift: int) -> jnp.ndarray:
     """Inverse of :func:`coset_ntt`."""
     return scale_by_powers(intt(a), pow(shift, FR_MOD - 2, FR_MOD))
+
+
+# ---------------------------------------------------------------------------
+# Limbs-first NTT (TPU hot path): operates on (16, n) arrays so batch data
+# fills the vector lanes. The transform is the four-step (Bailey) algorithm:
+# both sub-NTTs run along axis -2 with a wide CONTIGUOUS trailing axis, so
+# every butterfly is a full-tile vector op — a naive radix-2 sweep spends
+# its early stages on tiny trailing dims and runs ~100x slower on TPU.
+# ---------------------------------------------------------------------------
+
+def _ntt_axis2(a: jnp.ndarray, k: int, inverse: bool) -> jnp.ndarray:
+    """Radix-2 DIT NTT along axis -2 of a (16, n1, T) limbs-first array."""
+    from zkevm_tpu.ff.limbs import add_t, mont_mul_t, sub_t
+
+    n = 1 << k
+    assert a.shape[1] == n, a.shape
+    trail = a.shape[2]
+    if n == 1:
+        return a
+    a = jnp.take(a, jnp.asarray(_bitrev_perm(k)), axis=1)
+    pows_t = jnp.asarray(_omega_powers(k, inverse)).T  # (16, n/2)
+    for s in range(1, k + 1):
+        m = 1 << s
+        half = m // 2
+        tw = pows_t[:, :: n // m][:, :half]  # (16, half)
+        x = a.reshape(ff.L, n // m, 2, half, trail)
+        even = x[:, :, 0]
+        odd = mont_mul_t(FR, x[:, :, 1], tw[:, None, :, None])
+        a = jnp.concatenate(
+            [add_t(FR, even, odd), sub_t(FR, even, odd)], axis=2
+        ).reshape(ff.L, n, trail)
+    return a
+
+
+@lru_cache(maxsize=None)
+def _fourstep_twiddle(k: int, k1: int, inverse: bool):
+    """(16, n1, n2) device table of w_N^(r*c), built by log-doubling:
+    col block [w, 2w) = col block [0, w) * (w^r)^w (one batched mul per
+    doubling — host only computes the n1-entry power tables)."""
+    from zkevm_tpu.ff.limbs import mont_mul_t
+
+    n = 1 << k
+    n1, n2 = 1 << k1, n >> k1
+    omega = fr_root_of_unity(k)
+    if inverse:
+        omega = pow(omega, FR_MOD - 2, FR_MOD)
+    base = jnp.asarray(_power_table(omega, n1)).T[:, :, None]  # (16,n1,1) w^r
+    one = jnp.asarray(FR.encode(1))[:, None, None]
+    T = jnp.broadcast_to(one, (ff.L, n1, 1))
+    cur = base  # (w^r)^width
+    width = 1
+    while width < n2:
+        T = jnp.concatenate([T, mont_mul_t(FR, T, cur)], axis=2)
+        cur = mont_mul_t(FR, cur, cur)
+        width *= 2
+    return T
+
+
+def ntt_t(a_t: jnp.ndarray, k: int, inverse: bool = False) -> jnp.ndarray:
+    """NTT over axis 1 of a (16, n) limbs-first array (natural in/out order).
+
+    Four-step: view x[j1*n2 + j2] as (n1, n2); size-n1 NTTs along axis -2;
+    twiddle by w_N^(j2*k1'); transpose; size-n2 NTTs along axis -2; the
+    flattened result is already in natural order X[k1' + n1*k2'].
+    """
+    from zkevm_tpu.ff.limbs import mont_mul_t
+
+    n = 1 << k
+    assert a_t.shape == (ff.L, n), a_t.shape
+    if k <= 7:
+        out = _ntt_axis2(a_t[:, :, None], k, inverse)[:, :, 0]
+    else:
+        k1 = k // 2
+        k2 = k - k1
+        n1, n2 = 1 << k1, 1 << k2
+        A = a_t.reshape(ff.L, n1, n2)
+        B = _ntt_axis2(A, k1, inverse)
+        B = mont_mul_t(FR, B, jnp.asarray(_fourstep_twiddle(k, k1, inverse)))
+        Bt = jnp.swapaxes(B, 1, 2)  # (16, n2, n1)
+        C = _ntt_axis2(Bt, k2, inverse)
+        out = C.reshape(ff.L, n)
+    if inverse:
+        n_inv = jnp.asarray(FR.encode(pow(n, FR_MOD - 2, FR_MOD)))[:, None]
+        out = mont_mul_t(FR, out, n_inv)
+    return out
+
+
+def intt_t(a_t: jnp.ndarray, k: int) -> jnp.ndarray:
+    return ntt_t(a_t, k, inverse=True)
