@@ -186,6 +186,10 @@ def scalar_mul_scan(p: G1, scalar_limbs) -> G1:
         jnp.broadcast_to(p.y, batch + (ff.L,)),
         jnp.broadcast_to(p.z, batch + (ff.L,)),
     )
+    # xor-with-derived-zero keeps values but inherits shard_map varying
+    # axes from the inputs (fresh constants break scan carry typing there)
+    zd = jnp.broadcast_to(p.x[..., :1] ^ p.x[..., :1], batch + (ff.L,))
+    acc = G1(acc.x ^ zd, acc.y ^ zd, acc.z ^ zd)
     bits_t = jnp.moveaxis(bits, -1, 0)  # (256, ...batch)
 
     def body(carry, bit):
@@ -274,6 +278,10 @@ def sum_reduce_scan(p: G1) -> G1:
             p.z.reshape((-1, b) + p.z.shape[1:]),
         )
         init = identity((b,) + p.batch_shape[1:])
+        zd = jnp.broadcast_to(
+            p.x[:1, ..., :1] ^ p.x[:1, ..., :1], init.x.shape
+        )  # shard_map varying-axis inheritance (see scalar_mul_scan)
+        init = G1(init.x ^ zd, init.y ^ zd, init.z ^ zd)
 
         def body(acc, blk):
             return add(acc, G1(*blk)), None

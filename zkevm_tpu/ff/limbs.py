@@ -243,7 +243,9 @@ def mont_mul(spec: FieldSpec, a, b):
     p_vec = jnp.asarray(spec.p_limbs)  # (16,)
     pad_cfg_lo = [(0, 0)] * (len(batch)) + [(0, 1)]  # rows 0..15 of 17
     pad_cfg_hi = [(0, 0)] * (len(batch)) + [(1, 0)]  # rows 1..16 of 17
-    zeros1 = jnp.zeros(batch + (1,), U32)
+    # derive zeros from the inputs so they inherit any shard_map varying
+    # axes (a fresh jnp.zeros is 'unvarying' and breaks scan carries there)
+    zeros1 = (a[..., :1] ^ a[..., :1]) & (b[..., :1] ^ b[..., :1])
 
     def iteration(t, ai):
         prod = ai[..., None] * b  # (..., 16) exact 16x16 products
@@ -264,7 +266,7 @@ def mont_mul(spec: FieldSpec, a, b):
         carry0 = t[..., 0:1] >> LIMB_BITS
         return jnp.concatenate([t[..., 1:2] + carry0, t[..., 2:], zeros1], axis=-1)
 
-    t = jnp.zeros(batch + (L + 1,), U32)
+    t = jnp.broadcast_to(zeros1, batch + (L + 1,))
     if UNROLL_MUL:
         for i in range(L):
             t = iteration(t, a[..., i])

@@ -62,12 +62,22 @@ def sharded_msm(mesh: Mesh, points: G1, scalars) -> G1:
 
     spec = P("chips", None)
     out_spec = P(None, None)
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(spec, spec, spec, spec),
-        out_specs=(out_spec, out_spec, out_spec),
-    )
+    try:
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(out_spec, out_spec, out_spec),
+            check_vma=False,
+        )
+    except TypeError:  # older jax spells it check_rep
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(out_spec, out_spec, out_spec),
+            check_rep=False,
+        )
     x, y, z = fn(points.x, points.y, points.z, jnp.asarray(scalars, jnp.uint32))
     return G1(x[0], y[0], z[0])
 
