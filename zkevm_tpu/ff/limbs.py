@@ -418,33 +418,63 @@ def fq_spec() -> FieldSpec:
 # hot paths; the (..., 16) API remains the general-purpose interface.
 # ---------------------------------------------------------------------------
 
-def mont_mul_t(spec: FieldSpec, a, b):
-    """CIOS Montgomery product in limbs-first layout: a, b (16, ...)."""
+def mont_mul_t(spec: FieldSpec, a, b, *, unroll: bool = True):
+    """CIOS Montgomery product in limbs-first layout: a, b (16, ...).
+
+    unroll=True: fully fused straight-line graph (max throughput);
+    unroll=False: lax.scan over the 16 iterations (16x smaller graph, for
+    composites whose compiled module would otherwise explode)."""
     a = jnp.asarray(a, U32)
     b = jnp.asarray(b, U32)
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    ar = [jnp.broadcast_to(a[i], batch) for i in range(L)]
-    br = [jnp.broadcast_to(b[i], batch) for i in range(L)]
     p = [np.uint32(x) for x in spec.p_limbs]
     ninv = spec.ninv16
-    zero = jnp.zeros(batch, U32)
-    t = [zero] * (L + 1)
-    for i in range(L):
-        prod = [ar[i] * bj for bj in br]
-        for j in range(L):
-            t[j] = t[j] + (prod[j] & MASK)
-            t[j + 1] = t[j + 1] + (prod[j] >> LIMB_BITS)
-        m = (t[0] * ninv) & MASK
-        for j in range(L):
-            mp = m * p[j]
-            t[j] = t[j] + (mp & MASK)
-            t[j + 1] = t[j + 1] + (mp >> LIMB_BITS)
-        t[1] = t[1] + (t[0] >> LIMB_BITS)
-        t = t[1:] + [zero]
+    zero = (a[0] ^ a[0]) & (b[0] ^ b[0])  # varying-axis-inheriting zero
+    zero = jnp.broadcast_to(zero, batch)
+
+    if unroll:
+        ar = [jnp.broadcast_to(a[i], batch) for i in range(L)]
+        br = [jnp.broadcast_to(b[i], batch) for i in range(L)]
+        t = [zero] * (L + 1)
+        for i in range(L):
+            prod = [ar[i] * bj for bj in br]
+            for j in range(L):
+                t[j] = t[j] + (prod[j] & MASK)
+                t[j + 1] = t[j + 1] + (prod[j] >> LIMB_BITS)
+            m = (t[0] * ninv) & MASK
+            for j in range(L):
+                mp = m * p[j]
+                t[j] = t[j] + (mp & MASK)
+                t[j + 1] = t[j + 1] + (mp >> LIMB_BITS)
+            t[1] = t[1] + (t[0] >> LIMB_BITS)
+            t = t[1:] + [zero]
+        rows = t[:L]
+    else:
+        bb = jnp.broadcast_to(b, (L,) + batch)
+        p_vec = jnp.asarray(spec.p_limbs).reshape((L,) + (1,) * len(batch))
+
+        def iteration(t, ai):
+            prod = ai[None] * bb  # (L, ...)
+            lo, hi = prod & MASK, prod >> LIMB_BITS
+            t = t.at[:L].add(lo).at[1:].add(hi)
+            m = (t[0] * ninv) & MASK
+            mp = m[None] * p_vec
+            t = t.at[:L].add(mp & MASK).at[1:].add(mp >> LIMB_BITS)
+            t = t.at[1].add(t[0] >> LIMB_BITS)
+            return jnp.concatenate([t[1:], t[:1] * 0], axis=0)
+
+        t0 = jnp.broadcast_to(zero[None], (L + 1,) + batch)
+        tt, _ = jax.lax.scan(
+            lambda c, ai: (iteration(c, ai), None),
+            t0,
+            jnp.broadcast_to(a, (L,) + batch),
+        )
+        rows = [tt[k] for k in range(L)]
+
     out = []
     carry = np.uint32(0)
     for k in range(L):
-        v = t[k] + carry
+        v = rows[k] + carry
         out.append(v & MASK)
         carry = v >> LIMB_BITS
     return jnp.stack(_cond_sub_p_rows(spec, out), axis=0)
