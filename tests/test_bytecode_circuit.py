@@ -55,3 +55,16 @@ def test_mock_prover_catches_wrong_push_size(circuit):
     asg.set_int(cfg.psize, 1, 3)  # PUSH1 byte claimed to carry 3 data bytes
     fails = MockProver(cs, asg).verify()
     assert fails  # lookup (byte, psize) fails or transition breaks
+
+
+def test_push_opcode_as_push_data(circuit):
+    """Push-data bytes whose VALUE is a PUSH opcode (0x60..0x7f) must still
+    satisfy the (byte, psize) push-table lookup — psize is assigned from the
+    byte value on every body row (circuit.rs:712 semantics)."""
+    cs, cfg = circuit
+    code = bytes([0x61, 0x60, 0x7F, 0x01, 0x00])  # PUSH2 with PUSH-valued data
+    rows = bc.unroll(code)
+    body = [r for r in rows if r["tag"] == 0]
+    assert [(1 if r["pdl"] == 0 else 0) for r in body] == [1, 0, 0, 1, 1]
+    asg = bc.assign(cs, cfg, N, [code])
+    MockProver(cs, asg).assert_satisfied()

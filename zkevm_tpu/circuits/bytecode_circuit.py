@@ -114,7 +114,12 @@ def unroll(code: bytes):
     pdl = 0
     for i, b in enumerate(code):
         is_code = 1 if pdl == 0 else 0
-        ps = push_size(b) if is_code else 0
+        # psize is assigned unconditionally from the byte value (matching the
+        # reference bytecode_circuit/circuit.rs:712 push_data_size): the push
+        # table lookup (byte, psize) must hold on EVERY body row, including
+        # push-data rows whose byte happens to be a PUSH opcode; the pdl
+        # transition gates by is_code so data-row psize is inert.
+        ps = push_size(b)
         rows.append(
             dict(tag=0, code_hash=h, index=i, byte=b, psize=ps, pdl=pdl)
         )

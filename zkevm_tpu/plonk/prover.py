@@ -18,6 +18,7 @@ Host work is only transcript bytes and the lookup permutation ordering.
 
 from __future__ import annotations
 
+import secrets
 from dataclasses import dataclass, field
 
 import jax
@@ -90,7 +91,22 @@ def prefix_product(factors: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([one, ps[:-1]], axis=0)
 
 
-def _permute_lookup(a_ints, s_ints, active: int, n: int, rng):
+def _blind_sampler(seed):
+    """Uniform-in-Fr blinding source. seed=None (the public-API default)
+    draws from the OS CSPRNG; an explicit int seed gives a deterministic
+    stream for tests/reproduction only — never default to a constant
+    (zero-knowledge requires unpredictable, full-field blinds)."""
+    if seed is None:
+        return lambda: 1 + secrets.randbelow(FR_MOD - 1)
+    rng = np.random.default_rng(seed)
+
+    def draw() -> int:
+        return 1 + int.from_bytes(rng.bytes(32), "little") % (FR_MOD - 1)
+
+    return draw
+
+
+def _permute_lookup(a_ints, s_ints, active: int, n: int, draw):
     """halo2 lookup::permute_expression_pair: returns (a', s') int lists of
     length n (tail rows random)."""
     a_act = sorted(a_ints[:active])
@@ -108,8 +124,8 @@ def _permute_lookup(a_ints, s_ints, active: int, n: int, rng):
     for i in range(active):
         if s_prime[i] is None:
             s_prime[i] = next(fill)
-    tail = [int(rng.integers(1, 1 << 62)) for _ in range(n - active)]
-    tail2 = [int(rng.integers(1, 1 << 62)) for _ in range(n - active)]
+    tail = [draw() for _ in range(n - active)]
+    tail2 = [draw() for _ in range(n - active)]
     return a_act + tail, s_prime + tail2
 
 
@@ -119,7 +135,7 @@ def create_proof(
     instances: list[list[int]],
     witness_phases,
     *,
-    seed: int = 42,
+    seed: int | None = None,
     transcript: KeccakTranscript | None = None,
 ) -> Proof:
     """witness_phases: callable (phase, challenges: dict[Challenge,int]) ->
@@ -132,7 +148,7 @@ def create_proof(
     k, n = domain.k, domain.n
     usable = cs.usable_rows(n)
     u_row = usable - 1
-    rng = np.random.default_rng(seed)
+    draw = _blind_sampler(seed)
     tr = transcript or KeccakTranscript()
 
     if isinstance(witness_phases, Assignment):
@@ -163,7 +179,7 @@ def create_proof(
     def blind(arr):
         out = np.array(arr, dtype=np.uint32)
         for r in range(usable, n):
-            out[r] = FR.encode(int(rng.integers(1, 1 << 62)))
+            out[r] = FR.encode(draw())
         return out
 
     for phase in range(cs.num_phases):
@@ -212,7 +228,7 @@ def create_proof(
         s_vals = compress_vals(lk.tables)
         a_ints = FR.decode_many(np.asarray(a_vals))
         s_ints = FR.decode_many(np.asarray(s_vals))
-        ap_ints, sp_ints = _permute_lookup(a_ints, s_ints, u_row, n, rng)
+        ap_ints, sp_ints = _permute_lookup(a_ints, s_ints, u_row, n, draw)
         ap = np.stack([FR.encode(v) for v in ap_ints])
         sp = np.stack([FR.encode(v) for v in sp_ints])
         lookup_data.append(
@@ -267,7 +283,7 @@ def create_proof(
         last_tail = z[u_row]
         z = np.array(z)
         for r in range(usable, n):
-            z[r] = FR.encode(int(rng.integers(1, 1 << 62)))
+            z[r] = FR.encode(draw())
         perm_z_arrays.append(z)
 
     lookup_z_arrays = []
@@ -278,7 +294,7 @@ def create_proof(
         factors = jnp.where(active_mask, factors, one_m[None])
         z = np.array(prefix_product(factors))
         for r in range(usable, n):
-            z[r] = FR.encode(int(rng.integers(1, 1 << 62)))
+            z[r] = FR.encode(draw())
         lookup_z_arrays.append(z)
 
     perm_z_comm, perm_z_coeff = [], []
@@ -297,7 +313,7 @@ def create_proof(
         tr.common_point(c)
 
     # -- 4. vanishing: random poly, y, quotient --------------------------
-    random_ints = [int(rng.integers(1, 1 << 62)) for _ in range(n)]
+    random_ints = [draw() for _ in range(n)]
     random_coeff = jnp.asarray(np.stack([FR.encode(v) for v in random_ints]))
     random_comm = _commit(params, random_coeff)
     tr.common_point(random_comm)

@@ -14,7 +14,7 @@ quotient eval, and runs the SHPLONK pairing check.
 
 from __future__ import annotations
 
-from zkevm_tpu.ff.goldens import FR_MOD
+from zkevm_tpu.ff.goldens import FQ_MOD, FR_MOD
 from zkevm_tpu.kzg.params import ParamsKZG
 from zkevm_tpu.plonk import shplonk
 from zkevm_tpu.plonk.cs import ConstraintSystem
@@ -47,6 +47,51 @@ def _instance_eval(values: list[int], x: int, n: int, omega: int) -> int:
     return acc
 
 
+def _g1_valid(pt) -> bool:
+    """Affine BN254 G1 membership: identity (None) or y^2 == x^3 + 3.
+    Cofactor is 1, so the curve check is full subgroup membership —
+    standard deserialization hazard guard (halo2curves `from_bytes`)."""
+    if pt is None:
+        return True
+    if not (isinstance(pt, tuple) and len(pt) == 2):
+        return False
+    x, y = pt
+    if not (0 <= x < FQ_MOD and 0 <= y < FQ_MOD):
+        return False
+    return (y * y - (x * x * x + 3)) % FQ_MOD == 0
+
+
+def _proof_shape_ok(cs: ConstraintSystem, proof: Proof) -> bool:
+    """Validate every proof list length + every group element before any
+    transcript absorption (malformed proofs must return False, not crash,
+    and off-curve points must never reach the EC/pairing math)."""
+    num_pieces_max = 64  # h pieces are bounded by extended-domain factor
+    if len(proof.advice_commitments) != len(cs.advice_columns):
+        return False
+    if len(proof.lookup_permuted) != len(cs.lookups):
+        return False
+    if any(len(p) != 2 for p in proof.lookup_permuted):
+        return False
+    chunk = cs.permutation_chunk_len()
+    nperm = len(cs.permutation_columns)
+    num_chunks = (nperm + chunk - 1) // chunk if nperm else 0
+    if len(proof.perm_z_commitments) != num_chunks:
+        return False
+    if len(proof.lookup_z_commitments) != len(cs.lookups):
+        return False
+    if not (1 <= len(proof.h_commitments) <= num_pieces_max):
+        return False
+    pts = list(proof.advice_commitments)
+    for ca, cb in proof.lookup_permuted:
+        pts += [ca, cb]
+    pts += proof.perm_z_commitments
+    pts += proof.lookup_z_commitments
+    pts.append(proof.random_commitment)
+    pts += proof.h_commitments
+    pts += [proof.shplonk_h, proof.shplonk_w]
+    return all(_g1_valid(p) for p in pts)
+
+
 def verify_proof(
     params: ParamsKZG,
     vk: VerifyingKey,
@@ -63,6 +108,9 @@ def verify_proof(
     omega = domain.omega
     tr = transcript or KeccakTranscript()
 
+    if not _proof_shape_ok(cs, proof):
+        return False
+
     # -- transcript replay ------------------------------------------------
     tr.common_scalar(k)
     for inst in instances:
@@ -72,12 +120,13 @@ def verify_proof(
         tr.common_point(c)
 
     challenge_vals: dict[int, int] = {}
-    adv_iter = iter(proof.advice_commitments)
     for phase in range(cs.num_phases):
-        for c in cs.advice_columns:
-            if c.phase != phase:
+        for col in cs.advice_columns:
+            if col.phase != phase:
                 continue
-            tr.common_point(next(adv_iter))
+            # index by column, mirroring the prover's advice_comm[c]
+            # absorption — robust to interleaved phase declarations
+            tr.common_point(proof.advice_commitments[cs.advice_columns.index(col)])
         for ch in cs.challenges:
             if ch.phase == phase + 1:
                 challenge_vals[ch.index] = tr.challenge()
