@@ -1,14 +1,18 @@
-"""Benchmark: NTT + MSM throughput on the available device.
+"""Benchmark: MSM + NTT throughput on the available device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
-detail lines on stderr. The north-star metrics are MSM points/s and NTT
-elems/s per chip (BASELINE.md); the reference publishes no absolute
-numbers in-tree (its benches are DEGREE-parameterized timers), so
-vs_baseline is reported against an estimated reference-CPU NTT throughput
-derived from its "~10 minutes per k=20 chunk proof" figure
-(prover/src/zkevm/prover.rs:54): a k=20 proof performs ~1e9 NTT
-butterfly-equivalents in its FFT phase; treating ~20% of 600 s as FFT
-gives ~2.6e7 elems/s as the reference single-machine ballpark.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus
+secondary numbers under "extra") with detail lines on stderr.
+
+Headline metric: MSM points/s at 2^20 — the BASELINE.md north star and the
+proof bottleneck (one k=20 column commitment per advice/lookup/quotient
+poly, dozens per proof). vs_baseline compares against ~5e6 points/s, the
+ballpark of halo2's multithreaded CPU `best_multiexp` at 2^20 on the
+reference's prover-class machines (derived from the "~10 min / k=20 chunk
+proof" figure, prover/src/zkevm/prover.rs:54, with commitments taking a
+few of those minutes across ~100 MSMs).
+
+Secondary: NTT elems/s at 2^22 with batch=4 (the coeff<->eval transform;
+reference-CPU ballpark 2.6e7 elems/s as estimated in round 1).
 """
 
 import json
@@ -25,49 +29,98 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_zkevm_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-REFERENCE_NTT_ELEMS_PER_S = 2.6e7  # see module docstring
+REFERENCE_MSM_PTS_PER_S = 5e6  # see module docstring
+REFERENCE_NTT_ELEMS_PER_S = 2.6e7
+
+
+def bench_ntt(platform, rng):
+    from zkevm_tpu.poly import ntt as nttmod
+
+    k = 22 if platform == "tpu" else 10
+    batch = 4 if platform == "tpu" else 2
+    n = 1 << k
+    a = jnp.asarray(rng.integers(0, 1 << 16, size=(batch, 16, n), dtype=np.uint32))
+
+    run = jax.jit(jax.vmap(lambda x: nttmod.ntt_t(x, k)))
+    t0 = time.time()
+    jax.block_until_ready(run(a))
+    compile_s = time.time() - t0
+
+    iters = 5 if platform == "tpu" else 2
+    t0 = time.time()
+    for _ in range(iters):
+        jax.block_until_ready(run(a))
+    dt = (time.time() - t0) / iters
+    elems_per_s = batch * n / dt
+    print(
+        f"[bench] ntt platform={platform} k={k} batch={batch} "
+        f"compile={compile_s:.1f}s run={dt*1e3:.1f}ms "
+        f"elems/s={elems_per_s:.3e}",
+        file=sys.stderr,
+    )
+    return k, batch, elems_per_s
+
+
+def bench_msm(platform, rng):
+    from zkevm_tpu.ec import group_t
+    from zkevm_tpu.ff import limbs as ff
+    from zkevm_tpu.ff.goldens import FR_MOD
+    from zkevm_tpu.kzg.params import ParamsKZG
+
+    k = 20 if platform == "tpu" else 8
+    n = 1 << k
+
+    t0 = time.time()
+    params = ParamsKZG.unsafe_setup(k, tau=777, windowed=False)
+    if params.pippenger is None:
+        from zkevm_tpu.ec.pippenger import PippengerMSMT
+
+        params.pippenger = PippengerMSMT(group_t.from_g1(params.g1_powers))
+    setup_s = time.time() - t0
+
+    scalars = np.asarray(
+        rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+    )  # uniform 256-bit (< 2^256), fine for throughput
+    scalars[:, 15] &= 0x3FFF  # keep < 2^254 ~ Fr-sized
+    s = jnp.asarray(scalars)
+
+    t0 = time.time()
+    out = params.pippenger(s)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    iters = 3 if platform == "tpu" else 1
+    t0 = time.time()
+    for _ in range(iters):
+        jax.block_until_ready(params.pippenger(s))
+    dt = (time.time() - t0) / iters
+    pts_per_s = n / dt
+    print(
+        f"[bench] msm platform={platform} k={k} setup={setup_s:.1f}s "
+        f"compile={compile_s:.1f}s run={dt*1e3:.1f}ms pts/s={pts_per_s:.3e}",
+        file=sys.stderr,
+    )
+    return k, pts_per_s
 
 
 def main():
-    from zkevm_tpu.ff import FR
-    from zkevm_tpu.poly import ntt as nttmod
-
     platform = jax.devices()[0].platform
-    # TPU: full-size transform (limbs-first four-step path); CPU: small
-    k = 18 if platform == "tpu" else 10
-    n = 1 << k
-
     rng = np.random.default_rng(0)
-    data32 = rng.integers(0, 1 << 16, size=(16, n), dtype=np.uint32)
-    a = jnp.asarray(data32)
 
-    run = jax.jit(nttmod.ntt_t, static_argnums=1)
-    t0 = time.time()
-    jax.block_until_ready(run(a, k))
-    compile_s = time.time() - t0
-
-    iters = 10 if platform == "tpu" else 2
-    t0 = time.time()
-    for _ in range(iters):
-        out = run(a, k)
-        jax.block_until_ready(out)  # block every iteration: honest timing
-    dt = (time.time() - t0) / iters
-    batch = 1
-    elems_per_s = n / dt
-
-    print(
-        f"[bench] platform={platform} k={k} batch={batch} "
-        f"compile={compile_s:.1f}s run={dt*1e3:.1f}ms",
-        file=sys.stderr,
-    )
+    msm_k, msm_rate = bench_msm(platform, rng)
+    ntt_k, ntt_batch, ntt_rate = bench_ntt(platform, rng)
 
     print(
         json.dumps(
             {
-                "metric": f"ntt_k{k}_elems_per_s",
-                "value": round(elems_per_s, 1),
-                "unit": "elems/s",
-                "vs_baseline": round(elems_per_s / REFERENCE_NTT_ELEMS_PER_S, 4),
+                "metric": f"msm_k{msm_k}_points_per_s",
+                "value": round(msm_rate, 1),
+                "unit": "points/s",
+                "vs_baseline": round(msm_rate / REFERENCE_MSM_PTS_PER_S, 4),
+                "extra": {
+                    f"ntt_k{ntt_k}_batch{ntt_batch}_elems_per_s": round(ntt_rate, 1),
+                    "ntt_vs_baseline": round(ntt_rate / REFERENCE_NTT_ELEMS_PER_S, 4),
+                },
             }
         )
     )

@@ -48,7 +48,9 @@ def identity_t(batch_shape, like=None) -> G1T:
     one = jnp.broadcast_to(one, (ff.L,) + tuple(batch_shape))
     zero = jnp.zeros((ff.L,) + tuple(batch_shape), jnp.uint32)
     if like is not None:  # inherit shard_map varying axes via a derived 0
-        zd = (like ^ like).ravel()[0]
+        # [:1].sum() instead of [0]: stays valid on zero-length batches
+        # (associative_scan calls combines on empty odd-split slices)
+        zd = (like ^ like).ravel()[:1].sum(dtype=jnp.uint32)
         one, zero = one ^ zd, zero ^ zd
     return G1T(one, one, zero)
 

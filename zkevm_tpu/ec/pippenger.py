@@ -1,0 +1,187 @@
+"""Bucketed (Pippenger) variable-base MSM, limbs-first, scatter-free.
+
+Reference role: halo2's `best_multiexp` (scroll-tech/halo2 via
+/root/reference/Cargo.toml:40) — the commitment hot path invoked dozens of
+times per proof. The reference parallelizes buckets across CPU threads
+with scalar bigint adds; that shape is hostile to a TPU, so this is a
+different algorithm with the same math, designed around two constraints:
+
+- XLA compile cost here is ~40 s per distinct point-add call site
+  (measured, XLA:CPU; each complete add is ~25 limb muls), so the kernel
+  pipeline has exactly FIVE add sites across four stage jits, independent
+  of N, c, or lane geometry. Stages are separate jits so the three
+  N-independent ones compile once ever (persistent cache) and only the
+  bucket-accumulation scan recompiles per input length.
+- scatters don't vectorize, so bucket accumulation is scatter-free: every
+  (window, sublane) vector lane owns a private 2^c-entry bucket array and
+  points stream through in natural order (a pure reshape — no sort, no
+  gather); bucket read/write is a one-hot select over the small bucket
+  axis. ALL windows ride the lane axis simultaneously — there is no
+  sequential loop over windows at all.
+
+Stages:
+  1. accumulate: scan N/Lw steps; each step one (W*Lw)-lane complete add
+     into the one-hot-selected bucket. State (16, W, Lw, B).
+  2. lane-merge: scan over the Lw axis, (W*B)-lane adds -> (16, W, B).
+  3. weighted fold sum_b b*S_b: scan buckets high->low with running
+     suffix, W lanes -> (16, W).
+  4. Horner over windows: acc = 2^c acc + G_w (doublings via inner scan).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zkevm_tpu.ec.group_t import G1T, add_pt, double_t, identity_t
+from zkevm_tpu.ff import limbs as ff
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _accumulate(B: int, px, py, pz, digits):
+    """px/py/pz: (16, S, Lw) point stream; digits: (S, W, Lw).
+    Returns bucket state coords (16, W, Lw, B)."""
+    S, W, Lw = digits.shape
+    bidx = jnp.arange(B, dtype=jnp.uint32)
+    acc0 = identity_t((W, Lw, B), like=px)
+
+    def step(acc, inp):
+        ds, xs, ys, zs = inp  # ds (W, Lw); coords (16, Lw)
+        onehot = ds[:, :, None] == bidx[None, None, :]  # (W, Lw, B)
+        oh_u = onehot.astype(jnp.uint32)[None]
+        cur = G1T(
+            (acc.x * oh_u).sum(axis=3, dtype=jnp.uint32),
+            (acc.y * oh_u).sum(axis=3, dtype=jnp.uint32),
+            (acc.z * oh_u).sum(axis=3, dtype=jnp.uint32),
+        )  # (16, W, Lw)
+        p = G1T(
+            jnp.broadcast_to(xs[:, None], (ff.L, W, Lw)),
+            jnp.broadcast_to(ys[:, None], (ff.L, W, Lw)),
+            jnp.broadcast_to(zs[:, None], (ff.L, W, Lw)),
+        )
+        new = add_pt(cur, p)
+        oh = onehot[None]
+        return (
+            G1T(
+                jnp.where(oh, new.x[..., None], acc.x),
+                jnp.where(oh, new.y[..., None], acc.y),
+                jnp.where(oh, new.z[..., None], acc.z),
+            ),
+            None,
+        )
+
+    xs = (
+        digits,
+        jnp.moveaxis(px, 1, 0),
+        jnp.moveaxis(py, 1, 0),
+        jnp.moveaxis(pz, 1, 0),
+    )
+    acc, _ = jax.lax.scan(step, acc0, xs)
+    return acc.x, acc.y, acc.z
+
+
+@jax.jit
+def _lane_merge(ax, ay, az):
+    """(16, W, Lw, B) -> (16, W, B): sequential scan over the Lw axis."""
+    W, Lw, B = ax.shape[1:]
+    init = identity_t((W, B), like=ax)
+
+    def step(a, blk):
+        return add_pt(a, G1T(*blk)), None
+
+    xs = (
+        jnp.moveaxis(ax, 2, 0),
+        jnp.moveaxis(ay, 2, 0),
+        jnp.moveaxis(az, 2, 0),
+    )
+    a, _ = jax.lax.scan(step, init, xs)
+    return a.x, a.y, a.z
+
+
+@jax.jit
+def _weighted_fold(wx, wy, wz):
+    """(16, W, B) bucket sums -> (16, W) window sums G_w = sum_b b*S_b.
+    Scan buckets high->low: suffix += S_b; total += suffix."""
+    W, B = wx.shape[1:]
+    xs = tuple(jnp.moveaxis(v[:, :, 1:], 2, 0)[::-1] for v in (wx, wy, wz))
+    init = (identity_t((W,), like=wx), identity_t((W,), like=wx))
+
+    def fold(carry, sb):
+        suffix, total = carry
+        suffix = add_pt(suffix, G1T(*sb))
+        total = add_pt(total, suffix)
+        return (suffix, total), None
+
+    (_, totals), _ = jax.lax.scan(fold, init, xs)
+    return totals.x, totals.y, totals.z
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _horner(c: int, gx, gy, gz):
+    """(16, W) window sums -> final point (16, 1): acc = 2^c acc + G_w,
+    windows high -> low; the c doublings are an inner scan (1 dbl site)."""
+    xs = tuple(jnp.moveaxis(v, 1, 0)[::-1] for v in (gx, gy, gz))
+
+    def step(acc, gw):
+        acc, _ = jax.lax.scan(
+            lambda a, _: (double_t(a), None), acc, None, length=c
+        )
+        return add_pt(acc, G1T(gw[0][:, None], gw[1][:, None], gw[2][:, None])), None
+
+    acc0 = identity_t((1,), like=gx)
+    acc, _ = jax.lax.scan(step, acc0, xs)
+    return acc.x, acc.y, acc.z
+
+
+def msm_t(
+    points: G1T,
+    scalars,
+    c: int = 4,
+    num_bits: int = 256,
+    sublanes: int = 128,
+) -> G1T:
+    """Variable-base MSM: sum_i scalars[i] * points[i].
+
+    points: G1T coords (16, N) (any Jacobian representatives; infinity
+    rows are handled by the complete add). scalars: (N, 16) uint32
+    standard-form (NOT Montgomery) limbs. Returns G1T batch shape (1,).
+    """
+    scalars = jnp.asarray(scalars, jnp.uint32)
+    n = points.x.shape[1]
+    B = 1 << c
+    W = (num_bits + c - 1) // c
+    Lw = min(sublanes, n)
+    while n % Lw:
+        Lw //= 2
+    S = n // Lw
+
+    digits = jnp.stack(
+        [ff.scalar_window(scalars, w, c) for w in range(W)]
+    )  # (W, N)
+    digits = jnp.moveaxis(digits.reshape(W, S, Lw), 1, 0)  # (S, W, Lw)
+    px = points.x.reshape(ff.L, S, Lw)
+    py = points.y.reshape(ff.L, S, Lw)
+    pz = points.z.reshape(ff.L, S, Lw)
+
+    ax, ay, az = _accumulate(B, px, py, pz, digits)
+    wx, wy, wz = _lane_merge(ax, ay, az)
+    gx, gy, gz = _weighted_fold(wx, wy, wz)
+    x, y, z = _horner(c, gx, gy, gz)
+    return G1T(x, y, z)
+
+
+class PippengerMSMT:
+    """Fixed-bases convenience wrapper (SRS commit path): holds the bases
+    limbs-first on device and exposes scalars -> commitment."""
+
+    def __init__(self, points_t: G1T, c: int = 4, sublanes: int = 128):
+        self.points = points_t
+        self.c = c
+        self.sublanes = sublanes
+        self.n = points_t.x.shape[1]
+
+    def __call__(self, scalars) -> G1T:
+        return msm_t(self.points, scalars, c=self.c, sublanes=self.sublanes)

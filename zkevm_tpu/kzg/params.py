@@ -17,20 +17,41 @@ fingerprinting at prover/src/utils.rs:36-84). Differences by design:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zkevm_tpu.ec import goldens as g1g, group, pairing as pr
+from zkevm_tpu.ec import goldens as g1g, group, group_t, pairing as pr
 from zkevm_tpu.ec.group import G1
 from zkevm_tpu.ec.msm import FixedBaseMSM, msm
+from zkevm_tpu.ec.pippenger import PippengerMSMT
 from zkevm_tpu.ff import limbs as ff
 from zkevm_tpu.ff.goldens import FR_MOD
 from zkevm_tpu.ff.limbs import fr_spec
 from zkevm_tpu.poly import ntt as nttmod
 
 FR = fr_spec()
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _srs_gen(n: int, tau_mont, gen: G1) -> G1:
+    """[tau^i] G1 for i < n as ONE jitted program: Montgomery prefix
+    product for the powers, then an in-jit 256-bit double-and-add scan."""
+    taus = jnp.broadcast_to(tau_mont, (n, ff.L))
+    pows = jax.lax.associative_scan(
+        lambda a, b: ff.mont_mul(FR, a, b), taus, axis=0
+    )
+    one = jnp.asarray(FR.encode(1))[None]
+    pows = jnp.concatenate([one, pows[:-1]], axis=0)  # [1, tau, tau^2, ...]
+    pows_std = ff.from_mont(FR, pows)
+    base = G1(
+        jnp.broadcast_to(gen.x, (n, ff.L)),
+        jnp.broadcast_to(gen.y, (n, ff.L)),
+        jnp.broadcast_to(gen.z, (n, ff.L)),
+    )
+    return group.scalar_mul_scan(base, pows_std)
 
 
 @dataclass
@@ -40,6 +61,7 @@ class ParamsKZG:
     g2: tuple  # host affine Fq2 pair
     s_g2: tuple  # [tau] G2
     committer: FixedBaseMSM | None = None
+    pippenger: PippengerMSMT | None = None  # bucketed path, big SRS
 
     @property
     def n(self) -> int:
@@ -52,26 +74,45 @@ class ParamsKZG:
         SRS files; perpetuating tau here is deliberate for golden checks)."""
         n = 1 << k
         tau %= FR_MOD
-        powers = np.empty((n, ff.L), dtype=np.uint32)
-        t = 1
-        for i in range(n):
-            powers[i] = ff.limbs_from_int(t)
-            t = t * tau % FR_MOD
         gen = group.from_affine_ints([g1g.G1_GEN])
-        base = G1(
-            jnp.broadcast_to(gen.x, (n, ff.L)),
-            jnp.broadcast_to(gen.y, (n, ff.L)),
-            jnp.broadcast_to(gen.z, (n, ff.L)),
-        )
-        g1_powers = group.scalar_mul(base, jnp.asarray(powers))
+        if k > 10:
+            # big SRS: one jitted program (powers prefix-scan + in-scan
+            # double-and-add); the eager per-bit path is dispatch-bound
+            # over a TPU tunnel (hundreds of round trips)
+            g1_powers = _srs_gen(n, jnp.asarray(FR.encode(tau)), gen)
+        else:
+            powers = np.empty((n, ff.L), dtype=np.uint32)
+            t = 1
+            for i in range(n):
+                powers[i] = ff.limbs_from_int(t)
+                t = t * tau % FR_MOD
+            base = G1(
+                jnp.broadcast_to(gen.x, (n, ff.L)),
+                jnp.broadcast_to(gen.y, (n, ff.L)),
+                jnp.broadcast_to(gen.z, (n, ff.L)),
+            )
+            g1_powers = group.scalar_mul(base, jnp.asarray(powers))
         s_g2 = pr.g2_scalar_mul(pr.G2_GEN, tau)
-        committer = FixedBaseMSM(g1_powers) if windowed else None
-        return cls(k=k, g1_powers=g1_powers, g2=pr.G2_GEN, s_g2=s_g2, committer=committer)
+        # commit engine: per-base window tables are O(n * 2^c) memory — fine
+        # at test scale; production sizes use the bucketed Pippenger MSM
+        # (O(1) extra memory, the halo2 best_multiexp analog)
+        committer = None
+        pippenger = None
+        if k > 10:
+            pippenger = PippengerMSMT(group_t.from_g1(g1_powers))
+        elif windowed:
+            committer = FixedBaseMSM(g1_powers)
+        return cls(
+            k=k, g1_powers=g1_powers, g2=pr.G2_GEN, s_g2=s_g2,
+            committer=committer, pippenger=pippenger,
+        )
 
     # ------------------------------------------------------------------
     def commit(self, coeffs_mont) -> G1:
         """Commit to a coefficient-form polynomial ((n, 16) Montgomery)."""
         scalars = ff.from_mont(FR, jnp.asarray(coeffs_mont))
+        if self.pippenger is not None:
+            return group_t.to_g1(self.pippenger(scalars))
         if self.committer is not None:
             return self.committer(scalars)
         return msm(self.g1_powers, scalars)

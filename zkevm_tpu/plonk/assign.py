@@ -43,6 +43,20 @@ class Assignment:
         """mont_rows: (k, 16) already-encoded Montgomery limbs."""
         self.cols[col][start : start + mont_rows.shape[0]] = mont_rows
 
+    def set_u64s(self, col: Column, start: int, values: np.ndarray) -> None:
+        """Vectorized small-int assignment: values (k,) uint64 ndarray ->
+        Montgomery rows via one batched device to_mont (no per-row Python
+        encode loop — the hot path for range tables / byte columns)."""
+        values = np.asarray(values, dtype=np.uint64)
+        k = values.shape[0]
+        if k == 0:
+            return
+        std = np.zeros((k, ff.L), dtype=np.uint32)
+        for limb in range(4):
+            std[:, limb] = (values >> np.uint64(16 * limb)).astype(np.uint32) & 0xFFFF
+        mont = np.asarray(ff.to_mont(FR, std))
+        self.cols[col][start : start + k] = mont
+
     def fill_int(self, col: Column, value: int, start: int = 0, end: int | None = None) -> None:
         end = self.n if end is None else end
         self.cols[col][start:end] = FR.encode(value)

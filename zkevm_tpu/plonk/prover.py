@@ -62,19 +62,17 @@ def _commit(params: ParamsKZG, coeff) -> tuple:
     return group.to_affine_ints(params.commit(coeff))[0]
 
 
-def _powers_table(x: int, n: int) -> np.ndarray:
-    out = np.empty((n, ff.L), dtype=np.uint32)
-    v = 1
-    for i in range(n):
-        out[i] = FR.encode(v)
-        v = v * x % FR_MOD
-    return out
+def _powers_table(x: int, n: int):
+    """[1, x, x^2, ...] in Montgomery form — a device prefix product
+    (log-depth associative scan), not a host loop."""
+    xm = jnp.broadcast_to(jnp.asarray(FR.encode(x)), (n, ff.L))
+    return prefix_product(xm)
 
 
 def eval_polys_at(coeff_stack: jnp.ndarray, x: int) -> list[int]:
     """(m, n, 16) coefficient stack -> [poly_i(x)] as ints."""
     m, n = coeff_stack.shape[0], coeff_stack.shape[1]
-    pows = jnp.asarray(_powers_table(x, n))
+    pows = _powers_table(x, n)
     terms = ff.mont_mul(FR, coeff_stack, pows)
     while n > 1:
         half = n // 2
@@ -91,42 +89,127 @@ def prefix_product(factors: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([one, ps[:-1]], axis=0)
 
 
+_FR_LIMBS = None
+
+
+def _fr_limbs() -> np.ndarray:
+    global _FR_LIMBS
+    if _FR_LIMBS is None:
+        _FR_LIMBS = np.asarray(ff.limbs_from_int(FR_MOD), np.uint32)
+    return _FR_LIMBS
+
+
+class _BlindSampler:
+    """Uniform-in-Fr blinding source, vectorized. seed=None (the
+    public-API default) draws from the OS CSPRNG; an explicit int seed
+    gives a deterministic stream for tests/reproduction only — never
+    default to a constant (zero-knowledge requires unpredictable,
+    full-field blinds).
+
+    rows(count) returns (count, 16) uint32 limb arrays uniform in
+    [0, FR_MOD) by masked rejection sampling (254-bit candidates, ~76%
+    acceptance) — these are written directly as polynomial-storage
+    (Montgomery-domain) values: a uniform representation IS a uniform
+    field element, no conversion needed for blinding rows.
+    """
+
+    def __init__(self, seed):
+        self._rng = None if seed is None else np.random.default_rng(seed)
+
+    def _bytes(self, count: int) -> np.ndarray:
+        if self._rng is None:
+            raw = secrets.token_bytes(count)
+        else:
+            raw = self._rng.bytes(count)
+        return np.frombuffer(raw, dtype=np.uint8)
+
+    def rows(self, count: int) -> np.ndarray:
+        if count == 0:
+            return np.zeros((0, ff.L), np.uint32)
+        cand = (
+            self._bytes(count * 32)
+            .view("<u2")
+            .reshape(count, ff.L)
+            .astype(np.uint32)
+        )
+        cand[:, 15] &= 0x3FFF  # < 2^254
+        p = _fr_limbs()
+        lt = np.zeros(count, bool)
+        gt = np.zeros(count, bool)
+        for i in range(ff.L - 1, -1, -1):
+            li, pi = cand[:, i], p[i]
+            lt |= ~gt & (li < pi)
+            gt |= ~lt & (li > pi)
+        bad = ~lt
+        if bad.any():
+            cand[bad] = self.rows(int(bad.sum()))
+        return cand
+
+    def __call__(self) -> int:
+        limbs16 = self.rows(1)[0]
+        v = 0
+        for i in range(ff.L - 1, -1, -1):
+            v = (v << 16) | int(limbs16[i])
+        return v
+
+
 def _blind_sampler(seed):
-    """Uniform-in-Fr blinding source. seed=None (the public-API default)
-    draws from the OS CSPRNG; an explicit int seed gives a deterministic
-    stream for tests/reproduction only — never default to a constant
-    (zero-knowledge requires unpredictable, full-field blinds)."""
-    if seed is None:
-        return lambda: 1 + secrets.randbelow(FR_MOD - 1)
-    rng = np.random.default_rng(seed)
-
-    def draw() -> int:
-        return 1 + int.from_bytes(rng.bytes(32), "little") % (FR_MOD - 1)
-
-    return draw
+    return _BlindSampler(seed)
 
 
-def _permute_lookup(a_ints, s_ints, active: int, n: int, draw):
-    """halo2 lookup::permute_expression_pair: returns (a', s') int lists of
-    length n (tail rows random)."""
-    a_act = sorted(a_ints[:active])
-    from collections import Counter
+def _lex_order(rows: np.ndarray) -> np.ndarray:
+    """Stable order sorting (m, 16) limb rows lexicographically (limb 15
+    most significant). ANY total order works for the lookup permutation —
+    equal field values just have to be adjacent — so rows sort by their
+    Montgomery representation with no decode."""
+    return np.lexsort(rows.T)
 
-    leftovers = Counter(s_ints[:active])
-    s_prime = [None] * active
-    for i, v in enumerate(a_act):
-        if i == 0 or v != a_act[i - 1]:
-            if leftovers[v] <= 0:
-                raise ValueError(f"lookup failure: input {v} not in table")
-            leftovers[v] -= 1
-            s_prime[i] = v
-    fill = iter(leftovers.elements())
-    for i in range(active):
-        if s_prime[i] is None:
-            s_prime[i] = next(fill)
-    tail = [draw() for _ in range(n - active)]
-    tail2 = [draw() for _ in range(n - active)]
-    return a_act + tail, s_prime + tail2
+
+def _permute_lookup(a_mont: np.ndarray, s_mont: np.ndarray, active: int, n: int, blinds):
+    """halo2 lookup::permute_expression_pair, vectorized host NumPy:
+    returns (a', s') as (n, 16) uint32 Montgomery arrays (tails random).
+
+    a' = sorted inputs; s'[i] = a'[i] wherever a' starts a new value run
+    (consuming one copy from the table multiset), remaining table entries
+    fill the other rows. No Python-int round trips: sorting, run
+    detection, first-occurrence matching and multiset fill are all
+    vectorized over the limb arrays.
+    """
+    a_act = np.asarray(a_mont)[:active]
+    s_act = np.asarray(s_mont)[:active]
+    a_sorted = a_act[_lex_order(a_act)]
+    s_sorted = s_act[_lex_order(s_act)]
+
+    heads = np.ones(active, bool)
+    heads[1:] = np.any(a_sorted[1:] != a_sorted[:-1], axis=1)
+
+    # dense per-row rank ids shared by both arrays; columns reversed so
+    # np.unique's first-column-major row order agrees with _lex_order's
+    # limb-15-most-significant order (ranks must ascend along s_sorted)
+    cat = np.concatenate([a_sorted, s_sorted])[:, ::-1]
+    _, inv = np.unique(cat, axis=0, return_inverse=True)
+    a_rank, s_rank = inv[:active], inv[active:]
+
+    distinct = a_rank[heads]
+    first = np.searchsorted(s_rank, distinct, side="left")
+    ok = (first < active) & (s_rank[np.minimum(first, active - 1)] == distinct)
+    if not ok.all():
+        missing = a_sorted[heads][~ok][0]
+        v = FR.decode(missing)
+        raise ValueError(f"lookup failure: input {v} not in table")
+
+    consumed = np.zeros(active, bool)
+    consumed[first] = True
+    s_prime = np.empty_like(a_sorted)
+    s_prime[heads] = a_sorted[heads]
+    s_prime[~heads] = s_sorted[~consumed]
+
+    tail_a = blinds.rows(n - active)
+    tail_s = blinds.rows(n - active)
+    return (
+        np.concatenate([a_sorted, tail_a]),
+        np.concatenate([s_prime, tail_s]),
+    )
 
 
 def create_proof(
@@ -178,8 +261,7 @@ def create_proof(
 
     def blind(arr):
         out = np.array(arr, dtype=np.uint32)
-        for r in range(usable, n):
-            out[r] = FR.encode(draw())
+        out[usable:] = draw.rows(n - usable)
         return out
 
     for phase in range(cs.num_phases):
@@ -226,11 +308,9 @@ def create_proof(
     for lk in cs.lookups:
         a_vals = compress_vals(lk.inputs)
         s_vals = compress_vals(lk.tables)
-        a_ints = FR.decode_many(np.asarray(a_vals))
-        s_ints = FR.decode_many(np.asarray(s_vals))
-        ap_ints, sp_ints = _permute_lookup(a_ints, s_ints, u_row, n, draw)
-        ap = np.stack([FR.encode(v) for v in ap_ints])
-        sp = np.stack([FR.encode(v) for v in sp_ints])
+        ap, sp = _permute_lookup(
+            np.asarray(a_vals), np.asarray(s_vals), u_row, n, draw
+        )
         lookup_data.append(
             {"a": a_vals, "s": s_vals, "ap": jnp.asarray(ap), "sp": jnp.asarray(sp)}
         )
@@ -282,8 +362,7 @@ def create_proof(
             z = ff.mont_mul(FR, z, last_tail)
         last_tail = z[u_row]
         z = np.array(z)
-        for r in range(usable, n):
-            z[r] = FR.encode(draw())
+        z[usable:] = draw.rows(n - usable)
         perm_z_arrays.append(z)
 
     lookup_z_arrays = []
@@ -293,8 +372,7 @@ def create_proof(
         factors = ff.mont_mul(FR, num, ff.inv(FR, den))
         factors = jnp.where(active_mask, factors, one_m[None])
         z = np.array(prefix_product(factors))
-        for r in range(usable, n):
-            z[r] = FR.encode(draw())
+        z[usable:] = draw.rows(n - usable)
         lookup_z_arrays.append(z)
 
     perm_z_comm, perm_z_coeff = [], []
@@ -313,8 +391,7 @@ def create_proof(
         tr.common_point(c)
 
     # -- 4. vanishing: random poly, y, quotient --------------------------
-    random_ints = [draw() for _ in range(n)]
-    random_coeff = jnp.asarray(np.stack([FR.encode(v) for v in random_ints]))
+    random_coeff = jnp.asarray(draw.rows(n))
     random_comm = _commit(params, random_coeff)
     tr.common_point(random_comm)
     y = tr.challenge()
