@@ -236,8 +236,17 @@ class EvalContext:
     def challenge(self, index: int):
         return self.challenges[index]
 
+    def set_rows(self, rows) -> None:
+        """Restrict evaluation to the given row indices (the MockProver's
+        selector-peeled fast path): queries gather rows (rows+rot) % n
+        instead of rolling whole columns."""
+        self.rows = jnp.asarray(rows, jnp.int32)
+
     def query(self, column, rotation: int):
         arr = self.columns[column]
+        rows = getattr(self, "rows", None)
+        if rows is not None:
+            return arr[(rows + rotation * self.rot_scale) % self.n]
         if rotation == 0:
             return arr
         return jnp.roll(arr, -rotation * self.rot_scale, axis=0)
@@ -257,7 +266,10 @@ class EvalContext:
                 [self.columns[c] for c in group.columns], axis=1
             )
         arr = self._group_cache[group]
-        if rotation:
+        rows = getattr(self, "rows", None)
+        if rows is not None:
+            arr = arr[(rows + rotation * self.rot_scale) % self.n]
+        elif rotation:
             arr = jnp.roll(arr, -rotation * self.rot_scale, axis=0)
         if roll:
             arr = jnp.roll(arr, roll, axis=1)

@@ -18,9 +18,49 @@ from zkevm_tpu.ff import limbs as ff
 from zkevm_tpu.ff.limbs import fr_spec
 from zkevm_tpu.plonk.assign import Assignment
 from zkevm_tpu.plonk.cs import ConstraintSystem
-from zkevm_tpu.plonk.expr import EvalContext
+from zkevm_tpu.plonk.expr import Const, EvalContext, Prod, Query
 
 FR = fr_spec()
+
+
+def _peel_selectors(poly):
+    """Split `q1 * q2 * ... * rest` into ([fixed-column selector queries],
+    rest): the leading left-spine factors that are plain fixed-column
+    queries. Sound row restriction: wherever any selector evaluates to 0
+    the whole product is 0, so `rest` only needs checking on rows where
+    every selector is nonzero."""
+    spine = []
+    node = poly
+    while isinstance(node, Prod):
+        spine.append(node.b)
+        node = node.a
+    spine.append(node)
+    spine.reverse()
+    sels = []
+    i = 0
+    while (
+        i < len(spine)
+        and isinstance(spine[i], Query)
+        and spine[i].column.kind == "fixed"
+    ):
+        sels.append(spine[i])
+        i += 1
+    if not sels or i == len(spine):
+        return [], poly
+    rest = spine[i]
+    for f in spine[i + 1 :]:
+        rest = Prod(rest, f)
+    return sels, rest
+
+
+def _row_key_ids(tables: list, inputs: list, active: int):
+    """Dense ids for (active,)-row tuples of limb arrays, shared between
+    table and input sides (vectorized multiset membership)."""
+    tab = np.concatenate([np.asarray(t)[:active] for t in tables], axis=1)
+    inp = np.concatenate([np.asarray(i)[:active] for i in inputs], axis=1)
+    cat = np.concatenate([tab, inp])
+    _, inv = np.unique(cat, axis=0, return_inverse=True)
+    return inv[:active], inv[active:]
 
 
 @dataclass
@@ -59,14 +99,50 @@ class MockProver:
         ctx = EvalContext(cols, ch)
         failures: list[Failure] = []
 
+        # host views of fixed columns for the selector-peeled fast path
+        fixed_nonzero: dict = {}
+
+        def sel_rows(sels) -> np.ndarray | None:
+            mask = None
+            for sq in sels:
+                col = sq.column
+                if col not in fixed_nonzero:
+                    fixed_nonzero[col] = np.any(
+                        self.assignment.cols[col] != 0, axis=1
+                    )
+                m = fixed_nonzero[col]
+                if sq.rotation:
+                    m = np.roll(m, -sq.rotation)
+                mask = m if mask is None else (mask & m)
+            return np.nonzero(mask)[0]
+
         for gi, gate in enumerate(cs.gates):
             for pi, poly in enumerate(gate.polys):
-                vals = poly.evaluate(ctx)
+                sels, rest = _peel_selectors(poly)
+                rows_map = None
+                if sels:
+                    rows = sel_rows(sels)
+                    if rows.size == 0:
+                        continue  # every row zeroed by a selector
+                    # pad to a power of two so jit shapes bucket together
+                    m = 1
+                    while m < rows.size:
+                        m *= 2
+                    rows_map = np.concatenate(
+                        [rows, np.full(m - rows.size, rows[0], np.int64)]
+                    )
+                    ctx.set_rows(rows_map)
+                    vals = rest.evaluate(ctx)
+                    ctx.rows = None
+                else:
+                    vals = poly.evaluate(ctx)
                 nz = ~ff.is_zero(vals)
                 if gate.vector_width:
                     bad_rows = np.nonzero(np.asarray(nz).any(axis=1))[0]
                     if bad_rows.size:
                         lanes = np.nonzero(np.asarray(nz)[bad_rows[0]])[0]
+                        if rows_map is not None:
+                            bad_rows = np.unique(rows_map[bad_rows])
                         failures.append(
                             Failure(
                                 "gate",
@@ -78,20 +154,18 @@ class MockProver:
                 else:
                     bad = np.nonzero(np.asarray(nz))[0]
                     if bad.size:
+                        if rows_map is not None:
+                            bad = np.unique(rows_map[bad])
                         failures.append(Failure("gate", gate.name, pi, bad.tolist()))
 
         for li, lk in enumerate(cs.lookups):
             inputs = [np.asarray(e.evaluate(ctx)) for e in lk.inputs]
             tables = [np.asarray(e.evaluate(ctx)) for e in lk.tables]
-            table_set = set()
-            for r in range(active):
-                table_set.add(tuple(bytes(t[r]) for t in tables))
-            bad_rows = []
-            for r in range(active):
-                if tuple(bytes(i[r]) for i in inputs) not in table_set:
-                    bad_rows.append(r)
-            if bad_rows:
-                failures.append(Failure("lookup", lk.name, li, bad_rows))
+            tab_ids, inp_ids = _row_key_ids(tables, inputs, active)
+            ok = np.isin(inp_ids, tab_ids)
+            bad_rows = np.nonzero(~ok)[0]
+            if bad_rows.size:
+                failures.append(Failure("lookup", lk.name, li, bad_rows.tolist()))
 
         for ci, (ca, ra, cb, rb) in enumerate(cs.copies):
             a = self.assignment.cols[ca][ra]
