@@ -4,13 +4,20 @@ Reference counterpart: zkevm-circuits/src/bytecode_circuit/circuit.rs:46 +
 bytecode_unroller.rs (2.4k LoC): every deployed bytecode unrolls to a
 header row (its length) followed by one row per byte, with `is_code`
 distinguishing opcodes from PUSH-data bytes; the table feeds BytecodeTable
-lookups from the EVM circuit. This implementation reproduces the row
-structure and constraints; the keccak code-hash link (lookup into the
-keccak table) is a later-round item — code_hash is carried as a column
-and kept consistent across each bytecode's rows.
+lookups from the EVM circuit.
 
-Columns: q_first(f), q_body(f), u8×push table (f), tag(a), code_hash(a),
-index(a), byte(a), psize(a), pdl(a), pdl_inv(a), is_code(a).
+Two modes:
+- standalone (`configure(cs)`): code_hash is a phase-0 advice column
+  carrying keccak256(code) as a field element, constant per bytecode but
+  otherwise unconstrained (round-1 behavior, kept for the cheap tests).
+- linked (`configure(cs, challenges, keccak_table)`): code_hash is a
+  phase-1 column holding RLC(evm_word) of the keccak digest, a running
+  phase-1 byte RLC (keccak_input challenge) accumulates over each
+  bytecode's bytes, and the LAST body row of each bytecode looks up
+  (1, byte_rlc, length, code_hash) in the shared KeccakTable — the
+  reference's keccak code-hash link (bytecode_circuit/circuit.rs:46).
+  Empty bytecodes have no body rows and are not hash-linked (the
+  reference's empty-hash special case, deferred).
 
 Row semantics: tag=1 header (byte column holds the length), tag=0 body.
 pdl = push-data bytes remaining BEFORE this row; is_code = (pdl == 0).
@@ -47,15 +54,19 @@ class BytecodeConfig:
     pdl: Column
     pdl_inv: Column
     is_code: Column
+    # linked mode only (None when standalone)
+    q_first: Column | None = None  # 1 on the first body row of each bytecode
+    brlc: Column | None = None  # phase-1 running byte RLC (keccak_input)
 
 
-def configure(cs: ConstraintSystem) -> BytecodeConfig:
+def configure(cs: ConstraintSystem, challenges=None, keccak_table=None) -> BytecodeConfig:
+    linked = keccak_table is not None
     q_body = cs.fixed_column()
     q_cont = cs.fixed_column()
     t_byte = cs.fixed_column()
     t_psize = cs.fixed_column()
     tag = cs.advice_column()
-    code_hash = cs.advice_column()
+    code_hash = cs.advice_column(phase=1 if linked else 0)
     index = cs.advice_column()
     byte = cs.advice_column()
     psize = cs.advice_column()
@@ -94,14 +105,41 @@ def configure(cs: ConstraintSystem) -> BytecodeConfig:
             (q_body.cur() * psize.cur(), t_psize.cur()),
         ],
     )
+
+    q_first = brlc = None
+    if linked:
+        q_first = cs.fixed_column()
+        brlc = cs.advice_column(phase=1)
+        r = challenges.keccak_input.expr()
+        cs.create_gate(
+            "bytecode_rlc",
+            [
+                q_first.cur() * (brlc.cur() - byte.cur()),
+                (q_body.cur() - q_first.cur())
+                * (brlc.cur() - (brlc.prev() * r + byte.cur())),
+            ],
+        )
+        # last body row (q_body=1, q_cont=0): keccak(code bytes) == hash
+        q_last = q_body.cur() - q_cont.cur()
+        keccak_table.lookup(
+            cs,
+            "bytecode_code_hash",
+            q_last,
+            brlc.cur(),
+            index.cur() + one,
+            code_hash.cur(),
+        )
+
     return BytecodeConfig(
         q_body, q_cont, t_byte, t_psize, tag, code_hash, index, byte, psize,
-        pdl, pdl_inv, is_code,
+        pdl, pdl_inv, is_code, q_first, brlc,
     )
 
 
-def assign_fixed(cs: ConstraintSystem, cfg: BytecodeConfig, n: int) -> Assignment:
-    asg = Assignment(cs, n)
+def assign_fixed(
+    cs: ConstraintSystem, cfg: BytecodeConfig, n: int, asg: Assignment | None = None
+) -> Assignment:
+    asg = asg if asg is not None else Assignment(cs, n)
     asg.set_ints(cfg.t_byte, 0, list(range(256)))
     asg.set_ints(cfg.t_psize, 0, [push_size(b) for b in range(256)])
     return asg
@@ -127,19 +165,32 @@ def unroll(code: bytes):
     return rows
 
 
-def assign(cs: ConstraintSystem, cfg: BytecodeConfig, n: int, codes: list) -> Assignment:
-    asg = assign_fixed(cs, cfg, n)
+def assign(
+    cs: ConstraintSystem,
+    cfg: BytecodeConfig,
+    n: int,
+    codes: list,
+    asg: Assignment | None = None,
+):
+    linked = cfg.brlc is not None
+    asg = assign_fixed(cs, cfg, n, asg)
     r = 0
     one = FR.encode(1)
+    spans = []  # (first body row, code) per non-empty bytecode
     for code in codes:
         rows = unroll(code)
+        if linked and len(code):
+            spans.append((r + 1, code))
         for j, row in enumerate(rows):
             if row["tag"] == 0:
                 asg.cols[cfg.q_body][r] = one
                 if j + 1 < len(rows):
                     asg.cols[cfg.q_cont][r] = one
+                if linked and j == 1:
+                    asg.cols[cfg.q_first][r] = one
             asg.set_int(cfg.tag, r, row["tag"])
-            asg.set_int(cfg.code_hash, r, row["code_hash"])
+            if not linked:
+                asg.set_int(cfg.code_hash, r, row["code_hash"])
             asg.set_int(cfg.index, r, row["index"])
             asg.set_int(cfg.byte, r, row["byte"])
             asg.set_int(cfg.psize, r, row["psize"])
@@ -150,4 +201,47 @@ def assign(cs: ConstraintSystem, cfg: BytecodeConfig, n: int, codes: list) -> As
             asg.set_int(cfg.is_code, r, 1 if row["pdl"] == 0 else 0)
             r += 1
     assert r <= cs.usable_rows(n) - 1
+    if linked:
+        return BytecodeWitness(asg, cfg, spans)
     return asg
+
+
+@dataclass
+class BytecodeWitness:
+    """Linked-mode assignment; phase-1 columns (brlc, code_hash) depend on
+    the keccak_input / evm_word challenges (same split as
+    keccak_table.KeccakWitness)."""
+
+    asg: Assignment
+    cfg: BytecodeConfig
+    spans: list  # (first body row, code) per non-empty bytecode
+
+    def fill_phase1(self, r_keccak: int, r_word: int) -> None:
+        cfg, asg = self.cfg, self.asg
+        for start, code in self.spans:
+            digest = keccak256(code)
+            h = 0
+            for b in digest:
+                h = (h * r_word + b) % FR_MOD
+            acc = 0
+            for i, b in enumerate(code):
+                acc = (acc * r_keccak + b) % FR_MOD
+                asg.set_int(cfg.brlc, start + i, acc)
+            # code_hash on header + every body row of this bytecode
+            for rr in range(start - 1, start + len(code)):
+                asg.set_int(cfg.code_hash, rr, h)
+
+    def witness_phases(self, challenges):
+        """create_proof callback (see keccak_table.KeccakWitness)."""
+        cfg = self.cfg
+
+        def cb(phase: int, ch: dict) -> dict:
+            if phase == 1:
+                self.fill_phase1(ch[challenges.keccak_input], ch[challenges.evm_word])
+            return {
+                c: self.asg.cols[c]
+                for c in self.asg.cs.advice_columns
+                if c.phase == phase
+            }
+
+        return cb

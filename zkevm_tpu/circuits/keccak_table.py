@@ -279,8 +279,10 @@ def num_perms(cs: ConstraintSystem, n: int) -> int:
     return cs.usable_rows(n) // PERM
 
 
-def assign_fixed(cs: ConstraintSystem, cfg: KeccakTableConfig, n: int) -> Assignment:
-    asg = Assignment(cs, n)
+def assign_fixed(
+    cs: ConstraintSystem, cfg: KeccakTableConfig, n: int, asg: Assignment | None = None
+) -> Assignment:
+    asg = asg if asg is not None else Assignment(cs, n)
     one = FR.encode(1)
     for pi in range(num_perms(cs, n)):
         base = pi * PERM
@@ -402,13 +404,18 @@ class KeccakWitness:
 
 
 def assign(
-    cs: ConstraintSystem, cfg: KeccakTableConfig, n: int, messages: list[bytes]
+    cs: ConstraintSystem,
+    cfg: KeccakTableConfig,
+    n: int,
+    messages: list[bytes],
+    asg: Assignment | None = None,
 ) -> KeccakWitness:
     """Pack the messages' sponge permutations into the layout (phase-0
     columns); phase-1 RLCs are filled by KeccakWitness once challenges
-    exist (mock: pseudo-challenges; prover: transcript challenges)."""
+    exist (mock: pseudo-challenges; prover: transcript challenges).
+    Pass `asg` to compose into a shared assignment (SuperCircuit-style)."""
     nperm = num_perms(cs, n)
-    asg = assign_fixed(cs, cfg, n)
+    asg = assign_fixed(cs, cfg, n, asg)
     one = FR.encode(1)
 
     # plan permutations: (message, block_bytes (136,), pads (136,), snew, fin)
