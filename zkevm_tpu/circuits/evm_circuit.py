@@ -1,0 +1,539 @@
+"""EVM circuit: one constraint set per ExecutionState, dispatched by a
+one-hot state vector, with RwTable + BytecodeTable lookups.
+
+Reference counterpart: zkevm-circuits/src/evm_circuit.rs:40 with
+evm_circuit/step.rs:39 (ExecutionState), evm_circuit/execution.rs:265
+(ExecutionConfig dispatch), util/constraint_builder.rs:298
+(EVMConstraintBuilder) and the per-state gadget files under
+evm_circuit/execution/.
+
+TPU-native redesign of the step layout: the reference packs each step
+into <=21 rows x 154 columns with a CellManager; here a step is ONE row
+of wide cells (state one-hot vector column, six 128-bit-half word cells,
+budgeted RW lookup slots), so witness assignment is a row-per-step array
+program and every gate evaluates as one (n_steps,) vector op. Per-state
+constraints are merged into shared gates/lookups as sum_s sel_s * expr_s
+(the same merging the reference's constraint builder does per column,
+done here per slot).
+
+Implemented states (the VERDICT round-2 slice): BeginTx, EndTx, EndBlock
+(padding), STOP, PUSH1/2, POP, ADD/SUB, DUP1-16, SWAP1-16, MLOAD, MSTORE
+(32-byte-aligned words, as the round's witness builder), SLOAD, SSTORE,
+JUMPDEST. Words are (lo, hi) 128-bit halves, range-checked by the state
+circuit at the lookup boundary. Known gaps this round, matching the
+witness builder's scope: MUL (needs a shared u64-decomposition gadget),
+JUMP family, CALL family, dynamic gas (costs are bound to the static
+OPCODES schedule the mini tracer charges), and rw-counter completeness
+(EVM lookups prove every step's ops exist in the RwTable; counting all
+RwTable rows needs the EndBlock total-rws instance, reference
+evm_circuit/execution/end_block.rs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import IntEnum
+
+import numpy as np
+
+from zkevm_tpu.circuits.tables import BytecodeTable, RwTable
+from zkevm_tpu.etypes.opcodes import OPCODES
+from zkevm_tpu.ff.limbs import fr_spec
+from zkevm_tpu.gadgets import RangeTable
+from zkevm_tpu.plonk.assign import Assignment
+from zkevm_tpu.plonk.cs import Column, ColumnGroup, ConstraintSystem
+from zkevm_tpu.plonk.expr import Const, Expr
+from zkevm_tpu.witness.builder import ExecStep
+from zkevm_tpu.witness.rw import RW, AccountField, CallContextField, RwMap, Target
+
+FR = fr_spec()
+
+STACK_CAP = 1024
+M128 = (1 << 128) - 1
+NSLOTS = 6  # RW lookup budget per step row (BeginTx uses all six)
+
+
+class ES(IntEnum):
+    """Execution states (reference step.rs:39; subset)."""
+
+    BEGIN_TX = 0
+    END_TX = 1
+    END_BLOCK = 2
+    STOP = 3
+    PUSH = 4
+    POP = 5
+    ADD_SUB = 6
+    DUP = 7
+    SWAP = 8
+    MLOAD = 9
+    MSTORE = 10
+    SLOAD = 11
+    SSTORE = 12
+    JUMPDEST = 13
+
+
+NSTATES = len(ES)
+
+# opcode-backed states: (fixed opcode | None), static gas, stack-pointer
+# delta, rw count
+OP_STATES = {
+    ES.STOP: (0x00, 0, 0, 0),
+    ES.PUSH: (None, 3, -1, 1),
+    ES.POP: (0x50, 2, 1, 1),
+    ES.ADD_SUB: (None, 3, 1, 3),
+    ES.DUP: (None, 3, -1, 2),
+    ES.SWAP: (None, 3, 0, 4),
+    ES.MLOAD: (0x51, 3, 0, 3),
+    ES.MSTORE: (0x52, 3, 2, 3),
+    ES.SLOAD: (0x54, OPCODES[0x54].gas, 0, 3),
+    ES.SSTORE: (0x55, OPCODES[0x55].gas, 2, 3),
+    ES.JUMPDEST: (0x5B, 1, 0, 0),
+}
+NRW = {ES.BEGIN_TX: 6, ES.END_TX: 0, ES.END_BLOCK: 0}
+NRW.update({s: spec[3] for s, spec in OP_STATES.items()})
+
+
+@dataclass
+class EvmConfig:
+    q_step: Column  # fixed: 1 on every step-region row
+    q_first: Column  # fixed: first region row
+    q_last: Column  # fixed: last region row
+    q_trans: Column  # fixed: region rows whose next row is also in region
+    sel: ColumnGroup  # NSTATES one-hot
+    pc: Column
+    opcode: Column
+    gas_left: Column
+    sp: Column
+    rwc: Column
+    code_hash: Column
+    callee: Column
+    opn: Column  # push size / dup index / swap index operand
+    is_sub: Column
+    bb0: Column  # PUSH immediate bytes (big-endian first)
+    bb1: Column
+    w: list  # 6 words as (lo, hi) Column pairs
+    carries: list  # 4 boolean carry cells
+    pcell: list  # 3 free value_prev (lo, hi) pairs for slots 0..2
+    rt4: RangeTable
+
+
+def _word(cs) -> tuple:
+    return (cs.advice_column(), cs.advice_column())
+
+
+def configure(
+    cs: ConstraintSystem,
+    rw_table: RwTable,
+    bytecode_table: BytecodeTable,
+    rt4: RangeTable | None = None,
+) -> EvmConfig:
+    q_step = cs.fixed_column()
+    q_first = cs.fixed_column()
+    q_last = cs.fixed_column()
+    q_trans = cs.fixed_column()
+    sel = cs.advice_group("ev_sel", NSTATES)
+    pc = cs.advice_column()
+    opcode = cs.advice_column()
+    gas_left = cs.advice_column()
+    sp = cs.advice_column()
+    rwc = cs.advice_column()
+    code_hash = cs.advice_column()
+    callee = cs.advice_column()
+    opn = cs.advice_column()
+    is_sub = cs.advice_column()
+    bb0 = cs.advice_column()
+    bb1 = cs.advice_column()
+    w = [_word(cs) for _ in range(6)]
+    carries = [cs.advice_column() for _ in range(4)]
+    pcell = [_word(cs) for _ in range(3)]
+    rt4 = rt4 or RangeTable.configure(cs, 4)
+
+    one = Const(1)
+    qs, qt, qf, ql = q_step.cur(), q_trans.cur(), q_first.cur(), q_last.cur()
+    S = [sel.columns[s].cur() for s in range(NSTATES)]
+    SN = [sel.columns[s].rot(1) for s in range(NSTATES)]
+
+    def comb(pair) -> Expr:  # lo + 2^128*hi
+        return pair[0].cur() + Const(1 << 128) * pair[1].cur()
+
+    # -- one-hot state vector --------------------------------------------
+    cs.create_vector_gate("ev_sel_bool", qs * sel.q() * (sel.q() - one), NSTATES)
+    ssum = Const(0)
+    for s in S:
+        ssum = ssum + s
+    cs.create_gate("ev_sel_onehot", [qs * (ssum - one)])
+    cs.create_gate("ev_first_last", [
+        qf * (S[ES.BEGIN_TX] - one),
+        qf * (rwc.cur() - one),  # rw counter starts at 1 (row 0 is Start)
+        ql * (S[ES.END_BLOCK] - one),
+    ])
+
+    # -- allowed state transitions ---------------------------------------
+    opcode_states = list(OP_STATES)
+    def allowed(next_states):
+        acc = Const(0)
+        for t in next_states:
+            acc = acc + SN[t]
+        return one - acc
+
+    cs.create_gate("ev_transitions", [
+        qt * S[ES.BEGIN_TX] * allowed(opcode_states + [ES.END_TX]),
+        qt * S[ES.STOP] * allowed([ES.END_TX]),
+        qt * S[ES.END_TX] * allowed([ES.END_BLOCK]),
+        qt * S[ES.END_BLOCK] * allowed([ES.END_BLOCK]),
+    ] + [
+        qt * S[s] * allowed(opcode_states + [ES.END_TX])
+        for s in opcode_states
+        if s != ES.STOP
+    ])
+
+    # -- opcode binding + operand ranges ---------------------------------
+    cs.create_gate("ev_opcode_bind", [
+        S[s] * (opcode.cur() - Const(op))
+        for s, (op, _, _, _) in OP_STATES.items()
+        if op is not None
+    ] + [
+        S[ES.PUSH] * (opcode.cur() - Const(0x5F) - opn.cur()),
+        S[ES.PUSH] * (opn.cur() - one) * (opn.cur() - Const(2)),  # PUSH1/2 scope
+        S[ES.DUP] * (opcode.cur() - Const(0x80) - opn.cur()),
+        S[ES.SWAP] * (opcode.cur() - Const(0x8F) - opn.cur()),
+        S[ES.ADD_SUB] * (opcode.cur() - Const(0x01) - Const(2) * is_sub.cur()),
+        qs * is_sub.cur() * (one - is_sub.cur()),
+    ])
+    rt4.lookup(cs, "ev_dup_n", [S[ES.DUP] * opn.cur()])
+    rt4.lookup(cs, "ev_swap_n", [S[ES.SWAP] * (opn.cur() - one)])
+
+    # -- word semantics ---------------------------------------------------
+    k = [c.cur() for c in carries]
+    cs.create_gate(
+        "ev_carry_bool", [qs * kc.cur() * (one - kc.cur()) for kc in carries]
+    )
+    TWO128 = Const(1 << 128)
+    # ADD/SUB: x + y = z (mod 2^256) with (x, z) swapped for SUB
+    f = is_sub.cur()
+    x_lo = f * w[2][0].cur() + (one - f) * w[0][0].cur()
+    x_hi = f * w[2][1].cur() + (one - f) * w[0][1].cur()
+    z_lo = f * w[0][0].cur() + (one - f) * w[2][0].cur()
+    z_hi = f * w[0][1].cur() + (one - f) * w[2][1].cur()
+    cs.create_gate("ev_add_sub", [
+        S[ES.ADD_SUB] * (x_lo + w[1][0].cur() - z_lo - k[0] * TWO128),
+        S[ES.ADD_SUB] * (x_hi + w[1][1].cur() + k[0] - z_hi - k[1] * TWO128),
+    ])
+    # PUSH immediate: w0 = bytes (PUSH1: bb0; PUSH2: bb0*256 + bb1)
+    pv = (Const(2) - opn.cur()) * bb0.cur() + (opn.cur() - one) * (
+        Const(256) * bb0.cur() + bb1.cur()
+    )
+    cs.create_gate("ev_push_value", [
+        S[ES.PUSH] * (w[0][0].cur() - pv),
+        S[ES.PUSH] * w[0][1].cur(),
+    ])
+    # MLOAD/MSTORE 32-byte alignment: offset w0 = 32 * word_addr (w3.lo)
+    mem = S[ES.MLOAD] + S[ES.MSTORE]
+    cs.create_gate("ev_mem_align", [
+        mem * (w[0][0].cur() - Const(32) * w[3][0].cur()),
+        mem * w[0][1].cur(),
+    ])
+    # BeginTx: balance transfer caller_prev = caller_new + value (no
+    # overflow: carries k1/k3 forced 0) and callee_new = callee_prev + value
+    B = S[ES.BEGIN_TX]
+    cs.create_gate("ev_begin_tx", [
+        B * k[1],
+        B * k[3],
+        B * (code_hash.cur() - comb(w[5])),
+        B * (callee.cur() - comb(w[2])),
+    ])
+    caller_prev_lo = w[3][0].cur() + w[0][0].cur() - k[0] * TWO128
+    caller_prev_hi = w[3][1].cur() + w[0][1].cur() + k[0]
+    callee_new_lo = w[4][0].cur() + w[0][0].cur() - k[2] * TWO128
+    callee_new_hi = w[4][1].cur() + w[0][1].cur() + k[2]
+
+    # -- per-state step transitions --------------------------------------
+    def trans(cell, nxt_exprs: dict, default):
+        """cell(+1) = sum_s sel_s * expr_s."""
+        acc = Const(0)
+        for s in range(NSTATES):
+            e = nxt_exprs.get(ES(s), default(ES(s)))
+            acc = acc + S[s] * e
+        return qt * (cell.rot(1) - acc)
+
+    pc_next = {ES.BEGIN_TX: Const(0), ES.END_TX: Const(0), ES.END_BLOCK: Const(0),
+               ES.STOP: Const(0), ES.PUSH: pc.cur() + one + opn.cur()}
+    sp_next = {ES.BEGIN_TX: Const(STACK_CAP), ES.END_TX: Const(STACK_CAP),
+               ES.END_BLOCK: Const(STACK_CAP), ES.STOP: Const(STACK_CAP)}
+    gas_next = {}
+    for s, (op, cost, dsp, _) in OP_STATES.items():
+        if s not in pc_next:
+            pc_next[s] = pc.cur() + one
+        if s not in sp_next:
+            sp_next[s] = sp.cur() + Const(dsp) if dsp >= 0 else sp.cur() - Const(-dsp)
+        gas_next[s] = gas_left.cur() - Const(cost)
+    cs.create_gate("ev_step_next", [
+        trans(pc, pc_next, lambda s: pc.cur()),
+        trans(sp, sp_next, lambda s: sp.cur()),
+        trans(gas_left, gas_next, lambda s: gas_left.cur()),
+        trans(rwc, {}, lambda s: rwc.cur() + Const(NRW[s])),
+        trans(code_hash, {}, lambda s: code_hash.cur()),
+        trans(callee, {}, lambda s: callee.cur()),
+    ])
+
+    # -- RW lookup slots --------------------------------------------------
+    # spec per (state, slot): 11-element field exprs after `enabled`
+    ZERO = Const(0)
+    CC, ACC, STK, MEM, STO = (
+        int(Target.CALL_CONTEXT), int(Target.ACCOUNT), int(Target.STACK),
+        int(Target.MEMORY), int(Target.STORAGE),
+    )
+
+    def stack_rd(addr, v):
+        return [ZERO, Const(STK), one, addr, ZERO, ZERO, v[0], v[1], v[0], v[1]]
+
+    def stack_wr(addr, v, p):
+        return [one, Const(STK), one, addr, ZERO, ZERO, v[0], v[1], p[0], p[1]]
+
+    def wc(i):  # word cell exprs
+        return (w[i][0].cur(), w[i][1].cur())
+
+    def pc_(i):
+        return (pcell[i][0].cur(), pcell[i][1].cur())
+
+    slots: list[list] = [[] for _ in range(NSLOTS)]
+
+    def use(state, i, fields):
+        """fields: [is_write, tag, id, address, field_tag, storage_key,
+        vlo, vhi, plo, phi] (rw_counter added here)."""
+        slots[i].append((state, [one, rwc.cur() + Const(i)] + fields))
+
+    # BeginTx (order mirrors builder.handle_tx)
+    use(ES.BEGIN_TX, 0, [ZERO, Const(CC), one, ZERO,
+                         Const(int(CallContextField.CALLER_ADDRESS)), ZERO,
+                         *wc(1), *wc(1)])
+    use(ES.BEGIN_TX, 1, [ZERO, Const(CC), one, ZERO,
+                         Const(int(CallContextField.CALLEE_ADDRESS)), ZERO,
+                         *wc(2), *wc(2)])
+    use(ES.BEGIN_TX, 2, [ZERO, Const(CC), one, ZERO,
+                         Const(int(CallContextField.VALUE)), ZERO,
+                         *wc(0), *wc(0)])
+    use(ES.BEGIN_TX, 3, [ZERO, Const(ACC), ZERO, comb(w[2]),
+                         Const(int(AccountField.CODE_HASH)), ZERO,
+                         *wc(5), *wc(5)])
+    use(ES.BEGIN_TX, 4, [one, Const(ACC), ZERO, comb(w[1]),
+                         Const(int(AccountField.BALANCE)), ZERO,
+                         *wc(3), caller_prev_lo, caller_prev_hi])
+    use(ES.BEGIN_TX, 5, [one, Const(ACC), ZERO, comb(w[2]),
+                         Const(int(AccountField.BALANCE)), ZERO,
+                         callee_new_lo, callee_new_hi, *wc(4)])
+    # stack ops (CC reads used value_prev = value; first reads of a CALL
+    # CONTEXT group keep builder's value_prev = value convention)
+    spc = sp.cur()
+    use(ES.PUSH, 0, stack_wr(spc - one, wc(0), pc_(0)))
+    use(ES.POP, 0, stack_rd(spc, wc(0)))
+    use(ES.ADD_SUB, 0, stack_rd(spc, wc(0)))
+    use(ES.ADD_SUB, 1, stack_rd(spc + one, wc(1)))
+    use(ES.ADD_SUB, 2, stack_wr(spc + one, wc(2), wc(1)))
+    use(ES.DUP, 0, stack_rd(spc + opn.cur(), wc(0)))
+    use(ES.DUP, 1, stack_wr(spc - one, wc(0), pc_(1)))
+    use(ES.SWAP, 0, stack_rd(spc, wc(0)))
+    use(ES.SWAP, 1, stack_rd(spc + opn.cur(), wc(1)))
+    use(ES.SWAP, 2, stack_wr(spc + opn.cur(), wc(0), wc(1)))
+    use(ES.SWAP, 3, stack_wr(spc, wc(1), wc(0)))
+    use(ES.MLOAD, 0, stack_rd(spc, wc(0)))
+    use(ES.MLOAD, 1, [ZERO, Const(MEM), one, w[3][0].cur(), ZERO, ZERO,
+                      *wc(1), *wc(1)])
+    use(ES.MLOAD, 2, stack_wr(spc, wc(1), wc(0)))
+    use(ES.MSTORE, 0, stack_rd(spc, wc(0)))
+    use(ES.MSTORE, 1, stack_rd(spc + one, wc(1)))
+    use(ES.MSTORE, 2, [one, Const(MEM), one, w[3][0].cur(), ZERO, ZERO,
+                       *wc(1), *pc_(2)])
+    use(ES.SLOAD, 0, stack_rd(spc, wc(0)))
+    use(ES.SLOAD, 1, [ZERO, Const(STO), one, callee.cur(), ZERO, comb(w[0]),
+                      *wc(1), *wc(1)])
+    use(ES.SLOAD, 2, stack_wr(spc, wc(1), wc(0)))
+    use(ES.SSTORE, 0, stack_rd(spc, wc(0)))
+    use(ES.SSTORE, 1, stack_rd(spc + one, wc(1)))
+    use(ES.SSTORE, 2, [one, Const(STO), one, callee.cur(), ZERO, comb(w[0]),
+                       *wc(1), *pc_(2)])
+
+    for i in range(NSLOTS):
+        inputs = [Const(0)] * len(RwTable.FIELDS)
+        for state, fields in slots[i]:
+            for j, e in enumerate(fields):
+                inputs[j] = inputs[j] + S[state] * e
+        rw_table.lookup(cs, f"ev_rw_slot{i}", inputs)
+
+    # -- bytecode lookups --------------------------------------------------
+    op_en = Const(0)
+    for s in opcode_states:
+        op_en = op_en + S[s]
+    bytecode_table.lookup(
+        cs, "ev_opcode_fetch", op_en,
+        code_hash.cur(), pc.cur(), opcode.cur(), one,
+    )
+    bytecode_table.lookup(
+        cs, "ev_push_byte0", S[ES.PUSH],
+        code_hash.cur(), pc.cur() + one, bb0.cur(), ZERO,
+    )
+    bytecode_table.lookup(
+        cs, "ev_push_byte1", S[ES.PUSH] * (opn.cur() - one),
+        code_hash.cur(), pc.cur() + Const(2), bb1.cur(), ZERO,
+    )
+
+    return EvmConfig(
+        q_step, q_first, q_last, q_trans, sel, pc, opcode, gas_left, sp,
+        rwc, code_hash, callee, opn, is_sub, bb0, bb1, w, carries, pcell,
+        rt4,
+    )
+
+
+def _state_of(step: ExecStep) -> ES:
+    if step.exec_state == "BeginTx":
+        return ES.BEGIN_TX
+    if step.exec_state == "EndTx":
+        return ES.END_TX
+    op = step.op
+    if 0x60 <= op <= 0x61:
+        return ES.PUSH
+    if 0x80 <= op <= 0x8F:
+        return ES.DUP
+    if 0x90 <= op <= 0x9F:
+        return ES.SWAP
+    m = {0x00: ES.STOP, 0x50: ES.POP, 0x01: ES.ADD_SUB, 0x03: ES.ADD_SUB,
+         0x51: ES.MLOAD, 0x52: ES.MSTORE, 0x54: ES.SLOAD, 0x55: ES.SSTORE,
+         0x5B: ES.JUMPDEST}
+    if op not in m:
+        raise NotImplementedError(f"opcode {op:#x} not in EVM circuit scope")
+    return m[op]
+
+
+def assign(
+    cs: ConstraintSystem,
+    cfg: EvmConfig,
+    n: int,
+    steps: list[ExecStep],
+    rws: RwMap,
+    *,
+    callee: int,
+    code_hash: int,
+    asg: Assignment | None = None,
+) -> Assignment:
+    asg = asg if asg is not None else Assignment(cs, n)
+    cfg.rt4.load(asg)
+    m = cs.usable_rows(n) - 1  # the lookup-active region
+    assert len(steps) <= m
+    one = FR.encode(1)
+    by_rwc = {row.rw_counter: row for row in rws.rows}
+
+    asg.cols[cfg.q_step][:m] = one
+    asg.cols[cfg.q_first][0] = one
+    asg.cols[cfg.q_last][m - 1] = one
+    asg.cols[cfg.q_trans][: m - 1] = one
+
+    from zkevm_tpu.ff.goldens import FR_MOD
+
+    ch_fr = code_hash % FR_MOD
+
+    end_gas = 0
+    end_rwc = 1
+    for r, step in enumerate(steps):
+        st = _state_of(step)
+        asg.set_int(cfg.sel.columns[int(st)], r, 1)
+        asg.set_int(cfg.opcode, r, step.op if st not in
+                    (ES.BEGIN_TX, ES.END_TX) else 0)
+        asg.set_int(cfg.pc, r, step.pc if st not in
+                    (ES.BEGIN_TX, ES.END_TX, ES.STOP) else
+                    (step.pc if st == ES.STOP else 0))
+        asg.set_int(cfg.gas_left, r, step.gas_left)
+        asg.set_int(cfg.sp, r, step.stack_pointer)
+        asg.set_int(cfg.rwc, r, step.rw_counter_start)
+        asg.set_int(cfg.code_hash, r, ch_fr)
+        asg.set_int(cfg.callee, r, callee)
+        end_gas = step.gas_left - step.gas_cost
+        end_rwc = step.rw_counter_start + len(step.rw_indices)
+
+        vals = [by_rwc[i] for i in step.rw_indices]
+
+        def put_word(wi, v):
+            asg.set_int(cfg.w[wi][0], r, int(v) & M128)
+            asg.set_int(cfg.w[wi][1], r, int(v) >> 128)
+
+        def put_pcell(i, v):
+            asg.set_int(cfg.pcell[i][0], r, int(v) & M128)
+            asg.set_int(cfg.pcell[i][1], r, int(v) >> 128)
+
+        if st == ES.BEGIN_TX:
+            caller_addr = vals[0].value
+            callee_addr = vals[1].value
+            tx_value = vals[2].value
+            put_word(0, tx_value)
+            put_word(1, caller_addr)
+            put_word(2, callee_addr)
+            put_word(3, vals[4].value)  # caller new balance
+            put_word(4, vals[5].value_prev)  # callee prev balance
+            put_word(5, vals[3].value)  # code hash word
+            # carries of the two balance additions
+            k0 = 1 if (vals[4].value & M128) + (tx_value & M128) > M128 else 0
+            k2 = 1 if (vals[5].value_prev & M128) + (tx_value & M128) > M128 else 0
+            asg.set_int(cfg.carries[0], r, k0)
+            asg.set_int(cfg.carries[2], r, k2)
+        elif st == ES.PUSH:
+            v = vals[0].value
+            nb = step.op - 0x5F
+            asg.set_int(cfg.opn, r, nb)
+            asg.set_int(cfg.bb0, r, v >> (8 * (nb - 1)))
+            asg.set_int(cfg.bb1, r, v & 0xFF if nb == 2 else 0)
+            put_word(0, v)
+            put_pcell(0, _group_prev(rws, vals[0]))
+        elif st == ES.POP:
+            put_word(0, vals[0].value)
+        elif st == ES.ADD_SUB:
+            asg.set_int(cfg.is_sub, r, 1 if step.op == 0x03 else 0)
+            put_word(0, vals[0].value)
+            put_word(1, vals[1].value)
+            put_word(2, vals[2].value)
+            a, b, c = vals[0].value, vals[1].value, vals[2].value
+            x, z = (c, a) if step.op == 0x03 else (a, c)
+            k0 = 1 if (x & M128) + (b & M128) > M128 else 0
+            k1 = 1 if ((x >> 128) + (b >> 128) + k0) > M128 else 0
+            asg.set_int(cfg.carries[0], r, k0)
+            asg.set_int(cfg.carries[1], r, k1)
+        elif st == ES.DUP:
+            asg.set_int(cfg.opn, r, step.op - 0x80)
+            put_word(0, vals[0].value)
+            put_pcell(1, _group_prev(rws, vals[1]))
+        elif st == ES.SWAP:
+            asg.set_int(cfg.opn, r, step.op - 0x8F)
+            put_word(0, vals[0].value)
+            put_word(1, vals[1].value)
+        elif st in (ES.MLOAD, ES.MSTORE):
+            put_word(0, vals[0].value)
+            put_word(1, vals[1].value if st == ES.MLOAD else vals[1].value)
+            if st == ES.MSTORE:
+                put_word(1, vals[1].value)
+                put_pcell(2, _group_prev(rws, vals[2]))
+            asg.set_int(cfg.w[3][0], r, vals[0].value // 32)
+        elif st in (ES.SLOAD, ES.SSTORE):
+            put_word(0, vals[0].value)
+            put_word(1, vals[1].value)
+            if st == ES.SSTORE:
+                put_pcell(2, _group_prev(rws, vals[2]))
+
+    # EndBlock padding
+    for r in range(len(steps), m):
+        asg.set_int(cfg.sel.columns[int(ES.END_BLOCK)], r, 1)
+        asg.set_int(cfg.gas_left, r, end_gas)
+        asg.set_int(cfg.sp, r, STACK_CAP)
+        asg.set_int(cfg.rwc, r, end_rwc)
+        asg.set_int(cfg.code_hash, r, ch_fr)
+        asg.set_int(cfg.callee, r, callee)
+    return asg
+
+
+def _group_prev(rws: RwMap, row) -> int:
+    """The value this row's group held before it (for free value_prev
+    cells): the closest earlier row with the same key, else row.value_prev."""
+    key = row.sort_key()[:5]
+    best = None
+    for r in rws.rows:
+        if r.sort_key()[:5] == key and r.rw_counter < row.rw_counter:
+            if best is None or r.rw_counter > best.rw_counter:
+                best = r
+    return best.value if best is not None else row.value_prev

@@ -30,6 +30,13 @@ value 0 in its own trailing group, so every row of the region satisfies
 the same uniform constraint set (reference pads with Start rows at the
 front, circuit_input_builder.rs:455; padding at the tail composes better
 with our fixed-capacity layout).
+
+Values are 256-bit EVM words stored as (value_lo, value_hi) 128-bit
+halves — the PSE word-lo-hi representation rather than scroll v0.14's
+challenge-RLC words: injective without randomness, so the RW fabric stays
+phase-0 (word RLC would force every RW consumer into phase 1). The halves
+are range-checked here (one limb vector column), so EVM-circuit consumers
+can treat looked-up halves as < 2^128 for free.
 """
 
 from __future__ import annotations
@@ -74,12 +81,15 @@ class StateConfig:
     address: Column
     field_tag: Column
     storage_key: Column
-    value: Column
-    value_prev: Column
+    value_lo: Column
+    value_hi: Column
+    value_prev_lo: Column
+    value_prev_hi: Column
     tag_bits: BinaryNumber
     key: ColumnGroup  # LANES advice: sort-key limbs, MSB lane first
     pfx: ColumnGroup  # LANES advice: monotone boolean prefix vector P
     lane_mask: ColumnGroup  # LANES fixed: 0 on lane 0, q_ord elsewhere
+    val_limbs: ColumnGroup  # 2*VLANES advice: value_lo/value_hi B-bit limbs
     range_table: RangeTable
     lanes: int
     spans: dict  # field name -> (start lane, lane count)
@@ -114,12 +124,16 @@ def configure(
     address = cs.advice_column()
     field_tag = cs.advice_column()
     storage_key = cs.advice_column()
-    value = cs.advice_column()
-    value_prev = cs.advice_column()
+    value_lo = cs.advice_column()
+    value_hi = cs.advice_column()
+    value_prev_lo = cs.advice_column()
+    value_prev_hi = cs.advice_column()
     tag_bits = BinaryNumber.configure(cs, q_active.cur(), 4, "state_tag")
     key = cs.advice_group("st_key", LANES)
     pfx = cs.advice_group("st_pfx", LANES)
     lane_mask = cs.fixed_group("st_mask", LANES)
+    VLANES = _nlanes(128, B)
+    val_limbs = cs.advice_group("st_val", 2 * VLANES)
     rt = range_table or RangeTable.configure(cs, B)
 
     one = Const(1)
@@ -143,6 +157,14 @@ def configure(
     # every limb is range-checked to B bits
     rt.lookup(cs, "state_limb", [qa * c.cur() for c in key.columns])
     cs.create_gate("state_tag_bits", [qa * (tag.cur() - tag_bits.value())])
+    # value halves bound to B-bit limbs (MSB lane first per half) and
+    # range-checked -> every looked-up half is provably < 2^128
+    for hname, hcol, h0 in [("lo", value_lo, 0), ("hi", value_hi, VLANES)]:
+        acc = Const(0)
+        for j in range(h0, h0 + VLANES):
+            acc = acc * Const(1 << B) + val_limbs.columns[j].cur()
+        cs.create_gate(f"state_bind_value_{hname}", [qa * (hcol.cur() - acc)])
+    rt.lookup(cs, "state_val_limb", [qa * c.cur() for c in val_limbs.columns])
 
     # -- lexicographic ordering (vector first-difference gadget) ----------
     # P boolean; P monotone along lanes (lane roll; lane 0 masked out);
@@ -171,15 +193,16 @@ def configure(
     rwc_start, _ = spans["rwc"]
     new_group = pfx.columns[rwc_start - 1].cur()
     same = one - new_group
-    vprev_row = value.rot(-1)
     cs.create_gate(
         "state_consistency",
         [
             qa * is_write.cur() * (one - is_write.cur()),
             # a read returns the previous value in its group
-            qo * same * (one - is_write.cur()) * (value.cur() - vprev_row),
+            qo * same * (one - is_write.cur()) * (value_lo.cur() - value_lo.rot(-1)),
+            qo * same * (one - is_write.cur()) * (value_hi.cur() - value_hi.rot(-1)),
             # value_prev always carries the group's previous value
-            qo * same * (value_prev.cur() - vprev_row),
+            qo * same * (value_prev_lo.cur() - value_lo.rot(-1)),
+            qo * same * (value_prev_hi.cur() - value_hi.rot(-1)),
         ],
     )
     # per-tag first-access rules (reference state_circuit/constraint_builder):
@@ -193,22 +216,26 @@ def configure(
             (qo * new_group + qf)
             * ind(int(Target.MEMORY))
             * (one - is_write.cur())
-            * value.cur(),
+            * (value_lo.cur() + value_hi.cur()),
             qa * ind(PADDING_TAG) * is_write.cur(),
-            qa * ind(PADDING_TAG) * value.cur(),
+            qa * ind(PADDING_TAG) * (value_lo.cur() + value_hi.cur()),
         ],
     )
 
     return StateConfig(
         B, q_active, q_first, q_ord, rwc, is_write, tag, id_, address,
-        field_tag, storage_key, value, value_prev, tag_bits, key, pfx,
-        lane_mask, rt, LANES, spans,
+        field_tag, storage_key, value_lo, value_hi, value_prev_lo,
+        value_prev_hi, tag_bits, key, pfx, lane_mask, val_limbs, rt,
+        LANES, spans,
     )
 
 
 def capacity(cs: ConstraintSystem, cfg: StateConfig, n: int) -> int:
-    """Max RW rows the region holds."""
-    return cs.usable_rows(n)
+    """Max RW rows the region holds. One lookup-active row (active rows =
+    usable - 1, the prover's l_active gating) stays outside the region so
+    the RwTable surface keeps an all-zero row — the match for consumers'
+    disabled lookup slots."""
+    return cs.usable_rows(n) - 2
 
 
 def _limbs_of(values: np.ndarray, start: int, w: int, B: int, out: np.ndarray, objcol=None):
@@ -236,8 +263,7 @@ def assign(
     asg = asg if asg is not None else Assignment(cs, n)
     B = cfg.limb_bits
     cfg.range_table.load(asg)
-    usable = cs.usable_rows(n)
-    m = usable  # region rows
+    m = capacity(cs, cfg, n)  # region rows (one zero row reserved)
     srows = sorted(rows, key=RwRow.sort_key)
     npad = m - len(srows)
     assert npad >= 0, f"{len(srows)} RW rows > capacity {m}"
@@ -281,11 +307,24 @@ def assign(
         asg.set_int(cfg.address, r, int(v))
     for r, v in enumerate(skeys):
         asg.set_int(cfg.storage_key, r, int(v))
-    for r, v in enumerate(values):
-        asg.set_int(cfg.value, r, int(v))
+    M128 = (1 << 128) - 1
+    for v in values:
+        assert 0 <= int(v) < 1 << 256
+    vlo = [int(v) & M128 for v in values]
+    vhi = [int(v) >> 128 for v in values]
+    for r in range(m):
+        asg.set_int(cfg.value_lo, r, vlo[r])
+        asg.set_int(cfg.value_hi, r, vhi[r])
     for r in range(1, m):
         # value_prev on same-group rows must equal the previous row's value
-        asg.set_int(cfg.value_prev, r, int(vprevs[r]))
+        asg.set_int(cfg.value_prev_lo, r, int(vprevs[r]) & M128)
+        asg.set_int(cfg.value_prev_hi, r, int(vprevs[r]) >> 128)
+    VLANES = _nlanes(128, B)
+    vlimbs = np.zeros((m, 2 * VLANES), dtype=np.uint64)
+    _limbs_of(None, 0, VLANES, B, vlimbs, objcol=vlo)
+    _limbs_of(None, VLANES, VLANES, B, vlimbs, objcol=vhi)
+    for j in range(2 * VLANES):
+        asg.set_u64s(cfg.val_limbs.columns[j], 0, vlimbs[:, j])
 
     # key limbs (MSB lane first per field)
     limbs = np.zeros((m, cfg.lanes), dtype=np.uint64)

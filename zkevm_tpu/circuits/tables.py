@@ -86,15 +86,70 @@ class KeccakTable:
 
 
 @dataclass
+class RwTable:
+    """The state circuit's canonical 12-expression surface
+    (table.rs:613 RwTable): [enabled, rw_counter, is_write, tag, id,
+    address, field_tag, storage_key, value_lo, value_hi, value_prev_lo,
+    value_prev_hi]. Values are 128-bit halves (see state_circuit docstring
+    on the word-lo-hi choice). Disabled rows compress to the all-zero
+    tuple because every expression is q_active-gated."""
+
+    exprs: list
+
+    FIELDS = [
+        "enabled", "rw_counter", "is_write", "tag", "id", "address",
+        "field_tag", "storage_key", "value_lo", "value_hi",
+        "value_prev_lo", "value_prev_hi",
+    ]
+
+    @classmethod
+    def from_state(cls, cfg) -> "RwTable":
+        qa = cfg.q_active.cur()
+        return cls([
+            qa,
+            qa * cfg.rwc.cur(),
+            qa * cfg.is_write.cur(),
+            qa * cfg.tag.cur(),
+            qa * cfg.id.cur(),
+            qa * cfg.address.cur(),
+            qa * cfg.field_tag.cur(),
+            qa * cfg.storage_key.cur(),
+            qa * cfg.value_lo.cur(),
+            qa * cfg.value_hi.cur(),
+            qa * cfg.value_prev_lo.cur(),
+            qa * cfg.value_prev_hi.cur(),
+        ])
+
+    def lookup(self, cs: ConstraintSystem, name: str, inputs: list) -> None:
+        """inputs: 12 expressions in FIELDS order, ALREADY gated (all-zero
+        when the consuming slot is disabled)."""
+        assert len(inputs) == len(self.exprs)
+        cs.lookup(name, list(zip(inputs, self.exprs)))
+
+
+@dataclass
 class BytecodeTable:
     """(code_hash_rlc, index, byte, is_code) rows (table.rs:208
     BytecodeTable) — the EVM circuit's opcode-fetch surface."""
 
     enabled: Expr
-    code_hash: Expr  # RLC(evm_word) of keccak256(code)
+    code_hash: Expr  # RLC(evm_word) of keccak256(code); keccak256 mod p in
+    # the bytecode circuit's standalone mode
     index: Expr
     byte: Expr
     is_code: Expr
+
+    @classmethod
+    def from_config(cls, cfg) -> "BytecodeTable":
+        """Surface over the bytecode circuit's body rows (either mode)."""
+        qb = cfg.q_body.cur()
+        return cls(
+            enabled=qb,
+            code_hash=qb * cfg.code_hash.cur(),
+            index=qb * cfg.index.cur(),
+            byte=qb * cfg.byte.cur(),
+            is_code=qb * cfg.is_code.cur(),
+        )
 
     def lookup(self, cs: ConstraintSystem, name: str, q: Expr,
                code_hash: Expr, index: Expr, byte: Expr, is_code: Expr) -> None:

@@ -31,7 +31,9 @@ STACK_CAP = 1024
 @dataclass
 class ExecStep:
     """Per-opcode execution record (reference: circuit_input_builder's
-    ExecStep) — the EVM circuit's row source."""
+    ExecStep) — the EVM circuit's row source. exec_state marks virtual
+    steps (BeginTx/EndTx, reference evm/opcodes.rs:532
+    gen_associated_steps); opcode steps leave it None (derived from op)."""
 
     pc: int
     op: int
@@ -40,6 +42,7 @@ class ExecStep:
     rw_counter_start: int
     stack_pointer: int
     rw_indices: list = field(default_factory=list)
+    exec_state: str | None = None
 
 
 class CircuitInputBuilder:
@@ -84,12 +87,67 @@ class CircuitInputBuilder:
         )
 
     def call_context(self, f: CallContextField, value: int):
+        # reads carry value_prev = value (RwTable read convention)
         return self._push(
             rw=RW.READ, tag=Target.CALL_CONTEXT, id=self.call_id,
-            field=int(f), value=value,
+            field=int(f), value=value, value_prev=value,
+        )
+
+    def account(self, rw: RW, addr: int, f: AccountField, value: int, prev: int):
+        return self._push(
+            rw=rw, tag=Target.ACCOUNT, id=0, address=addr, field=int(f),
+            value=value, value_prev=prev,
         )
 
     # -- trace replay ----------------------------------------------------
+    def handle_tx(
+        self, trace: GethExecTrace, *, caller: int, callee: int, value: int = 0
+    ) -> None:
+        """Full tx replay: BeginTx (call-context reads, callee code-hash
+        read, balance transfer) -> opcode steps -> EndTx (reference:
+        gen_associated_steps BeginTx/EndTx, evm/opcodes.rs:532 +
+        begin_end_tx.rs). Single call depth; receipts/refunds later."""
+        logs = trace.struct_logs
+        begin = ExecStep(
+            pc=0, op=0, gas_left=(logs[0].gas if logs else 0), gas_cost=0,
+            rw_counter_start=self.rwc, stack_pointer=STACK_CAP,
+            exec_state="BeginTx",
+        )
+        begin.rw_indices.append(
+            self.call_context(CallContextField.CALLER_ADDRESS, caller)
+        )
+        begin.rw_indices.append(
+            self.call_context(CallContextField.CALLEE_ADDRESS, callee)
+        )
+        begin.rw_indices.append(self.call_context(CallContextField.VALUE, value))
+        ch = self.sdb.get_account(callee).code_hash
+        begin.rw_indices.append(
+            self.account(RW.READ, callee, AccountField.CODE_HASH, ch, ch)
+        )
+        assert caller != callee, "self-transfer not supported yet"
+        cal, cee = self.sdb.ensure(caller), self.sdb.ensure(callee)
+        prev_cal, prev_cee = cal.balance, cee.balance
+        assert cal.balance >= value, "insufficient balance"
+        cal.balance -= value
+        cee.balance += value
+        begin.rw_indices.append(
+            self.account(RW.WRITE, caller, AccountField.BALANCE, cal.balance, prev_cal)
+        )
+        begin.rw_indices.append(
+            self.account(RW.WRITE, callee, AccountField.BALANCE, cee.balance, prev_cee)
+        )
+        self.steps.append(begin)
+
+        self.handle_call(trace, caller=caller, callee=callee, value=value)
+
+        last = logs[-1] if logs else None
+        end = ExecStep(
+            pc=0, op=0,
+            gas_left=(last.gas - last.gas_cost) if last else 0, gas_cost=0,
+            rw_counter_start=self.rwc, stack_pointer=STACK_CAP,
+            exec_state="EndTx",
+        )
+        self.steps.append(end)
     def handle_call(
         self, trace: GethExecTrace, *, caller: int, callee: int, value: int = 0
     ) -> None:
