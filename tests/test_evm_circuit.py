@@ -49,10 +49,12 @@ def build(code=CODE, value=VALUE):
     h = cdb.insert(code)
     sdb.ensure(CALLEE).code_hash = h
     sdb.ensure(CALLER).balance = 10**18
+    pre = sdb.clone()
     tr = trace_call(sdb, cdb, caller=CALLER, callee=CALLEE, value=value)
     assert not tr.failed
-    builder = CircuitInputBuilder(sdb.clone(), cdb)
+    builder = CircuitInputBuilder(pre, cdb)
     builder.handle_tx(tr, caller=CALLER, callee=CALLEE, value=value)
+    assert builder.check_post_state(sdb) == []
     return builder, h
 
 
@@ -85,10 +87,12 @@ def test_pure_transfer_proven(circuit):
     sdb, cdb = StateDB(), CodeDB()
     sdb.ensure(CALLER).balance = 10**18
     sdb.ensure(CALLEE)
+    pre = sdb.clone()
     tr = trace_call(sdb, cdb, caller=CALLER, callee=CALLEE, value=VALUE)
     assert not tr.failed
-    builder = CircuitInputBuilder(sdb.clone(), cdb)
+    builder = CircuitInputBuilder(pre, cdb)
     builder.handle_tx(tr, caller=CALLER, callee=CALLEE, value=VALUE)
+    assert builder.check_post_state(sdb) == []
     asg = witness(circuit, builder, bc.unroll(b"")[0]["code_hash"], code=b"")
     MockProver(cs, asg).assert_satisfied()
 

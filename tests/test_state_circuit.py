@@ -35,10 +35,11 @@ def builder_rows():
     h = cdb.insert(code)
     sdb.ensure(0xBBBB).code_hash = h
     sdb.ensure(0xAAAA).balance = 10**18
+    pre = sdb.clone()
     tr = trace_call(sdb, cdb, caller=0xAAAA, callee=0xBBBB)
     assert not tr.failed
-    builder = CircuitInputBuilder(sdb.clone(), cdb)
-    builder.handle_call(tr, caller=0xAAAA, callee=0xBBBB)
+    builder = CircuitInputBuilder(pre, cdb)
+    builder.handle_tx(tr, caller=0xAAAA, callee=0xBBBB)
     assert not builder.rws.check_consistency()
     return st.fix_value_prev(builder.rws.rows)
 

@@ -18,14 +18,17 @@ done here per slot).
 
 Implemented states (the VERDICT round-2 slice): BeginTx, EndTx, EndBlock
 (padding), STOP, PUSH1/2, POP, ADD/SUB, DUP1-16, SWAP1-16, MLOAD, MSTORE
-(32-byte-aligned words, as the round's witness builder), SLOAD, SSTORE,
-JUMPDEST. Words are (lo, hi) 128-bit halves, range-checked by the state
-circuit at the lookup boundary. Known gaps this round, matching the
-witness builder's scope: MUL (needs a shared u64-decomposition gadget),
-JUMP family, CALL family, dynamic gas (costs are bound to the static
-OPCODES schedule the mini tracer charges), and rw-counter completeness
-(EVM lookups prove every step's ops exist in the RwTable; counting all
-RwTable rows needs the EndBlock total-rws instance, reference
+(32-byte-aligned words, one word per access), SLOAD, SSTORE (with
+EIP-2929 access-list rows: gas cost constrained from the looked-up
+is_warm bit), JUMPDEST. Words are (lo, hi) 128-bit halves, range-checked
+by the state circuit at the lookup boundary. Known gaps this round,
+matching the witness builder's scope: MUL (needs a shared
+u64-decomposition gadget), JUMP family, CALL family states, the
+SSTORE refund amount (the TX_REFUND row is proven present but the delta
+is unconstrained), the memory-expansion gas term (witnessed in an aux
+cell, bound >= 0 only), and rw-counter completeness (EVM lookups prove
+every step's ops exist in the RwTable; counting all RwTable rows needs
+the EndBlock total-rws instance, reference
 evm_circuit/execution/end_block.rs).
 """
 
@@ -50,7 +53,10 @@ FR = fr_spec()
 
 STACK_CAP = 1024
 M128 = (1 << 128) - 1
-NSLOTS = 6  # RW lookup budget per step row (BeginTx uses all six)
+NSLOTS = 7  # RW lookup budget per step row (BeginTx uses all seven)
+
+COLD_SLOAD_EXTRA = 2000  # 2100 cold - 100 warm
+SSTORE_CASES = (100, 2900, 20000)
 
 
 class ES(IntEnum):
@@ -75,7 +81,8 @@ class ES(IntEnum):
 NSTATES = len(ES)
 
 # opcode-backed states: (fixed opcode | None), static gas, stack-pointer
-# delta, rw count
+# delta, rw count. Dynamic-gas states list their static base; the gc cell
+# carries the total and is constrained per state below.
 OP_STATES = {
     ES.STOP: (0x00, 0, 0, 0),
     ES.PUSH: (None, 3, -1, 1),
@@ -85,11 +92,15 @@ OP_STATES = {
     ES.SWAP: (None, 3, 0, 4),
     ES.MLOAD: (0x51, 3, 0, 3),
     ES.MSTORE: (0x52, 3, 2, 3),
-    ES.SLOAD: (0x54, OPCODES[0x54].gas, 0, 3),
-    ES.SSTORE: (0x55, OPCODES[0x55].gas, 2, 3),
+    ES.SLOAD: (0x54, 100, 0, 4),
+    ES.SSTORE: (0x55, 100, 2, 5),
     ES.JUMPDEST: (0x5B, 1, 0, 0),
 }
-NRW = {ES.BEGIN_TX: 6, ES.END_TX: 0, ES.END_BLOCK: 0}
+STATIC_GAS_STATES = [
+    s for s in OP_STATES
+    if s not in (ES.MLOAD, ES.MSTORE, ES.SLOAD, ES.SSTORE)
+]
+NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0}
 NRW.update({s: spec[3] for s, spec in OP_STATES.items()})
 
 
@@ -103,17 +114,20 @@ class EvmConfig:
     pc: Column
     opcode: Column
     gas_left: Column
+    gc: Column  # gas cost of this step
     sp: Column
     rwc: Column
     code_hash: Column
     callee: Column
     opn: Column  # push size / dup index / swap index operand
     is_sub: Column
+    warm: Column  # EIP-2929 was-warm bit (from the access-list row)
     bb0: Column  # PUSH immediate bytes (big-endian first)
     bb1: Column
     w: list  # 6 words as (lo, hi) Column pairs
     carries: list  # 4 boolean carry cells
     pcell: list  # 3 free value_prev (lo, hi) pairs for slots 0..2
+    aux: list  # 3 scalar aux cells: nonce/mexp/gcase, refund_new, refund_prev
     rt4: RangeTable
 
 
@@ -135,17 +149,20 @@ def configure(
     pc = cs.advice_column()
     opcode = cs.advice_column()
     gas_left = cs.advice_column()
+    gc = cs.advice_column()
     sp = cs.advice_column()
     rwc = cs.advice_column()
     code_hash = cs.advice_column()
     callee = cs.advice_column()
     opn = cs.advice_column()
     is_sub = cs.advice_column()
+    warm = cs.advice_column()
     bb0 = cs.advice_column()
     bb1 = cs.advice_column()
     w = [_word(cs) for _ in range(6)]
     carries = [cs.advice_column() for _ in range(4)]
     pcell = [_word(cs) for _ in range(3)]
+    aux = [cs.advice_column() for _ in range(3)]
     rt4 = rt4 or RangeTable.configure(cs, 4)
 
     one = Const(1)
@@ -202,6 +219,31 @@ def configure(
     ])
     rt4.lookup(cs, "ev_dup_n", [S[ES.DUP] * opn.cur()])
     rt4.lookup(cs, "ev_swap_n", [S[ES.SWAP] * (opn.cur() - one)])
+
+    # -- gas costs ---------------------------------------------------------
+    # gc carries the step's total gas cost; per state it is pinned to the
+    # static schedule, or derived from the is_warm bit (EIP-2929) for the
+    # storage ops (reference: execution/sload.rs, sstore.rs gas parts).
+    gcase = aux[0].cur()  # SSTORE value-case cost; mexp words for MLOAD/MSTORE
+    sstore_case = (gcase - Const(SSTORE_CASES[0])) * \
+        (gcase - Const(SSTORE_CASES[1])) * (gcase - Const(SSTORE_CASES[2]))
+    cs.create_gate("ev_gas_cost", [
+        qs * warm.cur() * (one - warm.cur()),
+    ] + [
+        S[s] * (gc.cur() - Const(OP_STATES[s][1])) for s in STATIC_GAS_STATES
+    ] + [
+        S[ES.SLOAD] * (
+            gc.cur() - Const(100) - Const(COLD_SLOAD_EXTRA) * (one - warm.cur())
+        ),
+        S[ES.SSTORE] * sstore_case,
+        S[ES.SSTORE] * (
+            gc.cur() - gcase - Const(2100) * (one - warm.cur())
+        ),
+        # MLOAD/MSTORE: static 3 + memory-expansion term (aux cell; the
+        # quadratic expansion gadget is a later-round item)
+        (S[ES.MLOAD] + S[ES.MSTORE]) * (gc.cur() - Const(3) - gcase),
+        (S[ES.BEGIN_TX] + S[ES.END_TX] + S[ES.END_BLOCK]) * gc.cur(),
+    ])
 
     # -- word semantics ---------------------------------------------------
     k = [c.cur() for c in carries]
@@ -260,28 +302,27 @@ def configure(
                ES.STOP: Const(0), ES.PUSH: pc.cur() + one + opn.cur()}
     sp_next = {ES.BEGIN_TX: Const(STACK_CAP), ES.END_TX: Const(STACK_CAP),
                ES.END_BLOCK: Const(STACK_CAP), ES.STOP: Const(STACK_CAP)}
-    gas_next = {}
     for s, (op, cost, dsp, _) in OP_STATES.items():
         if s not in pc_next:
             pc_next[s] = pc.cur() + one
         if s not in sp_next:
             sp_next[s] = sp.cur() + Const(dsp) if dsp >= 0 else sp.cur() - Const(-dsp)
-        gas_next[s] = gas_left.cur() - Const(cost)
     cs.create_gate("ev_step_next", [
         trans(pc, pc_next, lambda s: pc.cur()),
         trans(sp, sp_next, lambda s: sp.cur()),
-        trans(gas_left, gas_next, lambda s: gas_left.cur()),
+        trans(gas_left, {}, lambda s: gas_left.cur() - gc.cur()),
         trans(rwc, {}, lambda s: rwc.cur() + Const(NRW[s])),
         trans(code_hash, {}, lambda s: code_hash.cur()),
         trans(callee, {}, lambda s: callee.cur()),
     ])
 
     # -- RW lookup slots --------------------------------------------------
-    # spec per (state, slot): 11-element field exprs after `enabled`
+    # spec per (state, slot): field exprs after `enabled`
     ZERO = Const(0)
-    CC, ACC, STK, MEM, STO = (
+    CC, ACC, STK, MEM, STO, ALS, RFD = (
         int(Target.CALL_CONTEXT), int(Target.ACCOUNT), int(Target.STACK),
         int(Target.MEMORY), int(Target.STORAGE),
+        int(Target.TX_ACCESS_LIST_STORAGE), int(Target.TX_REFUND),
     )
 
     def stack_rd(addr, v):
@@ -313,15 +354,21 @@ def configure(
     use(ES.BEGIN_TX, 2, [ZERO, Const(CC), one, ZERO,
                          Const(int(CallContextField.VALUE)), ZERO,
                          *wc(0), *wc(0)])
-    use(ES.BEGIN_TX, 3, [ZERO, Const(ACC), ZERO, comb(w[2]),
+    use(ES.BEGIN_TX, 3, [one, Const(ACC), ZERO, comb(w[1]),
+                         Const(int(AccountField.NONCE)), ZERO,
+                         aux[0].cur() + one, ZERO, aux[0].cur(), ZERO])
+    use(ES.BEGIN_TX, 4, [ZERO, Const(ACC), ZERO, comb(w[2]),
                          Const(int(AccountField.CODE_HASH)), ZERO,
                          *wc(5), *wc(5)])
-    use(ES.BEGIN_TX, 4, [one, Const(ACC), ZERO, comb(w[1]),
+    use(ES.BEGIN_TX, 5, [one, Const(ACC), ZERO, comb(w[1]),
                          Const(int(AccountField.BALANCE)), ZERO,
                          *wc(3), caller_prev_lo, caller_prev_hi])
-    use(ES.BEGIN_TX, 5, [one, Const(ACC), ZERO, comb(w[2]),
+    use(ES.BEGIN_TX, 6, [one, Const(ACC), ZERO, comb(w[2]),
                          Const(int(AccountField.BALANCE)), ZERO,
                          callee_new_lo, callee_new_hi, *wc(4)])
+    # EndTx: final refund read
+    use(ES.END_TX, 0, [ZERO, Const(RFD), one, ZERO, ZERO, ZERO,
+                       aux[1].cur(), ZERO, aux[1].cur(), ZERO])
     # stack ops (CC reads used value_prev = value; first reads of a CALL
     # CONTEXT group keep builder's value_prev = value convention)
     spc = sp.cur()
@@ -344,13 +391,22 @@ def configure(
     use(ES.MSTORE, 1, stack_rd(spc + one, wc(1)))
     use(ES.MSTORE, 2, [one, Const(MEM), one, w[3][0].cur(), ZERO, ZERO,
                        *wc(1), *pc_(2)])
+    # SLOAD: key read, access-list write (is_warm in value_prev),
+    # storage read, value push
     use(ES.SLOAD, 0, stack_rd(spc, wc(0)))
-    use(ES.SLOAD, 1, [ZERO, Const(STO), one, callee.cur(), ZERO, comb(w[0]),
+    use(ES.SLOAD, 1, [one, Const(ALS), one, callee.cur(), ZERO, comb(w[0]),
+                      one, ZERO, warm.cur(), ZERO])
+    use(ES.SLOAD, 2, [ZERO, Const(STO), one, callee.cur(), ZERO, comb(w[0]),
                       *wc(1), *wc(1)])
-    use(ES.SLOAD, 2, stack_wr(spc, wc(1), wc(0)))
+    use(ES.SLOAD, 3, stack_wr(spc, wc(1), wc(0)))
+    # SSTORE: key+value reads, access-list write, refund write, storage write
     use(ES.SSTORE, 0, stack_rd(spc, wc(0)))
     use(ES.SSTORE, 1, stack_rd(spc + one, wc(1)))
-    use(ES.SSTORE, 2, [one, Const(STO), one, callee.cur(), ZERO, comb(w[0]),
+    use(ES.SSTORE, 2, [one, Const(ALS), one, callee.cur(), ZERO, comb(w[0]),
+                       one, ZERO, warm.cur(), ZERO])
+    use(ES.SSTORE, 3, [one, Const(RFD), one, ZERO, ZERO, ZERO,
+                       aux[1].cur(), ZERO, aux[2].cur(), ZERO])
+    use(ES.SSTORE, 4, [one, Const(STO), one, callee.cur(), ZERO, comb(w[0]),
                        *wc(1), *pc_(2)])
 
     for i in range(NSLOTS):
@@ -378,9 +434,9 @@ def configure(
     )
 
     return EvmConfig(
-        q_step, q_first, q_last, q_trans, sel, pc, opcode, gas_left, sp,
-        rwc, code_hash, callee, opn, is_sub, bb0, bb1, w, carries, pcell,
-        rt4,
+        q_step, q_first, q_last, q_trans, sel, pc, opcode, gas_left, gc, sp,
+        rwc, code_hash, callee, opn, is_sub, warm, bb0, bb1, w, carries,
+        pcell, aux, rt4,
     )
 
 
@@ -442,6 +498,7 @@ def assign(
                     (ES.BEGIN_TX, ES.END_TX, ES.STOP) else
                     (step.pc if st == ES.STOP else 0))
         asg.set_int(cfg.gas_left, r, step.gas_left)
+        asg.set_int(cfg.gc, r, step.gas_cost)
         asg.set_int(cfg.sp, r, step.stack_pointer)
         asg.set_int(cfg.rwc, r, step.rw_counter_start)
         asg.set_int(cfg.code_hash, r, ch_fr)
@@ -466,14 +523,17 @@ def assign(
             put_word(0, tx_value)
             put_word(1, caller_addr)
             put_word(2, callee_addr)
-            put_word(3, vals[4].value)  # caller new balance
-            put_word(4, vals[5].value_prev)  # callee prev balance
-            put_word(5, vals[3].value)  # code hash word
+            asg.set_int(cfg.aux[0], r, vals[3].value_prev)  # old nonce
+            put_word(5, vals[4].value)  # code hash word
+            put_word(3, vals[5].value)  # caller new balance
+            put_word(4, vals[6].value_prev)  # callee prev balance
             # carries of the two balance additions
-            k0 = 1 if (vals[4].value & M128) + (tx_value & M128) > M128 else 0
-            k2 = 1 if (vals[5].value_prev & M128) + (tx_value & M128) > M128 else 0
+            k0 = 1 if (vals[5].value & M128) + (tx_value & M128) > M128 else 0
+            k2 = 1 if (vals[6].value_prev & M128) + (tx_value & M128) > M128 else 0
             asg.set_int(cfg.carries[0], r, k0)
             asg.set_int(cfg.carries[2], r, k2)
+        elif st == ES.END_TX:
+            asg.set_int(cfg.aux[1], r, vals[0].value)  # final refund
         elif st == ES.PUSH:
             v = vals[0].value
             nb = step.op - 0x5F
@@ -505,16 +565,25 @@ def assign(
             put_word(1, vals[1].value)
         elif st in (ES.MLOAD, ES.MSTORE):
             put_word(0, vals[0].value)
-            put_word(1, vals[1].value if st == ES.MLOAD else vals[1].value)
+            put_word(1, vals[1].value)
             if st == ES.MSTORE:
-                put_word(1, vals[1].value)
                 put_pcell(2, _group_prev(rws, vals[2]))
             asg.set_int(cfg.w[3][0], r, vals[0].value // 32)
-        elif st in (ES.SLOAD, ES.SSTORE):
-            put_word(0, vals[0].value)
-            put_word(1, vals[1].value)
-            if st == ES.SSTORE:
-                put_pcell(2, _group_prev(rws, vals[2]))
+            asg.set_int(cfg.aux[0], r, step.gas_cost - 3)  # mexp witness
+        elif st == ES.SLOAD:
+            put_word(0, vals[0].value)  # key
+            asg.set_int(cfg.warm, r, vals[1].value_prev)
+            put_word(1, vals[2].value)  # storage value
+        elif st == ES.SSTORE:
+            put_word(0, vals[0].value)  # key
+            put_word(1, vals[1].value)  # new value
+            asg.set_int(cfg.warm, r, vals[2].value_prev)
+            asg.set_int(cfg.aux[1], r, vals[3].value)  # refund new
+            asg.set_int(cfg.aux[2], r, vals[3].value_prev)  # refund prev
+            was_warm = vals[2].value_prev
+            gcase = step.gas_cost - 2100 * (1 - was_warm)
+            asg.set_int(cfg.aux[0], r, gcase)
+            put_pcell(2, _group_prev(rws, vals[4]))
 
     # EndBlock padding
     for r in range(len(steps), m):

@@ -145,6 +145,13 @@ _op(0x37, "CALLDATACOPY", 3, 0, GAS_FASTEST)
 _op(0x38, "CODESIZE", 0, 1, GAS_QUICK)
 _op(0x39, "CODECOPY", 3, 0, GAS_FASTEST)
 _op(0x3A, "GASPRICE", 0, 1, GAS_QUICK)
+# EIP-2929 warm base costs; cold surcharge is dynamic (witness handlers)
+_op(0x3B, "EXTCODESIZE", 1, 1, 100)
+_op(0x3C, "EXTCODECOPY", 4, 0, 100)
+_op(0x3D, "RETURNDATASIZE", 0, 1, GAS_QUICK)
+_op(0x3E, "RETURNDATACOPY", 3, 0, GAS_FASTEST)
+_op(0x3F, "EXTCODEHASH", 1, 1, 100)
+_op(0x40, "BLOCKHASH", 1, 1, GAS_EXT)
 _op(0x41, "COINBASE", 0, 1, GAS_QUICK)
 _op(0x42, "TIMESTAMP", 0, 1, GAS_QUICK)
 _op(0x43, "NUMBER", 0, 1, GAS_QUICK)
@@ -172,9 +179,18 @@ for i in range(16):
     _op(0x80 + i, f"DUP{i+1}", i + 1, i + 2, GAS_FASTEST)
 for i in range(16):
     _op(0x90 + i, f"SWAP{i+1}", i + 2, i + 2, GAS_FASTEST)
+for i in range(5):
+    _op(0xA0 + i, f"LOG{i}", 2 + i, 0, 375)
+_op(0xF0, "CREATE", 3, 1, 32000)
+_op(0xF1, "CALL", 7, 1, 100)
+_op(0xF2, "CALLCODE", 7, 1, 100)
 _op(0xF3, "RETURN", 2, 0, 0)
+_op(0xF4, "DELEGATECALL", 6, 1, 100)
+_op(0xF5, "CREATE2", 4, 1, 32000)
+_op(0xFA, "STATICCALL", 6, 1, 100)
 _op(0xFD, "REVERT", 2, 0, 0)
 _op(0xFE, "INVALID", 0, 0, 0)
+_op(0xFF, "SELFDESTRUCT", 1, 0, 5000)
 
 
 def is_push(code: int) -> bool:

@@ -2,18 +2,31 @@
 
 Reference counterpart: bus-mapping/src/circuit_input_builder.rs
 (handle_block -> handle_tx -> per-step gen_associated_ops with the
-fn_gen_associated_ops dispatch table, evm/opcodes.rs:180) and the
-CircuitInputStateRef push helpers. This round covers the arithmetic /
-stack / memory / storage / context / control opcode families on a single
-call depth; call-tree, precompile and copy-event handling extend it in
-later rounds.
+fn_gen_associated_ops dispatch table, evm/opcodes.rs:180), the
+CircuitInputStateRef push helpers (input_state_ref.rs), and the side-event
+collectors CopyEvent/ExpEvent (circuit_input_builder/execution.rs).
+
+Covers: the arithmetic / stack / memory / storage / context / control
+families, the CALL family with a real call tree (call ids, caller links,
+static flags), EIP-2929 access-list rows, EIP-3529 refund rows, copy
+events (CALLDATACOPY / CODECOPY / RETURNDATACOPY / SHA3 / LOG / RETURN),
+exp events, and revert handling.
+
+Reversion model deviation from the reference: the reference schedules
+compensating writes at a precomputed rw_counter_end_of_reversion
+(input_state_ref.rs push_op_reversible); here compensating writes are
+emitted IMMEDIATELY after the failing call returns, in reverse journal
+order. Same net state trajectory and the same read-after-write
+consistency guarantees in the state circuit, without the two-pass counter
+precomputation; revisit when EVM-circuit CALL gadgets need the
+reference's exact row placement.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from zkevm_tpu.etypes.opcodes import OPCODES, is_push
+from zkevm_tpu.etypes.opcodes import OPCODES, is_push, push_size
 from zkevm_tpu.etypes.state import CodeDB, StateDB
 from zkevm_tpu.etypes.trace import GethExecStep, GethExecTrace
 from zkevm_tpu.witness.rw import (
@@ -26,6 +39,7 @@ from zkevm_tpu.witness.rw import (
 )
 
 STACK_CAP = 1024
+GAS_TX = 21000
 
 
 @dataclass
@@ -43,6 +57,69 @@ class ExecStep:
     stack_pointer: int
     rw_indices: list = field(default_factory=list)
     exec_state: str | None = None
+    call_id: int = 1
+    depth: int = 1
+
+
+@dataclass
+class Call:
+    """One node of the call tree (reference:
+    circuit_input_builder/call.rs Call)."""
+
+    call_id: int
+    caller_id: int
+    depth: int
+    caller_address: int
+    address: int  # storage/context address
+    code_address: int  # where the executing code lives
+    code_hash: int
+    value: int
+    calldata: bytes
+    is_static: bool
+    is_root: bool
+    is_success: bool
+    start_log_index: int = 0
+
+
+class CopyDataType:
+    """reference: copy_circuit CopyDataType numbering."""
+
+    MEMORY = 1
+    BYTECODE = 2
+    TX_CALLDATA = 3
+    TX_LOG = 4
+    RLC_ACC = 5  # SHA3 input accumulator
+    RETURN_DATA = 6
+
+
+@dataclass
+class CopyEvent:
+    """A byte-copy side event (reference CopyEvent,
+    circuit_input_builder.rs:37): the copy circuit's row source."""
+
+    src_type: int
+    src_id: int  # call id / code hash / tx id
+    src_addr: int
+    src_addr_end: int
+    dst_type: int
+    dst_id: int
+    dst_addr: int
+    rw_counter_start: int
+    bytes_: list  # list[(byte, is_code)]
+
+
+@dataclass
+class ExpEvent:
+    """EXP side event (reference ExpEvent): exp circuit row source."""
+
+    identifier: int  # rw counter of the EXP step
+    base: int
+    exponent: int
+    exponentiation: int
+
+
+class GasMismatch(AssertionError):
+    pass
 
 
 class CircuitInputBuilder:
@@ -52,31 +129,43 @@ class CircuitInputBuilder:
         self.rws = RwMap()
         self.rwc = 1  # rw counter starts at 1 (row 0 is Start)
         self.steps: list[ExecStep] = []
-        self.call_id = 1
+        self.calls: list[Call] = []
+        self.copy_events: list[CopyEvent] = []
+        self.exp_events: list[ExpEvent] = []
         self.tx_id = 1
+        self.next_call_id = 1
+        self.refund = 0
+        # tx-start storage values (SSTORE refund baseline, EIP-3529)
+        self._original: dict = {}
+        # journal of reversible writes: (rw_index into rws.rows)
+        self.journal: list[int] = []
         self.rws.push(RwRow(0, RW.READ, Target.START))
 
     # -- push helpers (CircuitInputStateRef analog) ----------------------
-    def _push(self, **kw) -> int:
+    def _push(self, reversible=False, **kw) -> int:
         row = RwRow(rw_counter=self.rwc, **kw)
         self.rws.push(row)
+        if reversible:
+            self.journal.append(len(self.rws.rows) - 1)
         self.rwc += 1
         return row.rw_counter
 
-    def stack_read(self, sp: int, value: int):
+    def stack_read(self, call_id: int, sp: int, value: int):
         return self._push(
-            rw=RW.READ, tag=Target.STACK, id=self.call_id, address=sp, value=value
+            rw=RW.READ, tag=Target.STACK, id=call_id, address=sp, value=value,
+            value_prev=value,
         )
 
-    def stack_write(self, sp: int, value: int, prev: int = 0):
+    def stack_write(self, call_id: int, sp: int, value: int, prev: int = 0):
         return self._push(
-            rw=RW.WRITE, tag=Target.STACK, id=self.call_id, address=sp, value=value,
+            rw=RW.WRITE, tag=Target.STACK, id=call_id, address=sp, value=value,
             value_prev=prev,
         )
 
-    def memory_word(self, rw: RW, word_addr: int, value: int, prev: int = 0):
+    def memory_word(self, call_id: int, rw: RW, word_addr: int, value: int,
+                    prev: int = 0):
         return self._push(
-            rw=rw, tag=Target.MEMORY, id=self.call_id, address=word_addr,
+            rw=rw, tag=Target.MEMORY, id=call_id, address=word_addr,
             value=value, value_prev=prev,
         )
 
@@ -84,91 +173,304 @@ class CircuitInputBuilder:
         return self._push(
             rw=rw, tag=Target.STORAGE, id=self.tx_id, address=addr,
             storage_key=key, value=value, value_prev=prev,
+            reversible=(rw == RW.WRITE),
         )
 
-    def call_context(self, f: CallContextField, value: int):
+    def call_context(self, call_id: int, f: CallContextField, value: int,
+                     rw: RW = RW.READ):
         # reads carry value_prev = value (RwTable read convention)
         return self._push(
-            rw=RW.READ, tag=Target.CALL_CONTEXT, id=self.call_id,
+            rw=rw, tag=Target.CALL_CONTEXT, id=call_id,
             field=int(f), value=value, value_prev=value,
         )
 
-    def account(self, rw: RW, addr: int, f: AccountField, value: int, prev: int):
+    def account(self, rw: RW, addr: int, f: AccountField, value: int,
+                prev: int, reversible=False):
         return self._push(
             rw=rw, tag=Target.ACCOUNT, id=0, address=addr, field=int(f),
-            value=value, value_prev=prev,
+            value=value, value_prev=prev, reversible=reversible and rw == RW.WRITE,
         )
 
-    # -- trace replay ----------------------------------------------------
+    def access_account(self, addr: int) -> tuple[int, bool]:
+        """TxAccessListAccount write marking addr warm; returns
+        (rw_index, was_warm)."""
+        warm = addr in self.sdb.access_list_account
+        self.sdb.access_list_account.add(addr)
+        idx = self._push(
+            rw=RW.WRITE, tag=Target.TX_ACCESS_LIST_ACCOUNT, id=self.tx_id,
+            address=addr, value=1, value_prev=int(warm), reversible=True,
+        )
+        return idx, warm
+
+    def access_slot(self, addr: int, key: int) -> tuple[int, bool]:
+        warm = (addr, key) in self.sdb.access_list_storage
+        self.sdb.access_list_storage.add((addr, key))
+        idx = self._push(
+            rw=RW.WRITE, tag=Target.TX_ACCESS_LIST_STORAGE, id=self.tx_id,
+            address=addr, storage_key=key, value=1, value_prev=int(warm),
+            reversible=True,
+        )
+        return idx, warm
+
+    def refund_write(self, new: int):
+        idx = self._push(
+            rw=RW.WRITE, tag=Target.TX_REFUND, id=self.tx_id, value=new,
+            value_prev=self.refund, reversible=True,
+        )
+        self.refund = new
+        return idx
+
+    # -- reversion --------------------------------------------------------
+    def _checkpoint(self):
+        return (
+            len(self.journal),
+            {a: acc.clone() for a, acc in self.sdb.accounts.items()},
+            set(self.sdb.access_list_account),
+            set(self.sdb.access_list_storage),
+            self.refund,
+        )
+
+    def _revert_to(self, cp) -> list[int]:
+        """Emit compensating writes for everything journaled since the
+        checkpoint (reverse order), restore the shadow state, and return
+        the new rows' rw indices."""
+        jlen, accounts, ala, als, refund = cp
+        out = []
+        for ji in reversed(self.journal[jlen:]):
+            r = self.rws.rows[ji]
+            out.append(
+                self._push(
+                    rw=RW.WRITE, tag=r.tag, id=r.id, address=r.address,
+                    field=r.field, storage_key=r.storage_key,
+                    value=r.value_prev, value_prev=r.value,
+                )
+            )
+        del self.journal[jlen:]
+        self.sdb.accounts = accounts
+        self.sdb.access_list_account = ala
+        self.sdb.access_list_storage = als
+        self.refund = refund
+        return out
+
+    # -- tx entry ---------------------------------------------------------
     def handle_tx(
-        self, trace: GethExecTrace, *, caller: int, callee: int, value: int = 0
+        self, trace: GethExecTrace, *, caller: int, callee: int,
+        value: int = 0, calldata: bytes = b"",
     ) -> None:
-        """Full tx replay: BeginTx (call-context reads, callee code-hash
-        read, balance transfer) -> opcode steps -> EndTx (reference:
-        gen_associated_steps BeginTx/EndTx, evm/opcodes.rs:532 +
-        begin_end_tx.rs). Single call depth; receipts/refunds later."""
+        """Full tx replay: BeginTx (call-context reads, nonce bump, callee
+        code-hash read, balance transfer) -> call tree -> EndTx
+        (reference: gen_associated_steps BeginTx/EndTx, evm/opcodes.rs:532
+        + execution/begin_end_tx.rs)."""
         logs = trace.struct_logs
+        # per-tx warm-up mirrors the tracer's
+        self.sdb.access_list_account = {caller, callee}
+        self.sdb.access_list_storage = set()
+        self._original = {
+            (a, k): v
+            for a, acc in self.sdb.accounts.items()
+            for k, v in acc.storage.items()
+        }
+
+        root = Call(
+            call_id=self.next_call_id, caller_id=0, depth=1,
+            caller_address=caller, address=callee, code_address=callee,
+            code_hash=self.sdb.get_account(callee).code_hash, value=value,
+            calldata=bytes(calldata), is_static=False, is_root=True,
+            is_success=not trace.failed,
+        )
+        self.next_call_id += 1
+        self.calls.append(root)
+
         begin = ExecStep(
             pc=0, op=0, gas_left=(logs[0].gas if logs else 0), gas_cost=0,
             rw_counter_start=self.rwc, stack_pointer=STACK_CAP,
-            exec_state="BeginTx",
+            exec_state="BeginTx", call_id=root.call_id,
         )
-        begin.rw_indices.append(
-            self.call_context(CallContextField.CALLER_ADDRESS, caller)
+        ri = begin.rw_indices
+        ri.append(self.call_context(root.call_id, CallContextField.CALLER_ADDRESS, caller))
+        ri.append(self.call_context(root.call_id, CallContextField.CALLEE_ADDRESS, callee))
+        ri.append(self.call_context(root.call_id, CallContextField.VALUE, value))
+        cal = self.sdb.ensure(caller)
+        ri.append(
+            self.account(RW.WRITE, caller, AccountField.NONCE, cal.nonce + 1, cal.nonce)
         )
-        begin.rw_indices.append(
-            self.call_context(CallContextField.CALLEE_ADDRESS, callee)
-        )
-        begin.rw_indices.append(self.call_context(CallContextField.VALUE, value))
+        cal.nonce += 1
         ch = self.sdb.get_account(callee).code_hash
-        begin.rw_indices.append(
-            self.account(RW.READ, callee, AccountField.CODE_HASH, ch, ch)
-        )
+        ri.append(self.account(RW.READ, callee, AccountField.CODE_HASH, ch, ch))
         assert caller != callee, "self-transfer not supported yet"
-        cal, cee = self.sdb.ensure(caller), self.sdb.ensure(callee)
+        # the value transfer is reversible: a failed tx keeps the nonce
+        # bump but rolls the transfer (and all execution writes) back
+        cp = self._checkpoint()
+        cee = self.sdb.ensure(callee)
         prev_cal, prev_cee = cal.balance, cee.balance
         assert cal.balance >= value, "insufficient balance"
         cal.balance -= value
         cee.balance += value
-        begin.rw_indices.append(
-            self.account(RW.WRITE, caller, AccountField.BALANCE, cal.balance, prev_cal)
+        ri.append(
+            self.account(RW.WRITE, caller, AccountField.BALANCE, cal.balance,
+                         prev_cal, reversible=True)
         )
-        begin.rw_indices.append(
-            self.account(RW.WRITE, callee, AccountField.BALANCE, cee.balance, prev_cee)
+        ri.append(
+            self.account(RW.WRITE, callee, AccountField.BALANCE, cee.balance,
+                         prev_cee, reversible=True)
         )
         self.steps.append(begin)
 
-        self.handle_call(trace, caller=caller, callee=callee, value=value)
+        end_i = self._walk(logs, 0, root)
+        assert end_i == len(logs), f"unconsumed trace steps at {end_i}"
+        if trace.failed:
+            self._revert_to(cp)
+
+        self._audit_gas(logs)
 
         last = logs[-1] if logs else None
         end = ExecStep(
             pc=0, op=0,
             gas_left=(last.gas - last.gas_cost) if last else 0, gas_cost=0,
             rw_counter_start=self.rwc, stack_pointer=STACK_CAP,
-            exec_state="EndTx",
+            exec_state="EndTx", call_id=root.call_id,
+        )
+        end.rw_indices.append(
+            self._push(
+                rw=RW.READ, tag=Target.TX_REFUND, id=self.tx_id,
+                value=self.refund, value_prev=self.refund,
+            )
         )
         self.steps.append(end)
-    def handle_call(
-        self, trace: GethExecTrace, *, caller: int, callee: int, value: int = 0
-    ) -> None:
-        """Replay a single-depth call trace into RW ops + exec steps
-        (reference: handle_tx's per-step loop, circuit_input_builder.rs:544)."""
-        logs = trace.struct_logs
-        storage_shadow = dict(self.sdb.get_account(callee).storage)
-        for i, step in enumerate(logs):
-            nxt = logs[i + 1] if i + 1 < len(logs) else None
-            self._gen_step(step, nxt, caller=caller, callee=callee, call_value=value,
-                           storage_shadow=storage_shadow)
 
-    def _gen_step(self, step: GethExecStep, nxt, *, caller, callee, call_value,
-                  storage_shadow) -> None:
+    # -- call-tree walk ----------------------------------------------------
+    def _walk(self, logs: list[GethExecStep], i: int, call: Call) -> int:
+        """Replay logs[i:] belonging to `call` (depth d); returns the
+        index of the first step not in this call."""
+        d = call.depth
+        while i < len(logs) and logs[i].depth >= d:
+            step = logs[i]
+            if step.depth != d:
+                raise AssertionError("depth discontinuity in trace")
+            name = OPCODES[step.op].name
+            if name in ("CALL", "CALLCODE", "DELEGATECALL", "STATICCALL"):
+                i = self._handle_call_op(logs, i, call)
+            else:
+                nxt = logs[i + 1] if i + 1 < len(logs) else None
+                if nxt is not None and nxt.depth < d:
+                    nxt = None  # frame ends here; no successor in-frame
+                self._gen_step(step, nxt, call)
+                i += 1
+                if name in ("RETURN", "REVERT", "STOP", "SELFDESTRUCT", "INVALID"):
+                    break
+        return i
+
+    def _handle_call_op(self, logs, i, call: Call) -> int:
+        """CALL-family step: spawn the child call (if it executes), replay
+        it, then handle reversion."""
+        step = logs[i]
+        name = OPCODES[step.op].name
+        sp = STACK_CAP - len(step.stack)
+        es = ExecStep(
+            pc=step.pc, op=step.op, gas_left=step.gas, gas_cost=step.gas_cost,
+            rw_counter_start=self.rwc, stack_pointer=sp,
+            call_id=call.call_id, depth=call.depth,
+        )
+        self.steps.append(es)
+        ri = es.rw_indices
+
+        def top(k=0):
+            return step.stack[-1 - k]
+
+        has_value = name in ("CALL", "CALLCODE")
+        nargs = 7 if has_value else 6
+        for k in range(nargs):
+            ri.append(self.stack_read(call.call_id, sp + k, top(k)))
+        to = top(1) & ((1 << 160) - 1)
+        value = top(2) if has_value else 0
+        ai, _warm = self.access_account(to)
+        ri.append(ai)
+
+        # find the return point: the next step at this call's depth
+        j = i + 1
+        while j < len(logs) and logs[j].depth > call.depth:
+            j += 1
+        executed = j > i + 1
+        success = bool(logs[j].stack[-1]) if j < len(logs) else False
+
+        in_off, in_ln = top(3 if has_value else 2), top(4 if has_value else 3)
+        calldata = bytes(step.memory[in_off : in_off + in_ln].ljust(in_ln, b"\0")) \
+            if in_ln else b""
+
+        if name == "CALL":
+            caddr, saddr, cval = call.address, to, value
+        elif name == "CALLCODE":
+            caddr, saddr, cval = call.address, call.address, value
+        elif name == "DELEGATECALL":
+            caddr, saddr, cval = call.caller_address, call.address, call.value
+        else:  # STATICCALL
+            caddr, saddr, cval = call.address, to, 0
+
+        child = Call(
+            call_id=self.next_call_id, caller_id=call.call_id,
+            depth=call.depth + 1, caller_address=caddr, address=saddr,
+            code_address=to, code_hash=self.sdb.get_account(to).code_hash,
+            value=cval, calldata=calldata,
+            is_static=(call.is_static or name == "STATICCALL"),
+            is_root=False, is_success=success,
+        )
+        self.next_call_id += 1
+
+        if not executed:
+            # depth limit / insufficient balance: no child frame ran
+            ri.append(self.stack_write(call.call_id, sp + nargs - 1, 0))
+            return j
+
+        self.calls.append(child)
+        cp = self._checkpoint()
+        if name == "CALL" and value:
+            sender = self.sdb.ensure(call.address)
+            recv = self.sdb.ensure(to)
+            ps, pr = sender.balance, recv.balance
+            sender.balance -= value
+            recv.balance += value
+            ri.append(
+                self.account(RW.WRITE, call.address, AccountField.BALANCE,
+                             sender.balance, ps, reversible=True)
+            )
+            ri.append(
+                self.account(RW.WRITE, to, AccountField.BALANCE,
+                             recv.balance, pr, reversible=True)
+            )
+        # child context rows (reference: CallOpGadget's callee context writes)
+        for fld, v in [
+            (CallContextField.CALLER_ID, call.call_id),
+            (CallContextField.CALLER_ADDRESS, caddr),
+            (CallContextField.CALLEE_ADDRESS, saddr),
+            (CallContextField.CODE_ADDRESS, to),
+            (CallContextField.VALUE, cval),
+            (CallContextField.CALL_DATA_LENGTH, len(calldata)),
+            (CallContextField.IS_STATIC, int(child.is_static)),
+            (CallContextField.IS_SUCCESS, int(success)),
+            (CallContextField.DEPTH, child.depth),
+        ]:
+            ri.append(self.call_context(child.call_id, fld, v, rw=RW.WRITE))
+
+        end_i = self._walk(logs, i + 1, child)
+        assert end_i == j, f"child frame mismatch: {end_i} != {j}"
+        if not success:
+            self._revert_to(cp)
+        # result push (a write on the parent's post-call stack top)
+        ri.append(self.stack_write(call.call_id, sp + nargs - 1, int(success)))
+        return j
+
+    # -- per-opcode dispatch ----------------------------------------------
+    def _gen_step(self, step: GethExecStep, nxt, call: Call) -> None:
         info = OPCODES[step.op]
         name = info.name
+        cid = call.call_id
         sp = STACK_CAP - len(step.stack)  # stack pointer (reference convention)
         es = ExecStep(
             pc=step.pc, op=step.op, gas_left=step.gas, gas_cost=step.gas_cost,
             rw_counter_start=self.rwc, stack_pointer=sp,
+            call_id=cid, depth=call.depth,
         )
+        ri = es.rw_indices
 
         def top(k=0):
             return step.stack[-1 - k]
@@ -176,62 +478,277 @@ class CircuitInputBuilder:
         def nxt_top(k=0):
             return nxt.stack[-1 - k] if nxt else 0
 
+        def mem_word(mem: bytes, waddr: int) -> int:
+            chunk = mem[32 * waddr : 32 * waddr + 32]
+            return int.from_bytes(chunk.ljust(32, b"\x00"), "big")
+
         if 0x80 <= step.op <= 0x8F:  # DUPn: 1 read + 1 write
             idx = step.op - 0x80
-            es.rw_indices.append(self.stack_read(sp + idx, top(idx)))
-            es.rw_indices.append(self.stack_write(sp - 1, nxt_top()))
+            ri.append(self.stack_read(cid, sp + idx, top(idx)))
+            ri.append(self.stack_write(cid, sp - 1, nxt_top()))
         elif 0x90 <= step.op <= 0x9F:  # SWAPn: 2 reads + 2 writes
             idx = step.op - 0x8F
-            es.rw_indices.append(self.stack_read(sp, top(0)))
-            es.rw_indices.append(self.stack_read(sp + idx, top(idx)))
-            es.rw_indices.append(self.stack_write(sp + idx, top(0), prev=top(idx)))
-            es.rw_indices.append(self.stack_write(sp, top(idx), prev=top(0)))
-        elif name in ("CALLER", "CALLVALUE", "ADDRESS", "CALLDATASIZE"):
+            ri.append(self.stack_read(cid, sp, top(0)))
+            ri.append(self.stack_read(cid, sp + idx, top(idx)))
+            ri.append(self.stack_write(cid, sp + idx, top(0), prev=top(idx)))
+            ri.append(self.stack_write(cid, sp, top(idx), prev=top(0)))
+        elif name in ("CALLER", "CALLVALUE", "ADDRESS", "CALLDATASIZE",
+                      "RETURNDATASIZE"):
             fmap = {
-                "CALLER": (CallContextField.CALLER_ADDRESS, caller),
-                "ADDRESS": (CallContextField.CALLEE_ADDRESS, callee),
-                "CALLVALUE": (CallContextField.VALUE, call_value),
-                "CALLDATASIZE": (CallContextField.CALL_DATA_LENGTH, nxt_top()),
+                "CALLER": (CallContextField.CALLER_ADDRESS, call.caller_address),
+                "ADDRESS": (CallContextField.CALLEE_ADDRESS, call.address),
+                "CALLVALUE": (CallContextField.VALUE, call.value),
+                "CALLDATASIZE": (CallContextField.CALL_DATA_LENGTH,
+                                 len(call.calldata)),
+                "RETURNDATASIZE": (CallContextField.RETURN_DATA_LENGTH,
+                                   nxt_top()),
             }
             f, v = fmap[name]
-            es.rw_indices.append(self.call_context(f, v))
-            es.rw_indices.append(self.stack_write(sp - 1, nxt_top()))
+            ri.append(self.call_context(cid, f, v))
+            ri.append(self.stack_write(cid, sp - 1, nxt_top()))
+        elif name in ("BALANCE", "EXTCODESIZE", "EXTCODEHASH"):
+            addr = top(0) & ((1 << 160) - 1)
+            ri.append(self.stack_read(cid, sp, top(0)))
+            ai, _ = self.access_account(addr)
+            ri.append(ai)
+            acc = self.sdb.get_account(addr)
+            if name == "BALANCE":
+                ri.append(self.account(RW.READ, addr, AccountField.BALANCE,
+                                       acc.balance, acc.balance))
+            else:
+                ri.append(self.account(RW.READ, addr, AccountField.CODE_HASH,
+                                       acc.code_hash, acc.code_hash))
+            ri.append(self.stack_write(cid, sp, nxt_top(), prev=top(0)))
         elif name == "SLOAD":
             key = top(0)
-            val = storage_shadow.get(key, 0)
-            es.rw_indices.append(self.stack_read(sp, key))
-            es.rw_indices.append(
-                self.storage(RW.READ, callee, key, val, val)
-            )
-            es.rw_indices.append(self.stack_write(sp, val, prev=key))
+            ri.append(self.stack_read(cid, sp, key))
+            ai, _ = self.access_slot(call.address, key)
+            ri.append(ai)
+            val = self.sdb.get_storage(call.address, key)
+            ri.append(self.storage(RW.READ, call.address, key, val, val))
+            ri.append(self.stack_write(cid, sp, val, prev=key))
         elif name == "SSTORE":
             key, val = top(0), top(1)
-            prev = storage_shadow.get(key, 0)
-            es.rw_indices.append(self.stack_read(sp, key))
-            es.rw_indices.append(self.stack_read(sp + 1, val))
-            es.rw_indices.append(self.storage(RW.WRITE, callee, key, val, prev))
-            storage_shadow[key] = val
+            ri.append(self.stack_read(cid, sp, key))
+            ri.append(self.stack_read(cid, sp + 1, val))
+            ai, _ = self.access_slot(call.address, key)
+            ri.append(ai)
+            prev = self.sdb.get_storage(call.address, key)
+            new_refund = self.refund + _sstore_refund_delta(
+                self._original.get((call.address, key), 0), prev, val
+            )
+            if nxt is not None and nxt.refund != new_refund:
+                raise GasMismatch(
+                    f"refund mismatch at pc={step.pc}: "
+                    f"{new_refund} != trace {nxt.refund}"
+                )
+            ri.append(self.refund_write(new_refund))
+            ri.append(self.storage(RW.WRITE, call.address, key, val, prev))
+            self.sdb.set_storage(call.address, key, val)
         elif name == "MLOAD":
             off = top(0)
-            assert off % 32 == 0, "mini builder: word-aligned memory only"
-            word = nxt_top()
-            es.rw_indices.append(self.stack_read(sp, off))
-            es.rw_indices.append(self.memory_word(RW.READ, off // 32, word, word))
-            es.rw_indices.append(self.stack_write(sp, word, prev=off))
-        elif name == "MSTORE":
+            ri.append(self.stack_read(cid, sp, off))
+            w0 = off // 32
+            nwords = 1 if off % 32 == 0 else 2
+            for w in range(w0, w0 + nwords):
+                v = mem_word(nxt.memory if nxt else step.memory, w)
+                ri.append(self.memory_word(cid, RW.READ, w, v, v))
+            ri.append(self.stack_write(cid, sp, nxt_top(), prev=off))
+        elif name in ("MSTORE", "MSTORE8"):
             off, val = top(0), top(1)
-            assert off % 32 == 0, "mini builder: word-aligned memory only"
-            prev_word = int.from_bytes(step.memory[off : off + 32].ljust(32, b"\0"), "big")
-            es.rw_indices.append(self.stack_read(sp, off))
-            es.rw_indices.append(self.stack_read(sp + 1, val))
-            es.rw_indices.append(self.memory_word(RW.WRITE, off // 32, val, prev_word))
+            ri.append(self.stack_read(cid, sp, off))
+            ri.append(self.stack_read(cid, sp + 1, val))
+            w0 = off // 32
+            nwords = 1 if (name == "MSTORE8" or off % 32 == 0) else 2
+            for w in range(w0, w0 + nwords):
+                prev_w = mem_word(step.memory, w)
+                new_w = mem_word(nxt.memory, w) if nxt else prev_w
+                ri.append(self.memory_word(cid, RW.WRITE, w, new_w, prev_w))
+        elif name in ("CALLDATACOPY", "CODECOPY", "RETURNDATACOPY"):
+            doff, soff, ln = top(0), top(1), top(2)
+            for k in range(3):
+                ri.append(self.stack_read(cid, sp + k, top(k)))
+            self._copy_to_memory(es, call, name, doff, soff, ln, step, nxt)
+        elif name == "SHA3":
+            off, ln = top(0), top(1)
+            ri.append(self.stack_read(cid, sp, off))
+            ri.append(self.stack_read(cid, sp + 1, ln))
+            data = bytes(step.memory[off : off + ln].ljust(ln, b"\0")) if ln else b""
+            rwc0 = self.rwc
+            for w in range(off // 32, -(-(off + ln) // 32) if ln else off // 32):
+                v = mem_word(step.memory, w)
+                ri.append(self.memory_word(cid, RW.READ, w, v, v))
+            self.copy_events.append(CopyEvent(
+                src_type=CopyDataType.MEMORY, src_id=cid, src_addr=off,
+                src_addr_end=off + ln, dst_type=CopyDataType.RLC_ACC,
+                dst_id=cid, dst_addr=0, rw_counter_start=rwc0,
+                bytes_=[(b, False) for b in data],
+            ))
+            ri.append(self.stack_write(cid, sp + 1, nxt_top()))
+        elif name.startswith("LOG") and name != "LOG":  # LOG0..LOG4
+            ntopics = step.op - 0xA0
+            off, ln = top(0), top(1)
+            ri.append(self.stack_read(cid, sp, off))
+            ri.append(self.stack_read(cid, sp + 1, ln))
+            for k in range(ntopics):
+                ri.append(self.stack_read(cid, sp + 2 + k, top(2 + k)))
+            log_id = call.start_log_index + 1
+            call.start_log_index += 1
+            # address + topics + data bytes as TxLog rows (witness/rw.rs TxLogOp)
+            ri.append(self._push(
+                rw=RW.WRITE, tag=Target.TX_LOG, id=self.tx_id,
+                address=log_id, field=0, value=call.address,
+            ))
+            for k in range(ntopics):
+                ri.append(self._push(
+                    rw=RW.WRITE, tag=Target.TX_LOG, id=self.tx_id,
+                    address=log_id, field=1, storage_key=k, value=top(2 + k),
+                ))
+            data = bytes(step.memory[off : off + ln].ljust(ln, b"\0")) if ln else b""
+            rwc0 = self.rwc
+            self.copy_events.append(CopyEvent(
+                src_type=CopyDataType.MEMORY, src_id=cid, src_addr=off,
+                src_addr_end=off + ln, dst_type=CopyDataType.TX_LOG,
+                dst_id=self.tx_id, dst_addr=log_id, rw_counter_start=rwc0,
+                bytes_=[(b, False) for b in data],
+            ))
+        elif name == "EXP":
+            a, e = top(0), top(1)
+            ri.append(self.stack_read(cid, sp, a))
+            ri.append(self.stack_read(cid, sp + 1, e))
+            self.exp_events.append(ExpEvent(
+                identifier=self.rwc, base=a, exponent=e,
+                exponentiation=pow(a, e, 1 << 256),
+            ))
+            ri.append(self.stack_write(cid, sp + 1, nxt_top()))
+        elif name in ("RETURN", "REVERT"):
+            off, ln = top(0), top(1)
+            ri.append(self.stack_read(cid, sp, off))
+            ri.append(self.stack_read(cid, sp + 1, ln))
+            if ln:
+                data = bytes(step.memory[off : off + ln].ljust(ln, b"\0"))
+                self.copy_events.append(CopyEvent(
+                    src_type=CopyDataType.MEMORY, src_id=cid, src_addr=off,
+                    src_addr_end=off + ln, dst_type=CopyDataType.RETURN_DATA,
+                    dst_id=cid, dst_addr=0, rw_counter_start=self.rwc,
+                    bytes_=[(b, False) for b in data],
+                ))
         else:
             # generic stack op: read the popped operands, write the
             # produced values (they sit on top of the next step's stack)
             for k in range(info.pops):
-                es.rw_indices.append(self.stack_read(sp + k, top(k)))
+                ri.append(self.stack_read(cid, sp + k, top(k)))
             for k in range(info.pushes):
                 new_sp = sp + info.pops - 1 - k
-                es.rw_indices.append(self.stack_write(new_sp, nxt_top(info.pushes - 1 - k)))
+                ri.append(self.stack_write(cid, new_sp, nxt_top(info.pushes - 1 - k)))
 
         self.steps.append(es)
+
+    def _copy_to_memory(self, es, call, name, doff, soff, ln, step, nxt):
+        """Copy event + destination memory word writes for the *COPY ops
+        (reference: evm/opcodes/calldatacopy.rs etc. + CopyEvent)."""
+        cid = call.call_id
+        if name == "CALLDATACOPY":
+            src, styp, sid = call.calldata, (
+                CopyDataType.TX_CALLDATA if call.is_root else CopyDataType.MEMORY
+            ), (self.tx_id if call.is_root else call.caller_id)
+        elif name == "CODECOPY":
+            src = self.cdb.get(call.code_hash)
+            styp, sid = CopyDataType.BYTECODE, call.code_hash
+        else:  # RETURNDATACOPY
+            # source bytes are observable from the destination write
+            src = bytes(nxt.memory[doff : doff + ln]) if nxt else b""
+            styp, sid = CopyDataType.RETURN_DATA, call.call_id
+        rwc0 = self.rwc
+        if ln:
+            data = src[soff : soff + ln] if name != "RETURNDATACOPY" else src
+            data = bytes(data).ljust(ln, b"\x00")
+            w0, w1 = doff // 32, -(-(doff + ln) // 32)
+            for w in range(w0, w1):
+                prev_w = int.from_bytes(
+                    step.memory[32 * w : 32 * w + 32].ljust(32, b"\0"), "big"
+                )
+                new_w = int.from_bytes(
+                    (nxt.memory[32 * w : 32 * w + 32] if nxt else b"").ljust(32, b"\0"),
+                    "big",
+                )
+                es.rw_indices.append(
+                    self.memory_word(cid, RW.WRITE, w, new_w, prev_w)
+                )
+            code = self.cdb.get(call.code_hash) if name == "CODECOPY" else None
+            self.copy_events.append(CopyEvent(
+                src_type=styp, src_id=sid, src_addr=soff,
+                src_addr_end=soff + ln, dst_type=CopyDataType.MEMORY,
+                dst_id=cid, dst_addr=doff, rw_counter_start=rwc0,
+                bytes_=[
+                    (b, _is_code_at(code, soff + k) if code is not None else False)
+                    for k, b in enumerate(data)
+                ],
+            ))
+
+    # -- sanitizers --------------------------------------------------------
+    def _audit_gas(self, logs: list[GethExecStep]) -> None:
+        """Per-frame gas chain: within a depth level, gas[i+1] ==
+        gas[i] - gas_cost[i] (reference debug_assert at
+        circuit_input_builder.rs:586-600)."""
+        last_at_depth: dict[int, GethExecStep] = {}
+        for s in logs:
+            prev = last_at_depth.get(s.depth)
+            if prev is not None and prev.gas - prev.gas_cost != s.gas:
+                raise GasMismatch(
+                    f"gas chain broken at pc={s.pc} depth={s.depth}: "
+                    f"{prev.gas}-{prev.gas_cost} != {s.gas}"
+                )
+            last_at_depth[s.depth] = s
+            # returning to depth d invalidates deeper frames
+            for dd in [d for d in last_at_depth if d > s.depth]:
+                del last_at_depth[dd]
+
+    def check_post_state(self, expected: StateDB) -> list[str]:
+        """Compare the replayed StateDB against the tracer's post state
+        (reference: check_post_state, circuit_input_builder.rs:346-378)."""
+        errs = []
+        addrs = set(self.sdb.accounts) | set(expected.accounts)
+        for a in sorted(addrs):
+            mine, want = self.sdb.get_account(a), expected.get_account(a)
+            if mine.balance != want.balance:
+                errs.append(f"balance[{a:#x}]: {mine.balance} != {want.balance}")
+            if mine.nonce != want.nonce:
+                errs.append(f"nonce[{a:#x}]: {mine.nonce} != {want.nonce}")
+            keys = set(mine.storage) | set(want.storage)
+            for k in sorted(keys):
+                mv = mine.storage.get(k, 0)
+                wv = want.storage.get(k, 0)
+                if mv != wv:
+                    errs.append(f"storage[{a:#x}][{k}]: {mv} != {wv}")
+        return errs
+
+
+def _sstore_refund_delta(original: int, current: int, new: int) -> int:
+    """EIP-3529 SSTORE refund change (mirrors the tracer's accounting;
+    reference: geth gas model via the Go tracer)."""
+    if new == current:
+        return 0
+    delta = 0
+    if current == original:
+        if original != 0 and new == 0:
+            delta += 4800
+    else:
+        if original != 0:
+            if current == 0:
+                delta -= 4800
+            elif new == 0:
+                delta += 4800
+        if new == original:
+            delta += (20000 - 100) if original == 0 else (5000 - 2100 - 100)
+    return delta
+
+
+def _is_code_at(code: bytes, i: int) -> bool:
+    """True if code[i] is an opcode (not push data)."""
+    j = 0
+    while j < len(code):
+        if j == i:
+            return True
+        j += 1 + push_size(code[j])
+    return False

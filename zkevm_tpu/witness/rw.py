@@ -40,6 +40,16 @@ class CallContextField(IntEnum):
     CALL_DATA_LENGTH = 4
     TX_ID = 5
     IS_SUCCESS = 6
+    CALLER_ID = 7
+    IS_STATIC = 8
+    IS_PERSISTENT = 9
+    IS_ROOT = 10
+    CODE_ADDRESS = 11
+    RETURN_DATA_LENGTH = 12
+    PROGRAM_COUNTER = 13
+    STACK_POINTER = 14
+    GAS_LEFT = 15
+    DEPTH = 16
 
 
 class AccountField(IntEnum):
