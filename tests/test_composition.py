@@ -54,11 +54,11 @@ def test_composition_satisfied(circuit):
     cs, ch, ktcfg, btcfg = circuit
     kwit, bwit = _witness(cs, ktcfg, btcfg, [CODE1, CODE2])
     _mock(cs, kwit, bwit).assert_satisfied()
-    # the linked code_hash equals the digest RLC convention
+    # the linked code_hash halves equal keccak256(code)
     hrow = bwit.spans[0][0]
-    assert FR.decode(kwit.asg.cols[btcfg.code_hash][hrow]) == rlc_bytes(
-        keccak256(CODE1), R_WORD
-    )
+    full = int.from_bytes(keccak256(CODE1), "big")
+    assert FR.decode(kwit.asg.cols[btcfg.code_hash][hrow]) == full & ((1 << 128) - 1)
+    assert FR.decode(kwit.asg.cols[btcfg.code_hash_hi][hrow]) == full >> 128
 
 
 def test_fabricated_code_hash_rejected(circuit):

@@ -93,7 +93,8 @@ def test_pure_transfer_proven(circuit):
     builder = CircuitInputBuilder(pre, cdb)
     builder.handle_tx(tr, caller=CALLER, callee=CALLEE, value=VALUE)
     assert builder.check_post_state(sdb) == []
-    asg = witness(circuit, builder, bc.unroll(b"")[0]["code_hash"], code=b"")
+    from zkevm_tpu.etypes.state import EMPTY_CODE_HASH
+    asg = witness(circuit, builder, EMPTY_CODE_HASH, code=b"")
     MockProver(cs, asg).assert_satisfied()
 
 

@@ -7,15 +7,16 @@ distinguishing opcodes from PUSH-data bytes; the table feeds BytecodeTable
 lookups from the EVM circuit.
 
 Two modes:
-- standalone (`configure(cs)`): code_hash is a phase-0 advice column
-  carrying keccak256(code) as a field element, constant per bytecode but
-  otherwise unconstrained (round-1 behavior, kept for the cheap tests).
-- linked (`configure(cs, challenges, keccak_table)`): code_hash is a
-  phase-1 column holding RLC(evm_word) of the keccak digest, a running
-  phase-1 byte RLC (keccak_input challenge) accumulates over each
-  bytecode's bytes, and the LAST body row of each bytecode looks up
-  (1, byte_rlc, length, code_hash) in the shared KeccakTable — the
-  reference's keccak code-hash link (bytecode_circuit/circuit.rs:46).
+- standalone (`configure(cs)`): code_hash (lo, hi) are phase-0 advice
+  columns carrying keccak256(code) as 128-bit halves, constant per
+  bytecode but otherwise unconstrained (cheap tests).
+- linked (`configure(cs, challenges, keccak_table)`): a running phase-1
+  byte RLC (keccak_input challenge) accumulates over each bytecode's
+  bytes, and the LAST body row of each bytecode looks up
+  (1, byte_rlc, length, hash_lo, hash_hi) in the shared KeccakTable —
+  the reference's keccak code-hash link (bytecode_circuit/circuit.rs:46),
+  with the digest as word halves so phase-0 consumers (EVM circuit,
+  RwTable account rows) link hashes without randomness.
   Empty bytecodes have no body rows and are not hash-linked (the
   reference's empty-hash special case, deferred).
 
@@ -47,7 +48,8 @@ class BytecodeConfig:
     t_byte: Column  # fixed push table: byte value 0..255
     t_psize: Column  # fixed push table: push size of that byte
     tag: Column
-    code_hash: Column
+    code_hash: Column  # low 128 bits of keccak256(code)
+    code_hash_hi: Column  # high 128 bits
     index: Column
     byte: Column
     psize: Column
@@ -66,7 +68,8 @@ def configure(cs: ConstraintSystem, challenges=None, keccak_table=None) -> Bytec
     t_byte = cs.fixed_column()
     t_psize = cs.fixed_column()
     tag = cs.advice_column()
-    code_hash = cs.advice_column(phase=1 if linked else 0)
+    code_hash = cs.advice_column()
+    code_hash_hi = cs.advice_column()
     index = cs.advice_column()
     byte = cs.advice_column()
     psize = cs.advice_column()
@@ -89,6 +92,7 @@ def configure(cs: ConstraintSystem, challenges=None, keccak_table=None) -> Bytec
         [
             q_cont.cur() * (index.next() - index.cur() - one),
             q_cont.cur() * (code_hash.next() - code_hash.cur()),
+            q_cont.cur() * (code_hash_hi.next() - code_hash_hi.cur()),
             q_cont.cur()
             * (
                 pdl.next()
@@ -121,18 +125,19 @@ def configure(cs: ConstraintSystem, challenges=None, keccak_table=None) -> Bytec
         )
         # last body row (q_body=1, q_cont=0): keccak(code bytes) == hash
         q_last = q_body.cur() - q_cont.cur()
-        keccak_table.lookup(
+        keccak_table.lookup_word(
             cs,
             "bytecode_code_hash",
             q_last,
             brlc.cur(),
             index.cur() + one,
             code_hash.cur(),
+            code_hash_hi.cur(),
         )
 
     return BytecodeConfig(
-        q_body, q_cont, t_byte, t_psize, tag, code_hash, index, byte, psize,
-        pdl, pdl_inv, is_code, q_first, brlc,
+        q_body, q_cont, t_byte, t_psize, tag, code_hash, code_hash_hi,
+        index, byte, psize, pdl, pdl_inv, is_code, q_first, brlc,
     )
 
 
@@ -147,8 +152,11 @@ def assign_fixed(
 
 def unroll(code: bytes):
     """-> list of row dicts (header + per-byte) for one bytecode."""
-    h = int.from_bytes(keccak256(code), "big") % FR_MOD
-    rows = [dict(tag=1, code_hash=h, index=0, byte=len(code), psize=0, pdl=0)]
+    full = int.from_bytes(keccak256(code), "big")
+    h = full & ((1 << 128) - 1)
+    h_hi = full >> 128
+    rows = [dict(tag=1, code_hash=h, code_hash_hi=h_hi, index=0,
+                 byte=len(code), psize=0, pdl=0)]
     pdl = 0
     for i, b in enumerate(code):
         is_code = 1 if pdl == 0 else 0
@@ -159,7 +167,8 @@ def unroll(code: bytes):
         # transition gates by is_code so data-row psize is inert.
         ps = push_size(b)
         rows.append(
-            dict(tag=0, code_hash=h, index=i, byte=b, psize=ps, pdl=pdl)
+            dict(tag=0, code_hash=h, code_hash_hi=h_hi, index=i, byte=b,
+                 psize=ps, pdl=pdl)
         )
         pdl = ps if is_code else pdl - 1
     return rows
@@ -189,8 +198,8 @@ def assign(
                 if linked and j == 1:
                     asg.cols[cfg.q_first][r] = one
             asg.set_int(cfg.tag, r, row["tag"])
-            if not linked:
-                asg.set_int(cfg.code_hash, r, row["code_hash"])
+            asg.set_int(cfg.code_hash, r, row["code_hash"])
+            asg.set_int(cfg.code_hash_hi, r, row["code_hash_hi"])
             asg.set_int(cfg.index, r, row["index"])
             asg.set_int(cfg.byte, r, row["byte"])
             asg.set_int(cfg.psize, r, row["psize"])
@@ -219,17 +228,10 @@ class BytecodeWitness:
     def fill_phase1(self, r_keccak: int, r_word: int) -> None:
         cfg, asg = self.cfg, self.asg
         for start, code in self.spans:
-            digest = keccak256(code)
-            h = 0
-            for b in digest:
-                h = (h * r_word + b) % FR_MOD
             acc = 0
             for i, b in enumerate(code):
                 acc = (acc * r_keccak + b) % FR_MOD
                 asg.set_int(cfg.brlc, start + i, acc)
-            # code_hash on header + every body row of this bytecode
-            for rr in range(start - 1, start + len(code)):
-                asg.set_int(cfg.code_hash, rr, h)
 
     def witness_phases(self, challenges):
         """create_proof callback (see keccak_table.KeccakWitness)."""

@@ -117,7 +117,8 @@ class EvmConfig:
     gc: Column  # gas cost of this step
     sp: Column
     rwc: Column
-    code_hash: Column
+    code_hash: Column  # low 128 bits of keccak256(code)
+    code_hash_hi: Column
     callee: Column
     opn: Column  # push size / dup index / swap index operand
     is_sub: Column
@@ -153,6 +154,7 @@ def configure(
     sp = cs.advice_column()
     rwc = cs.advice_column()
     code_hash = cs.advice_column()
+    code_hash_hi = cs.advice_column()
     callee = cs.advice_column()
     opn = cs.advice_column()
     is_sub = cs.advice_column()
@@ -281,7 +283,8 @@ def configure(
     cs.create_gate("ev_begin_tx", [
         B * k[1],
         B * k[3],
-        B * (code_hash.cur() - comb(w[5])),
+        B * (code_hash.cur() - w[5][0].cur()),
+        B * (code_hash_hi.cur() - w[5][1].cur()),
         B * (callee.cur() - comb(w[2])),
     ])
     caller_prev_lo = w[3][0].cur() + w[0][0].cur() - k[0] * TWO128
@@ -313,6 +316,7 @@ def configure(
         trans(gas_left, {}, lambda s: gas_left.cur() - gc.cur()),
         trans(rwc, {}, lambda s: rwc.cur() + Const(NRW[s])),
         trans(code_hash, {}, lambda s: code_hash.cur()),
+        trans(code_hash_hi, {}, lambda s: code_hash_hi.cur()),
         trans(callee, {}, lambda s: callee.cur()),
     ])
 
@@ -422,21 +426,21 @@ def configure(
         op_en = op_en + S[s]
     bytecode_table.lookup(
         cs, "ev_opcode_fetch", op_en,
-        code_hash.cur(), pc.cur(), opcode.cur(), one,
+        code_hash.cur(), code_hash_hi.cur(), pc.cur(), opcode.cur(), one,
     )
     bytecode_table.lookup(
         cs, "ev_push_byte0", S[ES.PUSH],
-        code_hash.cur(), pc.cur() + one, bb0.cur(), ZERO,
+        code_hash.cur(), code_hash_hi.cur(), pc.cur() + one, bb0.cur(), ZERO,
     )
     bytecode_table.lookup(
         cs, "ev_push_byte1", S[ES.PUSH] * (opn.cur() - one),
-        code_hash.cur(), pc.cur() + Const(2), bb1.cur(), ZERO,
+        code_hash.cur(), code_hash_hi.cur(), pc.cur() + Const(2), bb1.cur(), ZERO,
     )
 
     return EvmConfig(
         q_step, q_first, q_last, q_trans, sel, pc, opcode, gas_left, gc, sp,
-        rwc, code_hash, callee, opn, is_sub, warm, bb0, bb1, w, carries,
-        pcell, aux, rt4,
+        rwc, code_hash, code_hash_hi, callee, opn, is_sub, warm, bb0, bb1,
+        w, carries, pcell, aux, rt4,
     )
 
 
@@ -483,9 +487,7 @@ def assign(
     asg.cols[cfg.q_last][m - 1] = one
     asg.cols[cfg.q_trans][: m - 1] = one
 
-    from zkevm_tpu.ff.goldens import FR_MOD
-
-    ch_fr = code_hash % FR_MOD
+    ch_lo, ch_hi = code_hash & M128, code_hash >> 128
 
     end_gas = 0
     end_rwc = 1
@@ -501,7 +503,8 @@ def assign(
         asg.set_int(cfg.gc, r, step.gas_cost)
         asg.set_int(cfg.sp, r, step.stack_pointer)
         asg.set_int(cfg.rwc, r, step.rw_counter_start)
-        asg.set_int(cfg.code_hash, r, ch_fr)
+        asg.set_int(cfg.code_hash, r, ch_lo)
+        asg.set_int(cfg.code_hash_hi, r, ch_hi)
         asg.set_int(cfg.callee, r, callee)
         end_gas = step.gas_left - step.gas_cost
         end_rwc = step.rw_counter_start + len(step.rw_indices)
@@ -591,7 +594,8 @@ def assign(
         asg.set_int(cfg.gas_left, r, end_gas)
         asg.set_int(cfg.sp, r, STACK_CAP)
         asg.set_int(cfg.rwc, r, end_rwc)
-        asg.set_int(cfg.code_hash, r, ch_fr)
+        asg.set_int(cfg.code_hash, r, ch_lo)
+        asg.set_int(cfg.code_hash_hi, r, ch_hi)
         asg.set_int(cfg.callee, r, callee)
     return asg
 

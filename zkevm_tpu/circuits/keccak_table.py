@@ -261,11 +261,25 @@ def configure(cs: ConstraintSystem, challenges: Challenges) -> KeccakTableConfig
     )
 
     # -- the KeccakTable surface (last row of each permutation) ----------
+    # digest (lo, hi) halves as expressions over the output-state bit rows:
+    # digest byte i = byte (i%8) of output lane (i//8), big-endian integer
+    # convention (digest[0] most significant). No extra columns needed.
+    def digest_half(lanes, top_i):
+        acc = Const(0)
+        for l in lanes:
+            rot = -(TABLE_ROW - (DIGEST_ROW0 + l))
+            for j in range(8):
+                i = 8 * l + j
+                acc = acc + Const(1 << (8 * (top_i - i))) * _byte_expr(bits, j, rot)
+        return acc
+
     table = KeccakTable(
         enabled=q_table.cur() * is_final.rot(-(TABLE_ROW - 24)),
         input_rlc=q_table.cur() * rlc8.columns[7].rot(-(TABLE_ROW - 16)),
         input_len=q_table.cur() * dlen.rot(-(TABLE_ROW - 16)),
         output_rlc=q_table.cur() * orlc.rot(-(TABLE_ROW - (DIGEST_ROW0 + 3))),
+        output_lo=q_table.cur() * digest_half([2, 3], 31),
+        output_hi=q_table.cur() * digest_half([0, 1], 15),
     )
 
     return KeccakTableConfig(

@@ -62,13 +62,19 @@ def rlc_bytes(data: bytes, r: int) -> int:
 @dataclass
 class KeccakTable:
     """One row per FINAL sponge permutation (table.rs:1435 KeccakTable:
-    is_enabled, input_rlc, input_len, output_rlc). Filled by the keccak
-    table circuit; consumed by bytecode/tx/... circuits."""
+    is_enabled, input_rlc, input_len, output). Filled by the keccak table
+    circuit; consumed by bytecode/tx/... circuits. The digest is exposed
+    both as RLC(evm_word) and as (lo, hi) 128-bit halves — the halves are
+    free expressions over the digest bit rows (no extra columns) and let
+    phase-0 consumers (RwTable word-lo-hi fabric, EVM circuit code_hash)
+    link hashes without touching phase-1."""
 
     enabled: Expr
     input_rlc: Expr  # RLC(keccak_input) over the unpadded message bytes
     input_len: Expr
     output_rlc: Expr  # RLC(evm_word) over the 32 digest bytes
+    output_lo: Expr  # low 128 bits of the big-endian digest integer
+    output_hi: Expr
 
     def lookup(self, cs: ConstraintSystem, name: str, q: Expr,
                input_rlc: Expr, input_len: Expr, output_rlc: Expr) -> None:
@@ -81,6 +87,21 @@ class KeccakTable:
                 (q * input_rlc, self.input_rlc),
                 (q * input_len, self.input_len),
                 (q * output_rlc, self.output_rlc),
+            ],
+        )
+
+    def lookup_word(self, cs: ConstraintSystem, name: str, q: Expr,
+                    input_rlc: Expr, input_len: Expr,
+                    output_lo: Expr, output_hi: Expr) -> None:
+        """Like lookup, but against the digest's (lo, hi) word halves."""
+        cs.lookup(
+            name,
+            [
+                (q, self.enabled),
+                (q * input_rlc, self.input_rlc),
+                (q * input_len, self.input_len),
+                (q * output_lo, self.output_lo),
+                (q * output_hi, self.output_hi),
             ],
         )
 
@@ -129,12 +150,14 @@ class RwTable:
 
 @dataclass
 class BytecodeTable:
-    """(code_hash_rlc, index, byte, is_code) rows (table.rs:208
-    BytecodeTable) — the EVM circuit's opcode-fetch surface."""
+    """(code_hash_lo, code_hash_hi, index, byte, is_code) rows
+    (table.rs:1182 BytecodeTable) — the EVM circuit's opcode-fetch
+    surface. The hash is keccak256(code) as 128-bit halves (phase-0,
+    consistent with the RwTable's account code-hash words)."""
 
     enabled: Expr
-    code_hash: Expr  # RLC(evm_word) of keccak256(code); keccak256 mod p in
-    # the bytecode circuit's standalone mode
+    code_hash: Expr  # low 128 bits of keccak256(code)
+    code_hash_hi: Expr
     index: Expr
     byte: Expr
     is_code: Expr
@@ -146,18 +169,21 @@ class BytecodeTable:
         return cls(
             enabled=qb,
             code_hash=qb * cfg.code_hash.cur(),
+            code_hash_hi=qb * cfg.code_hash_hi.cur(),
             index=qb * cfg.index.cur(),
             byte=qb * cfg.byte.cur(),
             is_code=qb * cfg.is_code.cur(),
         )
 
     def lookup(self, cs: ConstraintSystem, name: str, q: Expr,
-               code_hash: Expr, index: Expr, byte: Expr, is_code: Expr) -> None:
+               code_hash: Expr, code_hash_hi: Expr, index: Expr,
+               byte: Expr, is_code: Expr) -> None:
         cs.lookup(
             name,
             [
                 (q, self.enabled),
                 (q * code_hash, self.code_hash),
+                (q * code_hash_hi, self.code_hash_hi),
                 (q * index, self.index),
                 (q * byte, self.byte),
                 (q * is_code, self.is_code),
