@@ -223,8 +223,10 @@ def test_exp_event_and_log():
     assert tr.logs[0].topics == [0xAB]
     assert tr.logs[0].data == (1024).to_bytes(32, "big")[28:32]
     logrows = [r for r in builder.rws.rows if r.tag == Target.TX_LOG]
-    assert len(logrows) == 2  # address + 1 topic (data via copy event)
+    assert len(logrows) == 6  # address + 1 topic + 4 data bytes
     assert [r.value for r in logrows][:2] == [CALLEE, 0xAB]
+    data_rows = [r for r in logrows if r.field == 2]
+    assert bytes(r.value for r in data_rows) == tr.logs[0].data
     assert any(
         e.dst_type == 4 and bytes(b for b, _ in e.bytes_) == tr.logs[0].data
         for e in builder.copy_events

@@ -1,0 +1,283 @@
+"""Copy circuit: proves the byte-copy side events (CopyEvents).
+
+Reference counterpart: zkevm-circuits/src/copy_circuit.rs:71 (CopyTable
+events for CALLDATACOPY / CODECOPY / RETURNDATACOPY / SHA3 / LOGn /
+RETURN), consuming CopyEvents from bus-mapping
+(circuit_input_builder.rs:37).
+
+TPU-native redesign of the row layout: the reference interleaves
+read/write step-pair rows with Lt chips for padding; here every event
+occupies the 32-byte-WORD-ALIGNED span of its MEMORY side (exactly one
+side of every supported event is memory), one row per byte, with word
+anchors on a PERIODIC fixed selector (q_word is 1 every 32 region rows).
+That makes the memory linkage a pair of rotation-combined expressions —
+word_value_lo/hi = sum_j 2^(8(15-j)) byte.rot(j) over the group — so one
+RwTable lookup per word anchor proves the full 32-byte content against
+the word-level RW rows the witness builder emits, with zero
+byte-decomposition gadgets. Bytes outside [addr, addr_end) are is_pad
+rows carrying the surrounding memory content (constrained unchanged:
+byte == prev_byte on pad rows of write events).
+
+Per supported flow:
+- BYTECODE -> MEMORY (CODECOPY): per-byte BytecodeTable lookup on non-pad
+  rows + word WRITE RwTable lookups on anchors.
+- TX_CALLDATA -> MEMORY (root CALLDATACOPY): word WRITE lookups; calldata
+  bytes carried as witness (TxTable lookup arrives with the Tx circuit).
+- MEMORY -> TX_LOG (LOGn data): word READ lookups + per-byte TxLog DATA
+  RwTable lookups.
+- MEMORY -> RLC_ACC (SHA3) and MEMORY -> RETURN_DATA (RETURN/REVERT):
+  word READ lookups; the keccak link lands with the EVM SHA3 state.
+
+Known v1 gaps (documented scope): memory->memory copies (non-root
+CALLDATACOPY), out-of-range CODECOPY zero-fill (assigner rejects), and
+the RLC accumulator column for SHA3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from zkevm_tpu.ff.goldens import FR_MOD
+from zkevm_tpu.ff.limbs import fr_spec
+from zkevm_tpu.plonk.assign import Assignment
+from zkevm_tpu.plonk.cs import Column, ConstraintSystem
+from zkevm_tpu.plonk.expr import Const, Expr
+from zkevm_tpu.witness.builder import CopyDataType, CopyEvent
+from zkevm_tpu.witness.rw import RW, RwMap, Target
+
+FR = fr_spec()
+WORD = 32
+M128 = (1 << 128) - 1
+
+
+@dataclass
+class CopyConfig:
+    q_act: Column  # fixed: region rows
+    q_word: Column  # fixed: every 32nd region row (word anchors)
+    is_ev: Column
+    is_first: Column  # first row of an event (always a word anchor)
+    s_mem: Column  # src-type one-hot (under is_ev)
+    s_code: Column
+    s_free: Column  # src with no lookup yet (TX_CALLDATA, RETURN_DATA)
+    d_mem: Column  # dst-type one-hot
+    d_log: Column
+    d_free: Column  # dst with no lookup (RLC_ACC, RETURN_DATA)
+    t_src: Column  # numeric CopyDataType (for the CopyTable surface)
+    t_dst: Column
+    src_id: Column  # lo half (code-hash lo / call id / tx id)
+    src_id_hi: Column
+    dst_id: Column
+    aux_id: Column  # log_id for TX_LOG events
+    wa: Column  # memory word address (per group; +1 per continuation)
+    oaddr: Column  # other-side byte address (+1 per row)
+    rwc_w: Column  # word RW counter (read at anchors; honest via lookup)
+    rwc_d: Column  # per-byte dst RW counter (TX_LOG)
+    didx: Column  # per-byte dst data index (TX_LOG storage_key)
+    byte: Column  # memory content (new content for write events)
+    pbyte: Column  # previous memory content (write events)
+    is_code: Column  # bytecode-source is_code flag
+    is_pad: Column
+
+
+def configure(cs: ConstraintSystem, rw_table, bytecode_table=None) -> CopyConfig:
+    q_act = cs.fixed_column()
+    q_word = cs.fixed_column()
+    cols = [cs.advice_column() for _ in range(23)]
+    (is_ev, is_first, s_mem, s_code, s_free, d_mem, d_log, d_free,
+     t_src, t_dst, src_id, src_id_hi, dst_id, aux_id, wa, oaddr,
+     rwc_w, rwc_d, didx, byte, pbyte, is_code, is_pad) = cols
+
+    one = Const(1)
+    qa, qw = q_act.cur(), q_word.cur()
+    ev, first = is_ev.cur(), is_first.cur()
+
+    # -- booleans + type structure ---------------------------------------
+    cs.create_gate("cp_bool", [
+        qa * c.cur() * (one - c.cur())
+        for c in (is_ev, is_first, s_mem, s_code, s_free, d_mem, d_log,
+                  d_free, is_code, is_pad)
+    ])
+    cs.create_gate("cp_types", [
+        qa * (s_mem.cur() + s_code.cur() + s_free.cur() - ev),
+        qa * (d_mem.cur() + d_log.cur() + d_free.cur() - ev),
+        # exactly one side is memory (the anchored side)
+        qa * (s_mem.cur() + d_mem.cur() - ev),
+        first * (one - ev),
+        (qa - qw) * first,  # is_first only on word anchors
+        # numeric tags for the CopyTable surface
+        qa * s_mem.cur() * (t_src.cur() - Const(CopyDataType.MEMORY)),
+        qa * s_code.cur() * (t_src.cur() - Const(CopyDataType.BYTECODE)),
+        qa * d_mem.cur() * (t_dst.cur() - Const(CopyDataType.MEMORY)),
+        qa * d_log.cur() * (t_dst.cur() - Const(CopyDataType.TX_LOG)),
+    ])
+
+    # -- per-event constancy ---------------------------------------------
+    # within a word group (rows 1..31), and across continuation anchors
+    per_event = [is_ev, s_mem, s_code, s_free, d_mem, d_log, d_free,
+                 t_src, t_dst, src_id, src_id_hi, dst_id, aux_id]
+    inner = qa - qw  # non-anchor region rows
+    cont = qw * ev * (one - first)  # continuation anchors
+    cs.create_gate("cp_const", [
+        inner * (c.cur() - c.rot(-1)) for c in per_event + [wa]
+    ] + [
+        cont * (c.cur() - c.rot(-1)) for c in per_event
+    ] + [
+        cont * (wa.cur() - wa.rot(-1) - one),
+    ])
+    # address / counter chains (+1 per row; rwc_d/didx advance on non-pad)
+    step1 = inner * ev + cont
+    np_ = one - is_pad.cur()
+    cs.create_gate("cp_chains", [
+        step1 * (oaddr.cur() - oaddr.rot(-1) - one),
+        step1 * (rwc_d.cur() - rwc_d.rot(-1) - np_),
+        step1 * (didx.cur() - didx.rot(-1) - np_),
+    ])
+    # write events leave surrounding bytes unchanged
+    cs.create_gate("cp_pad", [qa * d_mem.cur() * is_pad.cur() * (byte.cur() - pbyte.cur())])
+
+    # -- word-anchor RwTable lookups -------------------------------------
+    def word_half(col: Column, j0: int) -> Expr:
+        acc = Const(0)
+        for j in range(j0, j0 + 16):
+            acc = acc + Const(1 << (8 * (j0 + 15 - j))) * col.rot(j)
+        return acc
+
+    v_hi, v_lo = word_half(byte, 0), word_half(byte, 16)
+    p_hi, p_lo = word_half(pbyte, 0), word_half(pbyte, 16)
+    ZERO = Const(0)
+    MEM = Const(int(Target.MEMORY))
+
+    en_r = qw * s_mem.cur()
+    rw_table.lookup(cs, "cp_word_read", [
+        en_r, en_r * rwc_w.cur(), ZERO, en_r * MEM, en_r * src_id.cur(),
+        en_r * wa.cur(), ZERO, ZERO,
+        en_r * v_lo, en_r * v_hi, en_r * v_lo, en_r * v_hi,
+    ])
+    en_w = qw * d_mem.cur()
+    rw_table.lookup(cs, "cp_word_write", [
+        en_w, en_w * rwc_w.cur(), en_w, en_w * MEM, en_w * dst_id.cur(),
+        en_w * wa.cur(), ZERO, ZERO,
+        en_w * v_lo, en_w * v_hi, en_w * p_lo, en_w * p_hi,
+    ])
+
+    # -- per-byte dst TX_LOG data rows -----------------------------------
+    en_l = qa * d_log.cur() * np_
+    rw_table.lookup(cs, "cp_log_data", [
+        en_l, en_l * rwc_d.cur(), en_l, en_l * Const(int(Target.TX_LOG)),
+        en_l * dst_id.cur(), en_l * aux_id.cur(), en_l * Const(2),
+        en_l * didx.cur(), en_l * byte.cur(), ZERO, ZERO, ZERO,
+    ])
+
+    # -- per-byte src bytecode lookup ------------------------------------
+    if bytecode_table is not None:
+        en_c = qa * s_code.cur() * np_
+        bytecode_table.lookup(
+            cs, "cp_code_byte", en_c,
+            src_id.cur(), src_id_hi.cur(), oaddr.cur(), byte.cur(),
+            is_code.cur(),
+        )
+
+    return CopyConfig(
+        q_act, q_word, is_ev, is_first, s_mem, s_code, s_free, d_mem,
+        d_log, d_free, t_src, t_dst, src_id, src_id_hi, dst_id, aux_id,
+        wa, oaddr, rwc_w, rwc_d, didx, byte, pbyte, is_code, is_pad,
+    )
+
+
+def capacity_groups(cs: ConstraintSystem, n: int) -> int:
+    return (cs.usable_rows(n) - 1) // WORD
+
+
+def assign(
+    cs: ConstraintSystem,
+    cfg: CopyConfig,
+    n: int,
+    events: list[CopyEvent],
+    rws: RwMap,
+    asg: Assignment | None = None,
+) -> Assignment:
+    asg = asg if asg is not None else Assignment(cs, n)
+    ngroups = capacity_groups(cs, n)
+    m = ngroups * WORD
+    one = FR.encode(1)
+    asg.cols[cfg.q_act][:m] = one
+    for g in range(ngroups):
+        asg.cols[cfg.q_word][g * WORD] = one
+
+    by_rwc = {r.rw_counter: r for r in rws.rows}
+    g = 0  # next free group
+    for ev in events:
+        src_is_mem = ev.src_type == CopyDataType.MEMORY
+        if not src_is_mem and ev.dst_type != CopyDataType.MEMORY:
+            raise NotImplementedError("one event side must be memory")
+        if src_is_mem and ev.dst_type == CopyDataType.MEMORY:
+            raise NotImplementedError("memory->memory copies (v1 gap)")
+        off = ev.src_addr if src_is_mem else ev.dst_addr
+        end = (ev.src_addr_end - ev.src_addr) + off
+        other0 = ev.dst_addr if src_is_mem else ev.src_addr
+        w0, w1 = off // WORD, -(-end // WORD) if end > off else off // WORD
+        nw = w1 - w0
+        assert g + nw <= ngroups, "copy region overflow"
+
+        mem_id = ev.src_id if src_is_mem else ev.dst_id
+        # word rows by rw counter (builder: consecutive from rw_counter_start)
+        words = [by_rwc[ev.rw_counter_start + i] for i in range(nw)]
+        for w in words:
+            assert w.tag == Target.MEMORY and w.id == mem_id
+
+        # per-byte dst rows for TX_LOG: locate the first DATA row
+        rwc_d0 = 0
+        if ev.dst_type == CopyDataType.TX_LOG:
+            rwc_d0 = next(
+                r.rw_counter for r in rws.rows
+                if r.tag == Target.TX_LOG and r.field == 2
+                and r.id == ev.dst_id and r.address == ev.dst_addr
+                and r.storage_key == 0
+            )
+
+        if ev.src_type == CopyDataType.BYTECODE:
+            assert ev.src_addr_end <= ev.src_addr + len(ev.bytes_), \
+                "out-of-range CODECOPY zero-fill is a v1 gap"
+
+        t_src, t_dst = ev.src_type, ev.dst_type
+        sid_lo, sid_hi = ev.src_id & M128, ev.src_id >> 128
+        cur_d = -1  # running non-pad counters (didx / rwc_d chains)
+        cur_rwc = rwc_d0 - 1
+        for gi in range(nw):
+            word = words[gi]
+            vb = int(word.value).to_bytes(32, "big")
+            pb = int(word.value_prev).to_bytes(32, "big")
+            for j in range(WORD):
+                r = (g + gi) * WORD + j
+                mb = WORD * (w0 + gi) + j  # memory byte address
+                pad = not (off <= mb < end)
+                asg.set_int(cfg.is_ev, r, 1)
+                if gi == 0 and j == 0:
+                    asg.set_int(cfg.is_first, r, 1)
+                asg.set_int(cfg.s_mem, r, int(src_is_mem))
+                asg.set_int(cfg.s_code, r, int(ev.src_type == CopyDataType.BYTECODE))
+                asg.set_int(cfg.s_free, r, int(not src_is_mem and ev.src_type != CopyDataType.BYTECODE))
+                asg.set_int(cfg.d_mem, r, int(not src_is_mem))
+                asg.set_int(cfg.d_log, r, int(ev.dst_type == CopyDataType.TX_LOG))
+                asg.set_int(cfg.d_free, r, int(src_is_mem and ev.dst_type != CopyDataType.TX_LOG))
+                asg.set_int(cfg.t_src, r, t_src)
+                asg.set_int(cfg.t_dst, r, t_dst)
+                asg.set_int(cfg.src_id, r, sid_lo)
+                asg.set_int(cfg.src_id_hi, r, sid_hi)
+                asg.set_int(cfg.dst_id, r, ev.dst_id)
+                asg.set_int(cfg.aux_id, r, ev.dst_addr if ev.dst_type == CopyDataType.TX_LOG else 0)
+                asg.set_int(cfg.wa, r, w0 + gi)
+                asg.set_int(cfg.oaddr, r, (other0 + (mb - off)) % FR_MOD)
+                asg.set_int(cfg.rwc_w, r, word.rw_counter)
+                if not pad:
+                    cur_d += 1
+                    cur_rwc += 1
+                asg.set_int(cfg.didx, r, cur_d % FR_MOD)
+                asg.set_int(cfg.rwc_d, r, cur_rwc % FR_MOD)
+                asg.set_int(cfg.byte, r, vb[j])
+                asg.set_int(cfg.pbyte, r, pb[j])
+                if not pad and ev.src_type == CopyDataType.BYTECODE:
+                    asg.set_int(cfg.is_code, r, int(ev.bytes_[mb - off][1]))
+                asg.set_int(cfg.is_pad, r, int(pad))
+        g += nw
+    return asg

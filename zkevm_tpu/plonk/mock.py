@@ -158,9 +158,14 @@ class MockProver:
                             bad = np.unique(rows_map[bad])
                         failures.append(Failure("gate", gate.name, pi, bad.tolist()))
 
+        def eval_rows(e):
+            # constants evaluate to a single (L,) limb vector — broadcast to
+            # per-row shape like the real prover's compress_vals does
+            return np.broadcast_to(np.asarray(e.evaluate(ctx)), (n, ff.L))
+
         for li, lk in enumerate(cs.lookups):
-            inputs = [np.asarray(e.evaluate(ctx)) for e in lk.inputs]
-            tables = [np.asarray(e.evaluate(ctx)) for e in lk.tables]
+            inputs = [eval_rows(e) for e in lk.inputs]
+            tables = [eval_rows(e) for e in lk.tables]
             tab_ids, inp_ids = _row_key_ids(tables, inputs, active)
             ok = np.isin(inp_ids, tab_ids)
             bad_rows = np.nonzero(~ok)[0]

@@ -337,6 +337,11 @@ class CircuitInputBuilder:
             )
         )
         self.steps.append(end)
+        # multi-tx blocks: advance per-tx context (reference handle_block's
+        # per-tx loop, circuit_input_builder.rs:294)
+        self.tx_id += 1
+        self.refund = 0
+        self.journal.clear()
 
     # -- call-tree walk ----------------------------------------------------
     def _walk(self, logs: list[GethExecStep], i: int, call: Call) -> int:
@@ -594,6 +599,12 @@ class CircuitInputBuilder:
                 ri.append(self.stack_read(cid, sp + 2 + k, top(2 + k)))
             log_id = call.start_log_index + 1
             call.start_log_index += 1
+            data = bytes(step.memory[off : off + ln].ljust(ln, b"\0")) if ln else b""
+            # source memory word reads (the copy circuit's word anchors)
+            rwc0 = self.rwc
+            for w in range(off // 32, -(-(off + ln) // 32) if ln else off // 32):
+                v = mem_word(step.memory, w)
+                ri.append(self.memory_word(cid, RW.READ, w, v, v))
             # address + topics + data bytes as TxLog rows (witness/rw.rs TxLogOp)
             ri.append(self._push(
                 rw=RW.WRITE, tag=Target.TX_LOG, id=self.tx_id,
@@ -604,8 +615,11 @@ class CircuitInputBuilder:
                     rw=RW.WRITE, tag=Target.TX_LOG, id=self.tx_id,
                     address=log_id, field=1, storage_key=k, value=top(2 + k),
                 ))
-            data = bytes(step.memory[off : off + ln].ljust(ln, b"\0")) if ln else b""
-            rwc0 = self.rwc
+            for k, b in enumerate(data):
+                ri.append(self._push(
+                    rw=RW.WRITE, tag=Target.TX_LOG, id=self.tx_id,
+                    address=log_id, field=2, storage_key=k, value=b,
+                ))
             self.copy_events.append(CopyEvent(
                 src_type=CopyDataType.MEMORY, src_id=cid, src_addr=off,
                 src_addr_end=off + ln, dst_type=CopyDataType.TX_LOG,
