@@ -64,8 +64,7 @@ def witness(circuit, builder, h, code=CODE, rows=None):
     st.assign(cs, st_cfg, N, rows if rows is not None
               else st.fix_value_prev(builder.rws.rows), asg)
     bc.assign(cs, bc_cfg, N, [code], asg)
-    evm.assign(cs, ev_cfg, N, builder.steps, builder.rws,
-               callee=CALLEE, code_hash=h, asg=asg)
+    evm.assign(cs, ev_cfg, N, builder.steps, builder.rws, asg=asg)
     return asg
 
 

@@ -1,22 +1,26 @@
-"""SuperCircuit composition: EVM + State + Bytecode + Keccak in one
-constraint system, with the full link chain proven — executed opcodes
-fetch from a BytecodeTable whose code_hash is keccak-verified, and every
-state access lives in the lexicographically-proven RwTable (reference
-super_circuit.rs:472, BASELINE milestone #3 with real code-hash binding)."""
+"""SuperCircuit composition: EVM + State + Bytecode + Keccak + Tx +
+Copy + PI in one constraint system, with the full link chain proven —
+executed opcodes fetch from a BytecodeTable whose code_hash is
+keccak-verified, every state access lives in the lexicographically-proven
+RwTable, BeginTx words are bound to the signed transactions in the
+TxTable, and the whole block closes over ONE public instance: the PI hash
+(reference super_circuit.rs:472, pi_circuit.rs:33; BASELINE milestone #3
+extended to a multi-tx block with a public-input commitment)."""
+
+import dataclasses
 
 import pytest
 
 from zkevm_tpu.circuits import super_circuit as sup
-from zkevm_tpu.etypes import CodeDB, StateDB
-from zkevm_tpu.etypes.trace import trace_call
+from zkevm_tpu.ff import FR
 from zkevm_tpu.plonk import ConstraintSystem, MockProver
-from zkevm_tpu.witness import CircuitInputBuilder
+from zkevm_tpu.testctx import TestContext
+from zkevm_tpu.witness.block import CircuitsParams, block_convert
 
-CALLER = 0xAAAA
-CALLEE = 0xBBBB
-VALUE = 10**15
 R_WORD, R_KECCAK = 0x100, 0x107
 CHALLENGES = [R_WORD, R_KECCAK, 0x10E]
+K = 14
+N = 1 << K
 
 # PUSH1 5; PUSH1 7; ADD; PUSH1 0; MSTORE; PUSH1 0; MLOAD; PUSH1 1;
 # SSTORE; JUMPDEST; STOP
@@ -24,40 +28,79 @@ CODE = bytes([
     0x60, 5, 0x60, 7, 0x01, 0x60, 0, 0x52,
     0x60, 0, 0x51, 0x60, 1, 0x55, 0x5B, 0x00,
 ])
+PARAMS = CircuitsParams(max_txs=2, max_calldata=16, max_rlp=128)
 
 
 @pytest.fixture(scope="module")
 def circuit():
     cs = ConstraintSystem()
-    cfg = sup.configure(cs, limb_bits=10)
+    cfg = sup.configure(cs, PARAMS, limb_bits=10)
     return cs, cfg
 
 
 def build():
-    sdb, cdb = StateDB(), CodeDB()
-    h = cdb.insert(CODE)
-    sdb.ensure(CALLEE).code_hash = h
-    sdb.ensure(CALLER).balance = 10**18
-    pre = sdb.clone()
-    tr = trace_call(sdb, cdb, caller=CALLER, callee=CALLEE, value=VALUE)
-    assert not tr.failed
-    builder = CircuitInputBuilder(pre, cdb)
-    builder.handle_tx(tr, caller=CALLER, callee=CALLEE, value=VALUE)
-    assert builder.check_post_state(sdb) == []
-    return builder, h
+    ctx = TestContext.new(
+        accounts=[
+            lambda a: a.balance(10**19),
+            lambda a: a.balance(10**18),
+            lambda a: a.code(CODE),
+        ],
+        txs=[
+            lambda t: t.from_(0).to(1).value(10**15),  # plain transfer
+            lambda t: t.from_(1).to(2).value(3),  # contract execution
+        ],
+    )
+    return block_convert(ctx, PARAMS)
 
 
 def test_super_circuit_proven(circuit):
     cs, cfg = circuit
-    builder, h = build()
-    k = sup.choose_k(cs, builder, [CODE])
-    assert k == 11  # one keccak permutation + small step/rw regions
-    usage = sup.row_usage(builder, [CODE])
-    assert usage["keccak"] == 1825 and usage["bytecode"] == len(CODE) + 2
-    wit = sup.assign(cs, cfg, 1 << k, builder, [CODE],
-                     callee=CALLEE, code_hash=h)
+    block = build()
+    usage = sup.row_usage(cfg, block)
+    assert usage["keccak"] == 7 * 1825  # 1 code + 2x2 rlp + 2 pi perms
+    assert sup.choose_k(cfg, block) == K
+    wit = sup.assign(cs, cfg, N, block)
     wit.fill_phase1(R_KECCAK, R_WORD)
     MockProver(cs, wit.asg, challenges=CHALLENGES).assert_satisfied()
+    # the public instance is the PI hash of exactly this block
+    from zkevm_tpu.circuits.pi_circuit import instance_values
+
+    assert wit.instance() == [instance_values(block.context, block.tx_hashes)]
+
+
+def test_super_forged_tx_value_rejected(circuit):
+    """EVM executes a different transfer value than the signed tx: the
+    BeginTx TxTable lookup must break."""
+    cs, cfg = circuit
+    block = build()
+    wit = sup.assign(cs, cfg, N, block)
+    # tamper the TxTable VALUE field row of tx 1 (slot 0)
+    from zkevm_tpu.circuits.tx_circuit import ROW, TxFieldTag
+
+    row = ROW[TxFieldTag.VALUE]
+    cur = FR.decode(wit.asg.cols[cfg.tx.value_lo][row])
+    assert cur == 10**15
+    wit.asg.set_int(cfg.tx.value_lo, row, cur + 1)
+    wit.fill_phase1(R_KECCAK, R_WORD)
+    fails = MockProver(cs, wit.asg, challenges=CHALLENGES).verify()
+    assert fails, "forged tx value accepted"
+
+
+def test_super_forged_storage_rejected(circuit):
+    """Claim a different SSTORE'd value in the state circuit rows."""
+    from zkevm_tpu.circuits import state_circuit as st
+    from zkevm_tpu.witness import RW, Target
+
+    cs, cfg = circuit
+    block = build()
+    rows = st.fix_value_prev(block.rws.rows)
+    for i, r in enumerate(rows):
+        if r.tag == Target.STORAGE and r.rw == RW.WRITE:
+            rows[i] = dataclasses.replace(r, value=r.value + 1)
+    wit = sup.assign(cs, cfg, N, block, rows=rows)
+    wit.fill_phase1(R_KECCAK, R_WORD)
+    fails = MockProver(cs, wit.asg, challenges=CHALLENGES).verify()
+    assert fails, "forged storage accepted"
 
 
 def test_super_fabricated_code_hash_rejected(circuit):
@@ -65,17 +108,9 @@ def test_super_fabricated_code_hash_rejected(circuit):
     keccak link must catch it even when bytecode+EVM agree with each
     other."""
     cs, cfg = circuit
-    builder, h = build()
-    fake = bytes([0x60, 9, 0x60, 7, 0x01, 0x60, 0, 0x52,
-                  0x60, 0, 0x51, 0x60, 1, 0x55, 0x5B, 0x00])
-    # bytecode circuit carries the REAL hash h over the FAKE bytes
-    import zkevm_tpu.circuits.bytecode_circuit as bc
-    orig = bc.keccak256
-    wit = sup.assign(cs, cfg, 1 << 12, builder, [CODE],
-                     callee=CALLEE, code_hash=h)
-    wit.fill_phase1(R_KECCAK, R_WORD)
-    # tamper: swap the bytecode-circuit byte rows to the fake code while
-    # keeping hash columns (and the keccak circuit hashing the real code)
+    block = build()
+    fake = bytes([0x60, 9]) + CODE[2:]
+    wit = sup.assign(cs, cfg, N, block)
     start, _ = wit.bwit.spans[0]
     for i, b in enumerate(fake):
         if CODE[i] != b:
@@ -85,23 +120,3 @@ def test_super_fabricated_code_hash_rejected(circuit):
     fails = MockProver(cs, wit.asg, challenges=CHALLENGES).verify()
     assert any(f.name == "bytecode_code_hash" for f in fails), \
         "fabricated code accepted"
-
-
-def test_super_forged_storage_rejected(circuit):
-    """Claim a different SSTORE'd value in the state circuit rows."""
-    import dataclasses
-
-    from zkevm_tpu.circuits import state_circuit as st
-    from zkevm_tpu.witness import RW, Target
-
-    cs, cfg = circuit
-    builder, h = build()
-    rows = st.fix_value_prev(builder.rws.rows)
-    for i, r in enumerate(rows):
-        if r.tag == Target.STORAGE and r.rw == RW.WRITE:
-            rows[i] = dataclasses.replace(r, value=r.value + 1)
-    wit = sup.assign(cs, cfg, 1 << 12, builder, [CODE],
-                     callee=CALLEE, code_hash=h, rows=rows)
-    wit.fill_phase1(R_KECCAK, R_WORD)
-    fails = MockProver(cs, wit.asg, challenges=CHALLENGES).verify()
-    assert fails, "forged storage accepted"

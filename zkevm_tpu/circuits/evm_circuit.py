@@ -111,6 +111,8 @@ class EvmConfig:
     q_last: Column  # fixed: last region row
     q_trans: Column  # fixed: region rows whose next row is also in region
     sel: ColumnGroup  # NSTATES one-hot
+    tx_id: Column  # current transaction (1-based; +1 at EndTx)
+    cid: Column  # root call id of the current tx
     pc: Column
     opcode: Column
     gas_left: Column
@@ -141,12 +143,15 @@ def configure(
     rw_table: RwTable,
     bytecode_table: BytecodeTable,
     rt4: RangeTable | None = None,
+    tx_table=None,
 ) -> EvmConfig:
     q_step = cs.fixed_column()
     q_first = cs.fixed_column()
     q_last = cs.fixed_column()
     q_trans = cs.fixed_column()
     sel = cs.advice_group("ev_sel", NSTATES)
+    tx_id = cs.advice_column()
+    cid = cs.advice_column()
     pc = cs.advice_column()
     opcode = cs.advice_column()
     gas_left = cs.advice_column()
@@ -184,6 +189,8 @@ def configure(
     cs.create_gate("ev_first_last", [
         qf * (S[ES.BEGIN_TX] - one),
         qf * (rwc.cur() - one),  # rw counter starts at 1 (row 0 is Start)
+        qf * (tx_id.cur() - one),
+        qf * (cid.cur() - one),
         ql * (S[ES.END_BLOCK] - one),
     ])
 
@@ -198,7 +205,7 @@ def configure(
     cs.create_gate("ev_transitions", [
         qt * S[ES.BEGIN_TX] * allowed(opcode_states + [ES.END_TX]),
         qt * S[ES.STOP] * allowed([ES.END_TX]),
-        qt * S[ES.END_TX] * allowed([ES.END_BLOCK]),
+        qt * S[ES.END_TX] * allowed([ES.BEGIN_TX, ES.END_BLOCK]),
         qt * S[ES.END_BLOCK] * allowed([ES.END_BLOCK]),
     ] + [
         qt * S[s] * allowed(opcode_states + [ES.END_TX])
@@ -310,14 +317,27 @@ def configure(
             pc_next[s] = pc.cur() + one
         if s not in sp_next:
             sp_next[s] = sp.cur() + Const(dsp) if dsp >= 0 else sp.cur() - Const(-dsp)
+    # at EndTx the next row is a fresh BeginTx: its own gate re-binds
+    # code_hash/callee from the account read, and gas restarts, so those
+    # chains are FREED across the boundary (next = its own rot(1) makes
+    # the EndTx term cancel).
     cs.create_gate("ev_step_next", [
         trans(pc, pc_next, lambda s: pc.cur()),
         trans(sp, sp_next, lambda s: sp.cur()),
-        trans(gas_left, {}, lambda s: gas_left.cur() - gc.cur()),
+        trans(gas_left, {ES.END_TX: gas_left.rot(1)},
+              lambda s: gas_left.cur() - gc.cur()),
         trans(rwc, {}, lambda s: rwc.cur() + Const(NRW[s])),
-        trans(code_hash, {}, lambda s: code_hash.cur()),
-        trans(code_hash_hi, {}, lambda s: code_hash_hi.cur()),
-        trans(callee, {}, lambda s: callee.cur()),
+        trans(code_hash, {ES.END_TX: code_hash.rot(1)},
+              lambda s: code_hash.cur()),
+        trans(code_hash_hi, {ES.END_TX: code_hash_hi.rot(1)},
+              lambda s: code_hash_hi.cur()),
+        trans(callee, {ES.END_TX: callee.rot(1)}, lambda s: callee.cur()),
+        trans(tx_id, {ES.END_TX: tx_id.cur() + one},
+              lambda s: tx_id.cur()),
+        # root call ids are sound without an explicit chain: every slot
+        # keyed by cid must hit a real RwTable row, so a forged cid has
+        # no matching rows; freed across the tx boundary
+        trans(cid, {ES.END_TX: cid.rot(1)}, lambda s: cid.cur()),
     ])
 
     # -- RW lookup slots --------------------------------------------------
@@ -330,10 +350,12 @@ def configure(
     )
 
     def stack_rd(addr, v):
-        return [ZERO, Const(STK), one, addr, ZERO, ZERO, v[0], v[1], v[0], v[1]]
+        return [ZERO, Const(STK), cid.cur(), addr, ZERO, ZERO,
+                v[0], v[1], v[0], v[1]]
 
     def stack_wr(addr, v, p):
-        return [one, Const(STK), one, addr, ZERO, ZERO, v[0], v[1], p[0], p[1]]
+        return [one, Const(STK), cid.cur(), addr, ZERO, ZERO,
+                v[0], v[1], p[0], p[1]]
 
     def wc(i):  # word cell exprs
         return (w[i][0].cur(), w[i][1].cur())
@@ -349,13 +371,13 @@ def configure(
         slots[i].append((state, [one, rwc.cur() + Const(i)] + fields))
 
     # BeginTx (order mirrors builder.handle_tx)
-    use(ES.BEGIN_TX, 0, [ZERO, Const(CC), one, ZERO,
+    use(ES.BEGIN_TX, 0, [ZERO, Const(CC), cid.cur(), ZERO,
                          Const(int(CallContextField.CALLER_ADDRESS)), ZERO,
                          *wc(1), *wc(1)])
-    use(ES.BEGIN_TX, 1, [ZERO, Const(CC), one, ZERO,
+    use(ES.BEGIN_TX, 1, [ZERO, Const(CC), cid.cur(), ZERO,
                          Const(int(CallContextField.CALLEE_ADDRESS)), ZERO,
                          *wc(2), *wc(2)])
-    use(ES.BEGIN_TX, 2, [ZERO, Const(CC), one, ZERO,
+    use(ES.BEGIN_TX, 2, [ZERO, Const(CC), cid.cur(), ZERO,
                          Const(int(CallContextField.VALUE)), ZERO,
                          *wc(0), *wc(0)])
     use(ES.BEGIN_TX, 3, [one, Const(ACC), ZERO, comb(w[1]),
@@ -371,7 +393,7 @@ def configure(
                          Const(int(AccountField.BALANCE)), ZERO,
                          callee_new_lo, callee_new_hi, *wc(4)])
     # EndTx: final refund read
-    use(ES.END_TX, 0, [ZERO, Const(RFD), one, ZERO, ZERO, ZERO,
+    use(ES.END_TX, 0, [ZERO, Const(RFD), tx_id.cur(), ZERO, ZERO, ZERO,
                        aux[1].cur(), ZERO, aux[1].cur(), ZERO])
     # stack ops (CC reads used value_prev = value; first reads of a CALL
     # CONTEXT group keep builder's value_prev = value convention)
@@ -388,30 +410,30 @@ def configure(
     use(ES.SWAP, 2, stack_wr(spc + opn.cur(), wc(0), wc(1)))
     use(ES.SWAP, 3, stack_wr(spc, wc(1), wc(0)))
     use(ES.MLOAD, 0, stack_rd(spc, wc(0)))
-    use(ES.MLOAD, 1, [ZERO, Const(MEM), one, w[3][0].cur(), ZERO, ZERO,
+    use(ES.MLOAD, 1, [ZERO, Const(MEM), cid.cur(), w[3][0].cur(), ZERO, ZERO,
                       *wc(1), *wc(1)])
     use(ES.MLOAD, 2, stack_wr(spc, wc(1), wc(0)))
     use(ES.MSTORE, 0, stack_rd(spc, wc(0)))
     use(ES.MSTORE, 1, stack_rd(spc + one, wc(1)))
-    use(ES.MSTORE, 2, [one, Const(MEM), one, w[3][0].cur(), ZERO, ZERO,
+    use(ES.MSTORE, 2, [one, Const(MEM), cid.cur(), w[3][0].cur(), ZERO, ZERO,
                        *wc(1), *pc_(2)])
     # SLOAD: key read, access-list write (is_warm in value_prev),
     # storage read, value push
     use(ES.SLOAD, 0, stack_rd(spc, wc(0)))
-    use(ES.SLOAD, 1, [one, Const(ALS), one, callee.cur(), ZERO, comb(w[0]),
-                      one, ZERO, warm.cur(), ZERO])
-    use(ES.SLOAD, 2, [ZERO, Const(STO), one, callee.cur(), ZERO, comb(w[0]),
-                      *wc(1), *wc(1)])
+    use(ES.SLOAD, 1, [one, Const(ALS), tx_id.cur(), callee.cur(), ZERO,
+                      comb(w[0]), one, ZERO, warm.cur(), ZERO])
+    use(ES.SLOAD, 2, [ZERO, Const(STO), tx_id.cur(), callee.cur(), ZERO,
+                      comb(w[0]), *wc(1), *wc(1)])
     use(ES.SLOAD, 3, stack_wr(spc, wc(1), wc(0)))
     # SSTORE: key+value reads, access-list write, refund write, storage write
     use(ES.SSTORE, 0, stack_rd(spc, wc(0)))
     use(ES.SSTORE, 1, stack_rd(spc + one, wc(1)))
-    use(ES.SSTORE, 2, [one, Const(ALS), one, callee.cur(), ZERO, comb(w[0]),
-                       one, ZERO, warm.cur(), ZERO])
-    use(ES.SSTORE, 3, [one, Const(RFD), one, ZERO, ZERO, ZERO,
+    use(ES.SSTORE, 2, [one, Const(ALS), tx_id.cur(), callee.cur(), ZERO,
+                       comb(w[0]), one, ZERO, warm.cur(), ZERO])
+    use(ES.SSTORE, 3, [one, Const(RFD), tx_id.cur(), ZERO, ZERO, ZERO,
                        aux[1].cur(), ZERO, aux[2].cur(), ZERO])
-    use(ES.SSTORE, 4, [one, Const(STO), one, callee.cur(), ZERO, comb(w[0]),
-                       *wc(1), *pc_(2)])
+    use(ES.SSTORE, 4, [one, Const(STO), tx_id.cur(), callee.cur(), ZERO,
+                       comb(w[0]), *wc(1), *pc_(2)])
 
     for i in range(NSLOTS):
         inputs = [Const(0)] * len(RwTable.FIELDS)
@@ -437,10 +459,24 @@ def configure(
         code_hash.cur(), code_hash_hi.cur(), pc.cur() + Const(2), bb1.cur(), ZERO,
     )
 
+    # -- TxTable binding (BeginTx word cells == the signed tx's fields) --
+    if tx_table is not None:
+        from zkevm_tpu.circuits.tx_circuit import TxFieldTag
+
+        for nm, tag, wi in [
+            ("caller", TxFieldTag.CALLER_ADDRESS, 1),
+            ("callee", TxFieldTag.CALLEE_ADDRESS, 2),
+            ("value", TxFieldTag.VALUE, 0),
+        ]:
+            tx_table.lookup(cs, f"ev_tx_{nm}", [
+                B, B * tx_id.cur(), B * Const(int(tag)), ZERO,
+                B * w[wi][0].cur(), B * w[wi][1].cur(),
+            ])
+
     return EvmConfig(
-        q_step, q_first, q_last, q_trans, sel, pc, opcode, gas_left, gc, sp,
-        rwc, code_hash, code_hash_hi, callee, opn, is_sub, warm, bb0, bb1,
-        w, carries, pcell, aux, rt4,
+        q_step, q_first, q_last, q_trans, sel, tx_id, cid, pc, opcode,
+        gas_left, gc, sp, rwc, code_hash, code_hash_hi, callee, opn,
+        is_sub, warm, bb0, bb1, w, carries, pcell, aux, rt4,
     )
 
 
@@ -470,11 +506,11 @@ def assign(
     n: int,
     steps: list[ExecStep],
     rws: RwMap,
-    *,
-    callee: int,
-    code_hash: int,
     asg: Assignment | None = None,
 ) -> Assignment:
+    """Per-tx context (tx_id, call id, callee, code hash) is derived from
+    the steps themselves: each BeginTx's account-code-hash / callee reads
+    seed the following rows (multi-tx blocks supported)."""
     asg = asg if asg is not None else Assignment(cs, n)
     cfg.rt4.load(asg)
     m = cs.usable_rows(n) - 1  # the lookup-active region
@@ -487,13 +523,22 @@ def assign(
     asg.cols[cfg.q_last][m - 1] = one
     asg.cols[cfg.q_trans][: m - 1] = one
 
-    ch_lo, ch_hi = code_hash & M128, code_hash >> 128
+    ch_lo = ch_hi = 0
+    callee = 0
+    cur_tx = 1
 
     end_gas = 0
     end_rwc = 1
     for r, step in enumerate(steps):
         st = _state_of(step)
+        if st == ES.BEGIN_TX:
+            vals0 = [by_rwc[i] for i in step.rw_indices]
+            callee = vals0[1].value
+            ch = vals0[4].value
+            ch_lo, ch_hi = ch & M128, ch >> 128
         asg.set_int(cfg.sel.columns[int(st)], r, 1)
+        asg.set_int(cfg.tx_id, r, cur_tx)
+        asg.set_int(cfg.cid, r, step.call_id)
         asg.set_int(cfg.opcode, r, step.op if st not in
                     (ES.BEGIN_TX, ES.END_TX) else 0)
         asg.set_int(cfg.pc, r, step.pc if st not in
@@ -506,6 +551,8 @@ def assign(
         asg.set_int(cfg.code_hash, r, ch_lo)
         asg.set_int(cfg.code_hash_hi, r, ch_hi)
         asg.set_int(cfg.callee, r, callee)
+        if st == ES.END_TX:
+            cur_tx += 1
         end_gas = step.gas_left - step.gas_cost
         end_rwc = step.rw_counter_start + len(step.rw_indices)
 
@@ -591,6 +638,8 @@ def assign(
     # EndBlock padding
     for r in range(len(steps), m):
         asg.set_int(cfg.sel.columns[int(ES.END_BLOCK)], r, 1)
+        asg.set_int(cfg.tx_id, r, cur_tx)
+        asg.set_int(cfg.cid, r, steps[-1].call_id if steps else 1)
         asg.set_int(cfg.gas_left, r, end_gas)
         asg.set_int(cfg.sp, r, STACK_CAP)
         asg.set_int(cfg.rwc, r, end_rwc)

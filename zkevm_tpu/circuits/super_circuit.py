@@ -9,12 +9,19 @@ owns its columns over the full height (the vector-column idiom), so
 composition is purely additive: one ConstraintSystem, one Assignment,
 cross-circuit links via the table lookups:
 
-    EVM circuit  --opcode fetch-->  BytecodeTable (bytecode circuit)
-    EVM circuit  --rw slots----->   RwTable       (state circuit)
-    bytecode     --code_hash---->   KeccakTable   (keccak table circuit)
+    EVM circuit  --opcode fetch----->  BytecodeTable (bytecode circuit)
+    EVM circuit  --rw slots--------->  RwTable       (state circuit)
+    EVM circuit  --BeginTx tx bind-->  TxTable       (tx circuit)
+    Copy circuit --word anchors----->  RwTable + BytecodeTable
+    bytecode     --code_hash-------->  KeccakTable   (keccak circuit)
+    tx circuit   --rlp hashes------->  KeccakTable
+    PI circuit   --pi hash---------->  KeccakTable
+    PI circuit   <--tx-hash cover-->   TxTable       (both directions)
 
-so a proven block ties every executed opcode to keccak-committed code and
-every state access to the lexicographically-proven RW table.
+so a proven block ties every executed opcode to keccak-committed code,
+every state access to the lexicographically-proven RwTable, every tx to
+its signed RLP hashes, and the whole statement to ONE public instance:
+the PI hash (hi, lo).
 """
 
 from __future__ import annotations
@@ -22,71 +29,117 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from zkevm_tpu.circuits import bytecode_circuit as bc
+from zkevm_tpu.circuits import copy_circuit as cp
 from zkevm_tpu.circuits import evm_circuit as evm
 from zkevm_tpu.circuits import keccak_table as kt
+from zkevm_tpu.circuits import pi_circuit as pic
 from zkevm_tpu.circuits import state_circuit as st
+from zkevm_tpu.circuits import tx_circuit as txc
 from zkevm_tpu.circuits.tables import BytecodeTable, Challenges, RwTable
 from zkevm_tpu.plonk.assign import Assignment
 from zkevm_tpu.plonk.cs import ConstraintSystem
-from zkevm_tpu.witness.builder import CircuitInputBuilder
+from zkevm_tpu.witness.block import Block, CircuitsParams
 
 
 @dataclass
 class SuperConfig:
+    params: CircuitsParams
     challenges: Challenges
     kt: kt.KeccakTableConfig
     bc: bc.BytecodeConfig
     st: st.StateConfig
+    tx: txc.TxConfig
     ev: evm.EvmConfig
+    cp: cp.CopyConfig
+    pi: pic.PiConfig
 
 
-def configure(cs: ConstraintSystem, limb_bits: int = 10) -> SuperConfig:
+def configure(
+    cs: ConstraintSystem,
+    params: CircuitsParams | None = None,
+    limb_bits: int = 10,
+) -> SuperConfig:
+    params = params or CircuitsParams()
     ch = Challenges.configure(cs)
     ktcfg = kt.configure(cs, ch)
     bccfg = bc.configure(cs, ch, ktcfg.table)
     stcfg = st.configure(cs, limb_bits=limb_bits)
-    evcfg = evm.configure(
-        cs, RwTable.from_state(stcfg), BytecodeTable.from_config(bccfg)
-    )
-    return SuperConfig(ch, ktcfg, bccfg, stcfg, evcfg)
+    rw_table = RwTable.from_state(stcfg)
+    bt = BytecodeTable.from_config(bccfg)
+    txcfg = txc.configure(cs, ch, ktcfg.table,
+                          cd_cap=params.max_calldata, rlp_cap=params.max_rlp)
+    evcfg = evm.configure(cs, rw_table, bt, tx_table=txcfg.table)
+    cpcfg = cp.configure(cs, rw_table, bt)
+    picfg = pic.configure(cs, ch, ktcfg.table, txcfg, ntx=params.max_txs,
+                          rt8=txcfg.rt8)
+    return SuperConfig(params, ch, ktcfg, bccfg, stcfg, txcfg, evcfg,
+                       cpcfg, picfg)
 
 
-def row_usage(builder: CircuitInputBuilder, codes: list) -> dict:
+def keccak_messages(block: Block) -> list[bytes]:
+    codes = [c for c in block.codes if len(c)]
+    return (codes + txc.keccak_messages(block.txs)
+            + pic.keccak_messages(block.context, block.tx_hashes))
+
+
+def row_usage(cfg: SuperConfig, block: Block) -> dict:
     """Per-subcircuit row demand (reference super_circuit.rs:536
     min_num_rows_block_subcircuits)."""
-    perms = sum(len(c) // kt.RATE + 1 for c in codes)
+    msgs = keccak_messages(block)
+    perms = sum(len(m) // kt.RATE + 1 for m in msgs)
+    copy_rows = sum(
+        cp.WORD * max(1, -(-(e.src_addr_end - e.src_addr) // cp.WORD) + 1)
+        for e in block.copy_events
+    )
     return {
         "keccak": perms * kt.PERM,
-        "bytecode": sum(len(c) + 1 for c in codes) + 1,
-        "state": len(builder.rws.rows) + 2,
-        "evm": len(builder.steps) + 2,
+        "bytecode": sum(len(c) + 1 for c in block.codes) + 1,
+        "state": len(block.rws.rows) + 2,
+        "evm": len(block.steps) + 2,
+        "tx": len(block.txs) * cfg.tx.block + 1,
+        "copy": copy_rows + cp.WORD + 1,
+        "pi": cfg.pi.rows + 1,
     }
 
 
-def choose_k(cs: ConstraintSystem, builder: CircuitInputBuilder,
-             codes: list, k_min: int = 11, k_max: int = 22) -> int:
+def choose_k(cfg: SuperConfig, block: Block) -> int:
     """Smallest k whose usable rows fit every subcircuit (reference
     super_circuit.rs:921-938)."""
-    need = max(row_usage(builder, codes).values())
-    for k in range(k_min, k_max + 1):
-        if cs.usable_rows(1 << k) >= need:
+    need = max(row_usage(cfg, block).values())
+    p = block.params
+    for k in range(p.k_min, p.k_max + 1):
+        # 64-row margin covers usable_rows' blinding tail; 2^8 rows is
+        # the u8 range table's floor
+        if (1 << k) - 64 >= need and (1 << k) >= 256:
             return k
-    raise ValueError(f"{need} rows exceed k<={k_max}")
+    raise ValueError(f"{need} rows exceed k<={p.k_max}")
 
 
 @dataclass
 class SuperWitness:
     """Shared assignment + the phase-1 fill hooks of every linked
-    subcircuit (keccak RLCs, bytecode byte-RLC)."""
+    subcircuit (keccak RLCs, bytecode byte-RLC, tx rlp RLCs, pi RLC)."""
 
     asg: Assignment
     cfg: SuperConfig
     kwit: kt.KeccakWitness
     bwit: bc.BytecodeWitness
+    twit: txc.TxWitness
+    pwit: pic.PiWitness
 
     def fill_phase1(self, r_keccak: int, r_word: int) -> None:
         self.kwit.fill_phase1(r_keccak, r_word)
         self.bwit.fill_phase1(r_keccak, r_word)
+        self.twit.fill_phase1(r_keccak)
+        self.pwit.fill_phase1(r_keccak)
+
+    def instance(self) -> list[list[int]]:
+        """Public inputs: the PI hash halves (pi circuit instance)."""
+        from zkevm_tpu.ff.limbs import fr_spec
+
+        FR = fr_spec()
+        col = self.asg.cols[self.cfg.pi.instance]
+        return [[FR.decode(col[0]), FR.decode(col[1])]]
 
     def witness_phases(self):
         """create_proof witness callback: phase-1 advice is computed from
@@ -112,11 +165,8 @@ def assign(
     cs: ConstraintSystem,
     cfg: SuperConfig,
     n: int,
-    builder: CircuitInputBuilder,
-    codes: list,
+    block: Block,
     *,
-    callee: int,
-    code_hash: int,
     rows=None,
 ) -> SuperWitness:
     """Assign every subcircuit into one shared Assignment (reference
@@ -124,10 +174,12 @@ def assign(
     (tamper tests)."""
     asg = Assignment(cs, n)
     st.assign(cs, cfg.st, n,
-              rows if rows is not None else st.fix_value_prev(builder.rws.rows),
+              rows if rows is not None else st.fix_value_prev(block.rws.rows),
               asg)
-    kwit = kt.assign(cs, cfg.kt, n, [c for c in codes if len(c)], asg)
-    bwit = bc.assign(cs, cfg.bc, n, codes, asg)
-    evm.assign(cs, cfg.ev, n, builder.steps, builder.rws,
-               callee=callee, code_hash=code_hash, asg=asg)
-    return SuperWitness(asg, cfg, kwit, bwit)
+    kwit = kt.assign(cs, cfg.kt, n, keccak_messages(block), asg)
+    bwit = bc.assign(cs, cfg.bc, n, block.codes, asg)
+    evm.assign(cs, cfg.ev, n, block.steps, block.rws, asg=asg)
+    cp.assign(cs, cfg.cp, n, block.copy_events, block.rws, asg)
+    twit = txc.assign(cs, cfg.tx, n, block.txs, asg)
+    pwit = pic.assign(cs, cfg.pi, n, block.context, block.tx_hashes, asg)
+    return SuperWitness(asg, cfg, kwit, bwit, twit, pwit)
