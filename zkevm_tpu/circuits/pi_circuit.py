@@ -250,8 +250,8 @@ def configure(
         if size <= 16:
             lo_e = lo_e + fq * _span_value(byte, off, size, i)
         else:
-            lo_e = lo_e + fq * _span_value(byte, off + 16, 16, i)
-            hi_e = hi_e + fq * _span_value(byte, off, 16, i)
+            lo_e = lo_e + fq * _span_value(byte, off + size - 16, 16, i)
+            hi_e = hi_e + fq * _span_value(byte, off, size - 16, i)
     table = BlockTable([en_b, tag_e, lo_e, hi_e])
 
     # instance binding: digest cells on the final region row (the region

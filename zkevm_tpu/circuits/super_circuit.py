@@ -12,6 +12,7 @@ cross-circuit links via the table lookups:
     EVM circuit  --opcode fetch----->  BytecodeTable (bytecode circuit)
     EVM circuit  --rw slots--------->  RwTable       (state circuit)
     EVM circuit  --BeginTx tx bind-->  TxTable       (tx circuit)
+    RLP circuit  --decoded fields--->  TxTable       (field<->bytes binding)
     Copy circuit --word anchors----->  RwTable + BytecodeTable
     bytecode     --code_hash-------->  KeccakTable   (keccak circuit)
     tx circuit   --rlp hashes------->  KeccakTable
@@ -33,6 +34,7 @@ from zkevm_tpu.circuits import copy_circuit as cp
 from zkevm_tpu.circuits import evm_circuit as evm
 from zkevm_tpu.circuits import keccak_table as kt
 from zkevm_tpu.circuits import pi_circuit as pic
+from zkevm_tpu.circuits import rlp_circuit as rlp
 from zkevm_tpu.circuits import state_circuit as st
 from zkevm_tpu.circuits import tx_circuit as txc
 from zkevm_tpu.circuits.tables import BytecodeTable, Challenges, RwTable
@@ -49,6 +51,7 @@ class SuperConfig:
     bc: bc.BytecodeConfig
     st: st.StateConfig
     tx: txc.TxConfig
+    rlp: rlp.RlpConfig
     ev: evm.EvmConfig
     cp: cp.CopyConfig
     pi: pic.PiConfig
@@ -68,12 +71,13 @@ def configure(
     bt = BytecodeTable.from_config(bccfg)
     txcfg = txc.configure(cs, ch, ktcfg.table,
                           cd_cap=params.max_calldata, rlp_cap=params.max_rlp)
+    rlpcfg = rlp.configure(cs, txcfg)
     evcfg = evm.configure(cs, rw_table, bt, tx_table=txcfg.table)
     cpcfg = cp.configure(cs, rw_table, bt)
     picfg = pic.configure(cs, ch, ktcfg.table, txcfg, ntx=params.max_txs,
                           rt8=txcfg.rt8)
-    return SuperConfig(params, ch, ktcfg, bccfg, stcfg, txcfg, evcfg,
-                       cpcfg, picfg)
+    return SuperConfig(params, ch, ktcfg, bccfg, stcfg, txcfg, rlpcfg,
+                       evcfg, cpcfg, picfg)
 
 
 def keccak_messages(block: Block) -> list[bytes]:
@@ -181,5 +185,6 @@ def assign(
     evm.assign(cs, cfg.ev, n, block.steps, block.rws, asg=asg)
     cp.assign(cs, cfg.cp, n, block.copy_events, block.rws, asg)
     twit = txc.assign(cs, cfg.tx, n, block.txs, asg)
+    rlp.assign(cs, cfg.rlp, n, block.txs, asg)
     pwit = pic.assign(cs, cfg.pi, n, block.context, block.tx_hashes, asg)
     return SuperWitness(asg, cfg, kwit, bwit, twit, pwit)

@@ -78,6 +78,7 @@ class TxFieldTag(IntEnum):
     TX_SIGN_HASH = 13
     TX_HASH = 14
     CALL_DATA = 15
+    CHAIN_ID = 16
 
 
 # field-row order inside a tx block (row index -> tag)
@@ -87,6 +88,7 @@ FIELD_TAGS = [
     TxFieldTag.IS_CREATE, TxFieldTag.VALUE, TxFieldTag.CALL_DATA_LENGTH,
     TxFieldTag.CALL_DATA_GAS_COST, TxFieldTag.SIG_V, TxFieldTag.SIG_R,
     TxFieldTag.SIG_S, TxFieldTag.TX_SIGN_HASH, TxFieldTag.TX_HASH,
+    TxFieldTag.CHAIN_ID,
 ]
 NFIELDS = len(FIELD_TAGS)
 ROW = {t: i for i, t in enumerate(FIELD_TAGS)}
@@ -368,6 +370,10 @@ def assign(
             asg.set_int(cfg.q_rlp0, base + r0, 1)
             asg.cols[cfg.q_rlp][base + r0 : base + r0 + cfg.rlp_cap] = one
             asg.cols[cfg.q_rlp_gt0][base + r0 + 1 : base + r0 + cfg.rlp_cap] = one
+            # rlp rows carry the slot's tx_id too (the RLP circuit's
+            # field-value lookups key off it)
+            for i in range(cfg.rlp_cap):
+                asg.set_int(cfg.tx_id, base + r0 + i, tid)
         asg.set_int(cfg.q_rlpu_last, base + NFIELDS + cfg.cd_cap + cfg.rlp_cap - 1, 1)
         asg.set_int(cfg.q_rlps_last, base + B - 1, 1)
 
@@ -396,6 +402,7 @@ def assign(
         put_field(TxFieldTag.SIG_S, tx.s)
         put_field(TxFieldTag.TX_SIGN_HASH, int.from_bytes(tx.sign_hash(), "big"))
         put_field(TxFieldTag.TX_HASH, int.from_bytes(tx.hash(), "big"))
+        put_field(TxFieldTag.CHAIN_ID, tx.chain_id)
 
         # calldata rows
         gacc = 0
