@@ -139,3 +139,53 @@ def test_skipped_opcode_rejected(circuit):
     asg.set_int(ev_cfg.pc, some_row, cur_pc + 1)
     fails = MockProver(cs, asg).verify()
     assert fails, "pc tamper accepted"
+
+
+# JUMPI(untaken) JUMPDEST PUSH PUSH LT ISZERO JUMPI(taken over INVALID)
+# JUMPDEST ADDRESS POP CALLER CALLVALUE EQ CALLDATASIZE GT ISZERO
+# PUSH1 2 SSTORE STOP
+CODE2 = bytes([
+    0x60, 0x00, 0x60, 0x05, 0x57, 0x5B, 0x60, 0x0A, 0x60, 0x14,
+    0x10, 0x15, 0x60, 0x10, 0x57, 0xFE, 0x5B, 0x30, 0x50, 0x33,
+    0x34, 0x14, 0x36, 0x11, 0x15, 0x60, 0x02, 0x55, 0x00,
+])
+
+
+def test_jumps_compares_context_proven(circuit):
+    """The round-2 extension states: JUMP/JUMPI (taken + untaken, dest
+    bytecode-checked), LT/GT, ISZERO, EQ, CALLER/CALLVALUE/ADDRESS/
+    CALLDATASIZE — proven against RwTable + BytecodeTable."""
+    cs = circuit[0]
+    builder, h = build(code=CODE2)
+    assert builder.sdb.get_storage(CALLEE, 2) == 1
+    ops = [s.op for s in builder.steps if s.exec_state is None]
+    for op in (0x57, 0x10, 0x11, 0x14, 0x15, 0x30, 0x33, 0x34, 0x36):
+        assert op in ops, hex(op)
+    asg = witness(circuit, builder, h, code=CODE2)
+    MockProver(cs, asg).assert_satisfied()
+
+
+def test_forged_jump_dest_rejected(circuit):
+    """Claim a taken jump to a non-JUMPDEST byte: the ev_jumpdest
+    bytecode lookup must break."""
+    cs, _, _, ev_cfg = circuit
+    builder, h = build(code=CODE2)
+    asg = witness(circuit, builder, h, code=CODE2)
+    # find the taken-JUMPI row (dest 0x10) and claim dest 0x0F (INVALID)
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.op == 0x57 and builder.rws.rows is not None
+               and FR.decode(asg.cols[ev_cfg.w[0][0]][r]) == 0x10)
+    asg.set_int(ev_cfg.w[0][0], row, 0x0F)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "jump to non-JUMPDEST accepted"
+
+
+def test_forged_compare_rejected(circuit):
+    """Claim LT produced 1 where it produced 0."""
+    cs, _, _, ev_cfg = circuit
+    builder, h = build(code=CODE2)
+    asg = witness(circuit, builder, h, code=CODE2)
+    row = next(r for r, s in enumerate(builder.steps) if s.op == 0x10)
+    asg.set_int(ev_cfg.w[2][0], row, 1)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged comparison accepted"

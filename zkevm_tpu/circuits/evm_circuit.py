@@ -16,19 +16,18 @@ constraints are merged into shared gates/lookups as sum_s sel_s * expr_s
 (the same merging the reference's constraint builder does per column,
 done here per slot).
 
-Implemented states (the VERDICT round-2 slice): BeginTx, EndTx, EndBlock
-(padding), STOP, PUSH1/2, POP, ADD/SUB, DUP1-16, SWAP1-16, MLOAD, MSTORE
-(32-byte-aligned words, one word per access), SLOAD, SSTORE (with
-EIP-2929 access-list rows: gas cost constrained from the looked-up
-is_warm bit), JUMPDEST. Words are (lo, hi) 128-bit halves, range-checked
-by the state circuit at the lookup boundary. Known gaps this round,
-matching the witness builder's scope: MUL (needs a shared
-u64-decomposition gadget), JUMP family, CALL family states, the
-SSTORE refund amount (the TX_REFUND row is proven present but the delta
-is unconstrained), the memory-expansion gas term (witnessed in an aux
-cell, bound >= 0 only), and rw-counter completeness (EVM lookups prove
-every step's ops exist in the RwTable; counting all RwTable rows needs
-the EndBlock total-rws instance, reference
+Implemented states: BeginTx, EndTx, EndBlock (padding), STOP, PUSH1/2,
+POP, ADD/SUB, DUP1-16, SWAP1-16, MLOAD, MSTORE (32-byte-aligned words),
+SLOAD, SSTORE (EIP-2929 access-list rows, gas from the looked-up is_warm
+bit), JUMPDEST, JUMP, JUMPI (taken jumps bytecode-checked to land on
+JUMPDEST), ISZERO, EQ, LT, GT (full 256-bit compare via a 32-byte-limb
+LtGadget), CALLER, CALLVALUE, ADDRESS, CALLDATASIZE. Words are (lo, hi)
+128-bit halves, range-checked by the state circuit at the lookup
+boundary. Known gaps, matching the witness builder's scope: MUL/DIV and
+bitwise ops (need the byte-op table), CALL family states, the SSTORE
+refund amount (the TX_REFUND row is proven present but the delta is
+unconstrained), the memory-expansion gas term (witnessed in an aux cell),
+and rw-counter completeness (EndBlock total-rws instance, reference
 evm_circuit/execution/end_block.rs).
 """
 
@@ -41,6 +40,7 @@ import numpy as np
 
 from zkevm_tpu.circuits.tables import BytecodeTable, RwTable
 from zkevm_tpu.etypes.opcodes import OPCODES
+from zkevm_tpu.ff.goldens import FR_MOD
 from zkevm_tpu.ff.limbs import fr_spec
 from zkevm_tpu.gadgets import RangeTable
 from zkevm_tpu.plonk.assign import Assignment
@@ -76,6 +76,15 @@ class ES(IntEnum):
     SLOAD = 11
     SSTORE = 12
     JUMPDEST = 13
+    JUMP = 14
+    JUMPI = 15
+    ISZERO = 16
+    EQ = 17
+    LT_GT = 18
+    CALLER = 19
+    CALLVALUE = 20
+    ADDRESS = 21
+    CALLDATASIZE = 22
 
 
 NSTATES = len(ES)
@@ -95,6 +104,15 @@ OP_STATES = {
     ES.SLOAD: (0x54, 100, 0, 4),
     ES.SSTORE: (0x55, 100, 2, 5),
     ES.JUMPDEST: (0x5B, 1, 0, 0),
+    ES.JUMP: (0x56, 8, 1, 1),
+    ES.JUMPI: (0x57, 10, 2, 2),
+    ES.ISZERO: (0x15, 3, 0, 2),
+    ES.EQ: (0x14, 3, 1, 3),
+    ES.LT_GT: (None, 3, 1, 3),
+    ES.CALLER: (0x33, 2, -1, 2),
+    ES.CALLVALUE: (0x34, 2, -1, 2),
+    ES.ADDRESS: (0x30, 2, -1, 2),
+    ES.CALLDATASIZE: (0x36, 2, -1, 2),
 }
 STATIC_GAS_STATES = [
     s for s in OP_STATES
@@ -131,7 +149,10 @@ class EvmConfig:
     carries: list  # 4 boolean carry cells
     pcell: list  # 3 free value_prev (lo, hi) pairs for slots 0..2
     aux: list  # 3 scalar aux cells: nonce/mexp/gcase, refund_new, refund_prev
+    iz: dict  # IsZero gadget instances by name
+    ltg: object  # 256-bit LtGadget (LT/GT rows)
     rt4: RangeTable
+    rt8: RangeTable
 
 
 def _word(cs) -> tuple:
@@ -144,6 +165,7 @@ def configure(
     bytecode_table: BytecodeTable,
     rt4: RangeTable | None = None,
     tx_table=None,
+    rt8: RangeTable | None = None,
 ) -> EvmConfig:
     q_step = cs.fixed_column()
     q_first = cs.fixed_column()
@@ -224,6 +246,7 @@ def configure(
         S[ES.DUP] * (opcode.cur() - Const(0x80) - opn.cur()),
         S[ES.SWAP] * (opcode.cur() - Const(0x8F) - opn.cur()),
         S[ES.ADD_SUB] * (opcode.cur() - Const(0x01) - Const(2) * is_sub.cur()),
+        S[ES.LT_GT] * (opcode.cur() - Const(0x10) - is_sub.cur()),
         qs * is_sub.cur() * (one - is_sub.cur()),
     ])
     rt4.lookup(cs, "ev_dup_n", [S[ES.DUP] * opn.cur()])
@@ -299,6 +322,38 @@ def configure(
     callee_new_lo = w[4][0].cur() + w[0][0].cur() - k[2] * TWO128
     callee_new_hi = w[4][1].cur() + w[0][1].cur() + k[2]
 
+    # -- comparison / zero-test gadgets -----------------------------------
+    from zkevm_tpu.gadgets import IsZero, LtGadget
+
+    iz = {
+        "jc_lo": IsZero.configure(cs, S[ES.JUMPI], w[1][0].cur(), "ev_iz_jclo"),
+        "jc_hi": IsZero.configure(cs, S[ES.JUMPI], w[1][1].cur(), "ev_iz_jchi"),
+        "a_lo": IsZero.configure(cs, S[ES.ISZERO], w[0][0].cur(), "ev_iz_alo"),
+        "a_hi": IsZero.configure(cs, S[ES.ISZERO], w[0][1].cur(), "ev_iz_ahi"),
+        "eq_lo": IsZero.configure(cs, S[ES.EQ],
+                                  w[0][0].cur() - w[1][0].cur(), "ev_iz_eqlo"),
+        "eq_hi": IsZero.configure(cs, S[ES.EQ],
+                                  w[0][1].cur() - w[1][1].cur(), "ev_iz_eqhi"),
+    }
+    # LT/GT: full 256-bit compare; lhs/rhs swapped by the is_sub flag
+    fge = is_sub.cur()
+    lhs = (one - fge) * comb(w[0]) + fge * comb(w[1])
+    rhs = (one - fge) * comb(w[1]) + fge * comb(w[0])
+    rt8 = rt8 or RangeTable.configure(cs, 8)
+    ltg = LtGadget.configure(cs, S[ES.LT_GT], lhs, rhs, rt8, n_limbs=32,
+                             name="ev_ltg")
+    cs.create_gate("ev_cmp_results", [
+        S[ES.ISZERO] * (w[1][0].cur() - iz["a_lo"].expr() * iz["a_hi"].expr()),
+        S[ES.ISZERO] * w[1][1].cur(),
+        S[ES.EQ] * (w[2][0].cur() - iz["eq_lo"].expr() * iz["eq_hi"].expr()),
+        S[ES.EQ] * w[2][1].cur(),
+        S[ES.LT_GT] * (w[2][0].cur() - ltg.expr()),
+        S[ES.LT_GT] * w[2][1].cur(),
+        # jump destinations are sub-2^128 (valid-jump scope)
+        (S[ES.JUMP] + S[ES.JUMPI]) * w[0][1].cur(),
+    ])
+    jnz = one - iz["jc_lo"].expr() * iz["jc_hi"].expr()
+
     # -- per-state step transitions --------------------------------------
     def trans(cell, nxt_exprs: dict, default):
         """cell(+1) = sum_s sel_s * expr_s."""
@@ -309,7 +364,9 @@ def configure(
         return qt * (cell.rot(1) - acc)
 
     pc_next = {ES.BEGIN_TX: Const(0), ES.END_TX: Const(0), ES.END_BLOCK: Const(0),
-               ES.STOP: Const(0), ES.PUSH: pc.cur() + one + opn.cur()}
+               ES.STOP: Const(0), ES.PUSH: pc.cur() + one + opn.cur(),
+               ES.JUMP: w[0][0].cur(),
+               ES.JUMPI: jnz * w[0][0].cur() + (one - jnz) * (pc.cur() + one)}
     sp_next = {ES.BEGIN_TX: Const(STACK_CAP), ES.END_TX: Const(STACK_CAP),
                ES.END_BLOCK: Const(STACK_CAP), ES.STOP: Const(STACK_CAP)}
     for s, (op, cost, dsp, _) in OP_STATES.items():
@@ -435,6 +492,25 @@ def configure(
     use(ES.SSTORE, 4, [one, Const(STO), tx_id.cur(), callee.cur(), ZERO,
                        comb(w[0]), *wc(1), *pc_(2)])
 
+    use(ES.JUMP, 0, stack_rd(spc, wc(0)))
+    use(ES.JUMPI, 0, stack_rd(spc, wc(0)))
+    use(ES.JUMPI, 1, stack_rd(spc + one, wc(1)))
+    use(ES.ISZERO, 0, stack_rd(spc, wc(0)))
+    use(ES.ISZERO, 1, stack_wr(spc, wc(1), wc(0)))
+    for s_cmp in (ES.EQ, ES.LT_GT):
+        use(s_cmp, 0, stack_rd(spc, wc(0)))
+        use(s_cmp, 1, stack_rd(spc + one, wc(1)))
+        use(s_cmp, 2, stack_wr(spc + one, wc(2), wc(1)))
+    for s_ctx, fld in [
+        (ES.CALLER, CallContextField.CALLER_ADDRESS),
+        (ES.CALLVALUE, CallContextField.VALUE),
+        (ES.ADDRESS, CallContextField.CALLEE_ADDRESS),
+        (ES.CALLDATASIZE, CallContextField.CALL_DATA_LENGTH),
+    ]:
+        use(s_ctx, 0, [ZERO, Const(CC), cid.cur(), ZERO,
+                       Const(int(fld)), ZERO, *wc(0), *wc(0)])
+        use(s_ctx, 1, stack_wr(spc - one, wc(0), pc_(1)))
+
     for i in range(NSLOTS):
         inputs = [Const(0)] * len(RwTable.FIELDS)
         for state, fields in slots[i]:
@@ -458,6 +534,12 @@ def configure(
         cs, "ev_push_byte1", S[ES.PUSH] * (opn.cur() - one),
         code_hash.cur(), code_hash_hi.cur(), pc.cur() + Const(2), bb1.cur(), ZERO,
     )
+    # taken jumps must land on a JUMPDEST byte (execution/jump.rs, jumpi.rs)
+    jump_en = S[ES.JUMP] + S[ES.JUMPI] * jnz
+    bytecode_table.lookup(
+        cs, "ev_jumpdest", jump_en,
+        code_hash.cur(), code_hash_hi.cur(), w[0][0].cur(), Const(0x5B), one,
+    )
 
     # -- TxTable binding (BeginTx word cells == the signed tx's fields) --
     if tx_table is not None:
@@ -476,7 +558,7 @@ def configure(
     return EvmConfig(
         q_step, q_first, q_last, q_trans, sel, tx_id, cid, pc, opcode,
         gas_left, gc, sp, rwc, code_hash, code_hash_hi, callee, opn,
-        is_sub, warm, bb0, bb1, w, carries, pcell, aux, rt4,
+        is_sub, warm, bb0, bb1, w, carries, pcell, aux, iz, ltg, rt4, rt8,
     )
 
 
@@ -494,7 +576,10 @@ def _state_of(step: ExecStep) -> ES:
         return ES.SWAP
     m = {0x00: ES.STOP, 0x50: ES.POP, 0x01: ES.ADD_SUB, 0x03: ES.ADD_SUB,
          0x51: ES.MLOAD, 0x52: ES.MSTORE, 0x54: ES.SLOAD, 0x55: ES.SSTORE,
-         0x5B: ES.JUMPDEST}
+         0x5B: ES.JUMPDEST, 0x56: ES.JUMP, 0x57: ES.JUMPI,
+         0x15: ES.ISZERO, 0x14: ES.EQ, 0x10: ES.LT_GT, 0x11: ES.LT_GT,
+         0x33: ES.CALLER, 0x34: ES.CALLVALUE, 0x30: ES.ADDRESS,
+         0x36: ES.CALLDATASIZE}
     if op not in m:
         raise NotImplementedError(f"opcode {op:#x} not in EVM circuit scope")
     return m[op]
@@ -513,6 +598,7 @@ def assign(
     seed the following rows (multi-tx blocks supported)."""
     asg = asg if asg is not None else Assignment(cs, n)
     cfg.rt4.load(asg)
+    cfg.rt8.load(asg)
     m = cs.usable_rows(n) - 1  # the lookup-active region
     assert len(steps) <= m
     one = FR.encode(1)
@@ -634,6 +720,41 @@ def assign(
             gcase = step.gas_cost - 2100 * (1 - was_warm)
             asg.set_int(cfg.aux[0], r, gcase)
             put_pcell(2, _group_prev(rws, vals[4]))
+        elif st == ES.JUMP:
+            put_word(0, vals[0].value)
+        elif st == ES.JUMPI:
+            put_word(0, vals[0].value)
+            put_word(1, vals[1].value)
+            _set_inv(asg, cfg.iz["jc_lo"], r, vals[1].value & M128)
+            _set_inv(asg, cfg.iz["jc_hi"], r, vals[1].value >> 128)
+        elif st == ES.ISZERO:
+            put_word(0, vals[0].value)
+            put_word(1, vals[1].value)
+            _set_inv(asg, cfg.iz["a_lo"], r, vals[0].value & M128)
+            _set_inv(asg, cfg.iz["a_hi"], r, vals[0].value >> 128)
+        elif st in (ES.EQ, ES.LT_GT):
+            a, b_, res = vals[0].value, vals[1].value, vals[2].value
+            put_word(0, a)
+            put_word(1, b_)
+            put_word(2, res)
+            if st == ES.EQ:
+                _set_inv(asg, cfg.iz["eq_lo"], r,
+                         ((a & M128) - (b_ & M128)) % FR_MOD)
+                _set_inv(asg, cfg.iz["eq_hi"], r,
+                         ((a >> 128) - (b_ >> 128)) % FR_MOD)
+            else:
+                is_gt = 1 if step.op == 0x11 else 0
+                asg.set_int(cfg.is_sub, r, is_gt)
+                lhs, rhs = (b_, a) if is_gt else (a, b_)
+                lt = 1 if lhs < rhs else 0
+                assert res == lt
+                diff = lhs - rhs + lt * (1 << 256)
+                asg.set_int(cfg.ltg.lt, r, lt)
+                for i, c in enumerate(cfg.ltg.limbs):
+                    asg.set_int(c, r, (diff >> (8 * i)) & 0xFF)
+        elif st in (ES.CALLER, ES.CALLVALUE, ES.ADDRESS, ES.CALLDATASIZE):
+            put_word(0, vals[0].value)
+            put_pcell(1, _group_prev(rws, vals[1]))
 
     # EndBlock padding
     for r in range(len(steps), m):
@@ -647,6 +768,11 @@ def assign(
         asg.set_int(cfg.code_hash_hi, r, ch_hi)
         asg.set_int(cfg.callee, r, callee)
     return asg
+
+
+def _set_inv(asg: Assignment, gadget, row: int, value: int) -> None:
+    if value % FR_MOD:
+        asg.set_int(gadget.inv, row, pow(value % FR_MOD, FR_MOD - 2, FR_MOD))
 
 
 def _group_prev(rws: RwMap, row) -> int:

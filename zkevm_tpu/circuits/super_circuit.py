@@ -72,7 +72,8 @@ def configure(
     txcfg = txc.configure(cs, ch, ktcfg.table,
                           cd_cap=params.max_calldata, rlp_cap=params.max_rlp)
     rlpcfg = rlp.configure(cs, txcfg)
-    evcfg = evm.configure(cs, rw_table, bt, tx_table=txcfg.table)
+    evcfg = evm.configure(cs, rw_table, bt, tx_table=txcfg.table,
+                          rt8=txcfg.rt8)
     cpcfg = cp.configure(cs, rw_table, bt)
     picfg = pic.configure(cs, ch, ktcfg.table, txcfg, ntx=params.max_txs,
                           rt8=txcfg.rt8)
