@@ -39,7 +39,8 @@ def circuit():
     st_cfg = st.configure(cs, limb_bits=10)
     bc_cfg = bc.configure(cs)
     ev_cfg = evm.configure(
-        cs, RwTable.from_state(st_cfg), BytecodeTable.from_config(bc_cfg)
+        cs, RwTable.from_state(st_cfg), BytecodeTable.from_config(bc_cfg),
+        rw_count=st_cfg.count_surface,
     )
     return cs, st_cfg, bc_cfg, ev_cfg
 
@@ -189,3 +190,21 @@ def test_forged_compare_rejected(circuit):
     asg.set_int(ev_cfg.w[2][0], row, 1)
     fails = MockProver(cs, asg).verify()
     assert fails, "forged comparison accepted"
+
+
+def test_injected_rw_row_rejected(circuit):
+    """Smuggle an extra storage write into the RwTable that no EVM step
+    claims: the total-rws count link must break (rw-set completeness)."""
+    cs, st_cfg, _, _ = circuit
+    builder, h = build()
+    rows = st.fix_value_prev(builder.rws.rows)
+    top = max(r.rw_counter for r in rows)
+    rows.append(dataclasses.replace(
+        rows[-1], rw_counter=top + 1, tag=Target.STORAGE, rw=RW.WRITE,
+        id=1, address=CALLEE, field=0, storage_key=999, value=5,
+        value_prev=0,
+    ))
+    asg = witness(circuit, builder, h, rows=rows)
+    fails = MockProver(cs, asg).verify()
+    assert any("total_rws" in f.name for f in fails), \
+        f"injected rw row accepted: {fails[:3]}"

@@ -166,6 +166,7 @@ def configure(
     rt4: RangeTable | None = None,
     tx_table=None,
     rt8: RangeTable | None = None,
+    rw_count=None,
 ) -> EvmConfig:
     q_step = cs.fixed_column()
     q_first = cs.fixed_column()
@@ -540,6 +541,14 @@ def configure(
         cs, "ev_jumpdest", jump_en,
         code_hash.cur(), code_hash_hi.cur(), w[0][0].cur(), Const(0x5B), one,
     )
+
+    # -- rw-set completeness: the final rw counter equals the state
+    # circuit's real-row count (end_block.rs total-rws argument; combined
+    # with the contiguous counter chain this pins the RwTable exactly)
+    if rw_count is not None:
+        cs.lookup("ev_total_rws", [
+            (ql, rw_count[0]), (ql * rwc.cur(), rw_count[1]),
+        ])
 
     # -- TxTable binding (BeginTx word cells == the signed tx's fields) --
     if tx_table is not None:

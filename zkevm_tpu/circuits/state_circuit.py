@@ -93,6 +93,9 @@ class StateConfig:
     range_table: RangeTable
     lanes: int
     spans: dict  # field name -> (start lane, lane count)
+    q_slast: Column  # fixed: last region row
+    cnt: Column  # running count of real (non-padding) rows
+    count_surface: list  # (enabled, cnt) exprs for the EVM's end-rwc bind
 
 
 def configure(
@@ -117,6 +120,8 @@ def configure(
     q_active = cs.fixed_column()
     q_first = cs.fixed_column()
     q_ord = cs.fixed_column()
+    q_slast = cs.fixed_column()
+    cnt = cs.advice_column()
     rwc = cs.advice_column()
     is_write = cs.advice_column()
     tag = cs.advice_column()
@@ -222,11 +227,24 @@ def configure(
         ],
     )
 
+    # -- rw-set completeness: count the real rows ------------------------
+    # real rows are a PREFIX (padding sorts last); cnt accumulates them
+    # and the last region row exposes the total so the EVM circuit can
+    # bind its final rw counter to it (reference: end_block.rs's
+    # total-rws argument; with the EVM's contiguous counter coverage this
+    # pins the RwTable to EXACTLY the executed accesses).
+    is_real = one - ind(PADDING_TAG)
+    cs.create_gate("state_count", [
+        qf * (cnt.cur() - is_real),
+        qo * (cnt.cur() - cnt.rot(-1) - is_real),
+    ])
+    count_surface = [q_slast.cur(), q_slast.cur() * cnt.cur()]
+
     return StateConfig(
         B, q_active, q_first, q_ord, rwc, is_write, tag, id_, address,
         field_tag, storage_key, value_lo, value_hi, value_prev_lo,
         value_prev_hi, tag_bits, key, pfx, lane_mask, val_limbs, rt,
-        LANES, spans,
+        LANES, spans, q_slast, cnt, count_surface,
     )
 
 
@@ -273,6 +291,9 @@ def assign(
     asg.cols[cfg.q_active][:m] = one
     asg.cols[cfg.q_first][0] = one
     asg.cols[cfg.q_ord][1:m] = one
+    asg.cols[cfg.q_slast][m - 1] = one
+    cnts = np.minimum(np.arange(1, m + 1, dtype=np.uint64), len(srows))
+    asg.set_u64s(cfg.cnt, 0, cnts)
     for j in range(1, cfg.lanes):
         asg.cols[cfg.lane_mask.columns[j]][1:m] = one
 

@@ -73,7 +73,7 @@ def configure(
                           cd_cap=params.max_calldata, rlp_cap=params.max_rlp)
     rlpcfg = rlp.configure(cs, txcfg)
     evcfg = evm.configure(cs, rw_table, bt, tx_table=txcfg.table,
-                          rt8=txcfg.rt8)
+                          rt8=txcfg.rt8, rw_count=stcfg.count_surface)
     cpcfg = cp.configure(cs, rw_table, bt)
     picfg = pic.configure(cs, ch, ktcfg.table, txcfg, ntx=params.max_txs,
                           rt8=txcfg.rt8)
