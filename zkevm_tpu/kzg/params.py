@@ -35,6 +35,14 @@ from zkevm_tpu.poly import ntt as nttmod
 FR = fr_spec()
 
 
+@jax.jit
+def _srs_chunk(px, py, pz, powers):
+    """One fixed-shape chunk of [tau^i] G1 (jitted once, dispatched per
+    chunk)."""
+    pt = group.scalar_mul_scan(G1(px, py, pz), powers)
+    return pt.x, pt.y, pt.z
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _srs_gen(n: int, tau_mont, gen: G1) -> G1:
     """[tau^i] G1 for i < n as ONE jitted program: Montgomery prefix
@@ -76,10 +84,32 @@ class ParamsKZG:
         tau %= FR_MOD
         gen = group.from_affine_ints([g1g.G1_GEN])
         if k > 10:
-            # big SRS: one jitted program (powers prefix-scan + in-scan
-            # double-and-add); the eager per-bit path is dispatch-bound
-            # over a TPU tunnel (hundreds of round trips)
-            g1_powers = _srs_gen(n, jnp.asarray(FR.encode(tau)), gen)
+            # big SRS: tau powers on host (cheap python modmuls), then the
+            # jitted double-and-add scan over FIXED-SIZE chunks — one
+            # moderate compile executed n/W times, instead of a single
+            # 2^k-lane program whose remote (tunnel) compile can take an
+            # hour at k=20
+            W = 1 << 16
+            chunks = []
+            t = 1
+            for c0 in range(0, n, W):
+                m = min(W, n - c0)
+                powers = np.empty((m, ff.L), dtype=np.uint32)
+                for i in range(m):
+                    powers[i] = ff.limbs_from_int(t)
+                    t = t * tau % FR_MOD
+                x, y, z = _srs_chunk(
+                    jnp.broadcast_to(gen.x, (m, ff.L)),
+                    jnp.broadcast_to(gen.y, (m, ff.L)),
+                    jnp.broadcast_to(gen.z, (m, ff.L)),
+                    jnp.asarray(powers),
+                )
+                chunks.append(G1(x, y, z))
+            g1_powers = G1(
+                jnp.concatenate([c.x for c in chunks]),
+                jnp.concatenate([c.y for c in chunks]),
+                jnp.concatenate([c.z for c in chunks]),
+            )
         else:
             powers = np.empty((n, ff.L), dtype=np.uint32)
             t = 1

@@ -92,3 +92,143 @@ def sharded_ntt_batch(mesh: Mesh, polys: jnp.ndarray, k: int) -> jnp.ndarray:
         return nttmod.ntt(a, k)
 
     return run(polys, k)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _twiddle_host(k: int, k1: int, inverse: bool):
+    """(16, n1, n2) four-step twiddle table built on HOST (python pow +
+    encode) — the device log-doubling builder (_fourstep_twiddle) costs
+    ~10 eager kernel compiles, which the forced-host-device dryrun mode
+    pays at minutes each; here it is pure numpy."""
+    from zkevm_tpu.ff import FR
+    from zkevm_tpu.ff.goldens import FR_MOD, fr_root_of_unity
+
+    n = 1 << k
+    n1, n2 = 1 << k1, n >> k1
+    omega = fr_root_of_unity(k)
+    if inverse:
+        omega = pow(omega, FR_MOD - 2, FR_MOD)
+    out = np.empty((ff.L, n1, n2), dtype=np.uint32)
+    wr = 1
+    for r in range(n1):
+        v = 1
+        for c in range(n2):
+            out[:, r, c] = FR.encode(v)
+            v = v * wr % FR_MOD
+        wr = wr * omega % FR_MOD
+    return out
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    from jax.experimental.shard_map import shard_map
+
+    try:
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # older jax spells it check_rep
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+
+
+def sharded_ntt_t(mesh: Mesh, a_t: jnp.ndarray, k: int,
+                  inverse: bool = False) -> jnp.ndarray:
+    """Single GIANT four-step NTT with the transpose as an ICI all_to_all
+    — the in-transform butterfly-exchange item of SURVEY §2.5 (reference:
+    rayon recursive best_fft).
+
+    a_t: (16, n) limbs-first. The (n1, n2) view is column-sharded over
+    chips; each chip runs full-height size-n1 sub-NTTs on its n2/C
+    columns, twiddles locally, then the global transpose is ONE
+    all_to_all (split rows / concat columns) after which each chip holds
+    n1/C full rows for the size-n2 sub-NTTs. Returns (16, n), natural
+    order, replicated.
+
+    Deliberately THREE separate shard_map programs (sub-NTT; twiddle +
+    transpose; sub-NTT) rather than one fused module: under the
+    forced-host-device XLA:CPU mode the driver validates with, the fused
+    module's compile goes super-linear (>75 min and counting at k=10)
+    while the staged modules compile in minutes and cache independently —
+    and when k1 == k2 the two sub-NTT stages share one executable.
+    """
+    from zkevm_tpu.ff.limbs import mont_mul_t
+    from zkevm_tpu.ff.goldens import FR_MOD
+    from zkevm_tpu.poly.ntt import _ntt_axis2
+
+    C = mesh.shape["chips"]
+    n = 1 << k
+    assert a_t.shape == (ff.L, n)
+    k1 = k // 2
+    k2 = k - k1
+    n1, n2 = 1 << k1, 1 << k2
+    assert n1 % C == 0 and n2 % C == 0, (n1, n2, C)
+    A = jnp.reshape(a_t, (ff.L, n1, n2))
+    tw = jnp.asarray(_twiddle_host(k, k1, inverse))
+
+    spec_c = P(None, None, "chips")
+
+    def sub1(a):  # (16, n1, n2/C)
+        return _ntt_axis2(a, k1, inverse)
+
+    def sub2(a):  # (16, n2, n1/C)
+        return _ntt_axis2(a, k2, inverse)
+
+    def xpose(b, twl):  # (16, n1, n2/C) -> (16, n2, n1/C)
+        b = mont_mul_t(nttmod.FR, b, twl)
+        b = jax.lax.all_to_all(b, "chips", split_axis=1, concat_axis=2,
+                               tiled=True)  # (16, n1/C, n2)
+        return jnp.swapaxes(b, 1, 2)
+
+    B = _shard_map(sub1, mesh, (spec_c,), spec_c)(A)
+    Bt = _shard_map(xpose, mesh, (spec_c, spec_c), spec_c)(B, tw)
+    out = _shard_map(sub2 if k2 != k1 else sub1, mesh, (spec_c,), spec_c)(Bt)
+    # C[k2, k1] holds X[k1 + n1*k2]: flattening (n2, n1) IS natural order
+    out = jnp.reshape(out, (ff.L, n))
+    if inverse:
+        n_inv = jnp.asarray(nttmod.FR.encode(pow(n, FR_MOD - 2, FR_MOD)))[:, None]
+        out = mont_mul_t(nttmod.FR, out, n_inv)
+    return out
+
+
+def sharded_msm_t(mesh: Mesh, points_t, scalars, *, c: int = 4,
+                  num_bits: int = 256, sublanes: int = 128):
+    """Point-sharded bucketed Pippenger MSM (the commit hot path,
+    ec/pippenger.py) over the chips mesh: each chip folds its point shard
+    through the full bucket pipeline; the C per-chip partials (one point
+    each) ride an all_gather and a tiny on-device fold. Returns G1T (1,)
+    replicated."""
+    from zkevm_tpu.ec.group_t import G1T, add_pt, identity_t
+    from zkevm_tpu.ec.pippenger import msm_t
+
+    scalars = jnp.asarray(scalars, jnp.uint32)
+
+    def local(px, py, pz, s):
+        part = msm_t(G1T(px, py, pz), s, c=c, num_bits=num_bits,
+                     sublanes=sublanes)  # (16, 1)
+        gx = jax.lax.all_gather(part.x, "chips", axis=1, tiled=True)
+        gy = jax.lax.all_gather(part.y, "chips", axis=1, tiled=True)
+        gz = jax.lax.all_gather(part.z, "chips", axis=1, tiled=True)
+
+        def fold(acc, blk):
+            return add_pt(acc, G1T(blk[0][:, None], blk[1][:, None],
+                                   blk[2][:, None])), None
+
+        xs = tuple(jnp.moveaxis(v, 1, 0) for v in (gx, gy, gz))
+        tot, _ = jax.lax.scan(fold, identity_t((1,), like=gx), xs)
+        return tot.x, tot.y, tot.z
+
+    pspec = P(None, "chips")
+    sspec = P("chips", None)
+    rep = P(None, None)
+    x, y, z = _shard_map(
+        local, mesh, (pspec, pspec, pspec, sspec), (rep, rep, rep)
+    )(points_t.x, points_t.y, points_t.z, scalars)
+    from zkevm_tpu.ec.group_t import G1T as _G1T
+
+    return _G1T(x, y, z)
