@@ -141,7 +141,7 @@ def msm_t(
     scalars,
     c: int = 4,
     num_bits: int = 256,
-    sublanes: int = 128,
+    sublanes: int = 1024,
 ) -> G1T:
     """Variable-base MSM: sum_i scalars[i] * points[i].
 
@@ -177,7 +177,7 @@ class PippengerMSMT:
     """Fixed-bases convenience wrapper (SRS commit path): holds the bases
     limbs-first on device and exposes scalars -> commitment."""
 
-    def __init__(self, points_t: G1T, c: int = 4, sublanes: int = 128):
+    def __init__(self, points_t: G1T, c: int = 4, sublanes: int = 1024):
         self.points = points_t
         self.c = c
         self.sublanes = sublanes
