@@ -8,9 +8,11 @@ import dataclasses
 import numpy as np
 import pytest
 
+from zkevm_tpu.circuits import bitwise_circuit as bw
 from zkevm_tpu.circuits import bytecode_circuit as bc
 from zkevm_tpu.circuits import evm_circuit as evm
 from zkevm_tpu.circuits import state_circuit as st
+from zkevm_tpu.circuits import word_arith as wa
 from zkevm_tpu.circuits.tables import BytecodeTable, RwTable
 from zkevm_tpu.etypes import CodeDB, StateDB
 from zkevm_tpu.etypes.trace import trace_call
@@ -38,11 +40,17 @@ def circuit():
     cs = ConstraintSystem()
     st_cfg = st.configure(cs, limb_bits=10)
     bc_cfg = bc.configure(cs)
+    from zkevm_tpu.gadgets import RangeTable
+
+    rt8 = RangeTable.configure(cs, 8)
+    wa_cfg = wa.configure(cs, rt8)
+    bw_cfg = bw.configure(cs)
     ev_cfg = evm.configure(
         cs, RwTable.from_state(st_cfg), BytecodeTable.from_config(bc_cfg),
-        rw_count=st_cfg.count_surface,
+        rw_count=st_cfg.count_surface, rt8=rt8,
+        word_table=wa_cfg.table, bitwise_table=bw_cfg.table,
     )
-    return cs, st_cfg, bc_cfg, ev_cfg
+    return cs, st_cfg, bc_cfg, ev_cfg, wa_cfg, bw_cfg
 
 
 def build(code=CODE, value=VALUE):
@@ -60,17 +68,21 @@ def build(code=CODE, value=VALUE):
 
 
 def witness(circuit, builder, h, code=CODE, rows=None):
-    cs, st_cfg, bc_cfg, ev_cfg = circuit
+    cs, st_cfg, bc_cfg, ev_cfg, wa_cfg, bw_cfg = circuit
     asg = Assignment(cs, N)
     st.assign(cs, st_cfg, N, rows if rows is not None
               else st.fix_value_prev(builder.rws.rows), asg)
     bc.assign(cs, bc_cfg, N, [code], asg)
     evm.assign(cs, ev_cfg, N, builder.steps, builder.rws, asg=asg)
+    wa.assign(cs, wa_cfg, N, evm.word_arith_ops(builder.steps, builder.rws),
+              asg)
+    bw.assign(cs, bw_cfg, N, evm.bitwise_events(builder.steps, builder.rws),
+              asg)
     return asg
 
 
 def test_transfer_with_execution_proven(circuit):
-    cs, st_cfg, bc_cfg, ev_cfg = circuit
+    cs, st_cfg, bc_cfg, ev_cfg = circuit[:4]
     builder, h = build()
     # post-state sanity: the tx did what it says
     assert builder.sdb.get_account(CALLER).balance == 10**18 - VALUE
@@ -83,7 +95,7 @@ def test_transfer_with_execution_proven(circuit):
 def test_pure_transfer_proven(circuit):
     """Empty callee code: BeginTx -> EndTx only (the ERC20-shaped simple
     value transfer of BASELINE milestone #3)."""
-    cs, st_cfg, bc_cfg, ev_cfg = circuit
+    cs, st_cfg, bc_cfg, ev_cfg = circuit[:4]
     sdb, cdb = StateDB(), CodeDB()
     sdb.ensure(CALLER).balance = 10**18
     sdb.ensure(CALLEE)
@@ -101,7 +113,7 @@ def test_pure_transfer_proven(circuit):
 def test_stolen_balance_rejected(circuit):
     """Credit the callee more than the caller paid: the balance-transfer
     word identity or RW lookup must break."""
-    cs, st_cfg, bc_cfg, ev_cfg = circuit
+    cs, st_cfg, bc_cfg, ev_cfg = circuit[:4]
     builder, h = build()
     rows = st.fix_value_prev(builder.rws.rows)
     for i, r in enumerate(rows):
@@ -115,7 +127,7 @@ def test_stolen_balance_rejected(circuit):
 def test_wrong_add_result_rejected(circuit):
     """Corrupt the ADD result in both the RW rows and the EVM witness:
     the add/sub word identity must break."""
-    cs, st_cfg, bc_cfg, ev_cfg = circuit
+    cs, st_cfg, bc_cfg, ev_cfg = circuit[:4]
     builder, h = build()
     asg = witness(circuit, builder, h)
     # find the ADD step row and bump its result word cell
@@ -132,7 +144,7 @@ def test_wrong_add_result_rejected(circuit):
 def test_skipped_opcode_rejected(circuit):
     """Claim a different pc chain (skip an opcode): the bytecode fetch
     lookup or pc transition must break."""
-    cs, st_cfg, bc_cfg, ev_cfg = circuit
+    cs, st_cfg, bc_cfg, ev_cfg = circuit[:4]
     builder, h = build()
     asg = witness(circuit, builder, h)
     some_row = 3
@@ -169,7 +181,7 @@ def test_jumps_compares_context_proven(circuit):
 def test_forged_jump_dest_rejected(circuit):
     """Claim a taken jump to a non-JUMPDEST byte: the ev_jumpdest
     bytecode lookup must break."""
-    cs, _, _, ev_cfg = circuit
+    cs, _, _, ev_cfg = circuit[:4]
     builder, h = build(code=CODE2)
     asg = witness(circuit, builder, h, code=CODE2)
     # find the taken-JUMPI row (dest 0x10) and claim dest 0x0F (INVALID)
@@ -183,7 +195,7 @@ def test_forged_jump_dest_rejected(circuit):
 
 def test_forged_compare_rejected(circuit):
     """Claim LT produced 1 where it produced 0."""
-    cs, _, _, ev_cfg = circuit
+    cs, _, _, ev_cfg = circuit[:4]
     builder, h = build(code=CODE2)
     asg = witness(circuit, builder, h, code=CODE2)
     row = next(r for r, s in enumerate(builder.steps) if s.op == 0x10)
@@ -195,7 +207,7 @@ def test_forged_compare_rejected(circuit):
 def test_injected_rw_row_rejected(circuit):
     """Smuggle an extra storage write into the RwTable that no EVM step
     claims: the total-rws count link must break (rw-set completeness)."""
-    cs, st_cfg, _, _ = circuit
+    cs, st_cfg, _, _ = circuit[:4]
     builder, h = build()
     rows = st.fix_value_prev(builder.rws.rows)
     top = max(r.rw_counter for r in rows)
@@ -208,3 +220,85 @@ def test_injected_rw_row_rejected(circuit):
     fails = MockProver(cs, asg).verify()
     assert any("total_rws" in f.name for f in fails), \
         f"injected rw row accepted: {fails[:3]}"
+
+
+# MUL 3*7; DIV 21/5; DIV 9/0; MOD 13%5; MOD 13%0; SHL 0xF0<<4;
+# SHL 1<<256 (invalid); SHR 0xF0>>4; AND; OR; XOR; NOT; STOP
+CODE3 = bytes([
+    0x60, 7, 0x60, 3, 0x02,             # MUL -> 21
+    0x60, 5, 0x90, 0x04,                # DIV 21/5 -> 4
+    0x60, 0, 0x60, 9, 0x04,             # DIV 9/0 -> 0
+    0x60, 5, 0x60, 13, 0x06,            # MOD 13%5 -> 3
+    0x60, 0, 0x60, 13, 0x06,            # MOD 13%0 -> 0
+    0x60, 0xF0, 0x60, 4, 0x1B,          # SHL: 0xF0 << 4 -> 0xF00
+    0x60, 1, 0x61, 0x01, 0x00, 0x1B,    # SHL: 1 << 256 -> 0 (invalid)
+    0x60, 0xF0, 0x60, 4, 0x1C,          # SHR: 0xF0 >> 4 -> 0x0F
+    0x60, 0x3C, 0x60, 0x0F, 0x16,       # AND -> 0x0C
+    0x60, 0x30, 0x17,                   # OR  -> 0x3C
+    0x60, 0xFF, 0x18,                   # XOR -> 0xC3
+    0x19,                               # NOT -> ~0xC3
+    0x00,
+])
+
+
+def test_word_arith_bitwise_states_proven(circuit):
+    """Round-2 batch: MUL/DIV/MOD (incl. division by zero), SHL/SHR
+    (incl. shift >= 256), AND/OR/XOR/NOT — proven against the
+    WordArithTable and BitwiseTable satellites."""
+    cs = circuit[0]
+    builder, h = build(code=CODE3)
+    ops = [s.op for s in builder.steps if s.exec_state is None]
+    for op in (0x02, 0x04, 0x06, 0x1B, 0x1C, 0x16, 0x17, 0x18, 0x19):
+        assert op in ops, hex(op)
+    wops = evm.word_arith_ops(builder.steps, builder.rws)
+    assert len(wops) == 5  # 2 div-by-zero + 1 invalid shift skip the table
+    asg = witness(circuit, builder, h, code=CODE3)
+    MockProver(cs, asg).assert_satisfied()
+
+
+def test_forged_quotient_rejected(circuit):
+    """Claim 21/5 = 5: the WordArithTable lookup (exactness + canonical
+    remainder) must break."""
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, h = build(code=CODE3)
+    asg = witness(circuit, builder, h, code=CODE3)
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.op == 0x04 and FR.decode(asg.cols[ev_cfg.w[2][0]][r]) == 4)
+    asg.set_int(ev_cfg.w[2][0], row, 5)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged quotient accepted"
+
+
+def test_div_by_zero_nonzero_result_rejected(circuit):
+    """x/0 must push 0; claim it pushes 1."""
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, h = build(code=CODE3)
+    asg = witness(circuit, builder, h, code=CODE3)
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.op == 0x04 and FR.decode(asg.cols[ev_cfg.bzc][r]) == 1)
+    asg.set_int(ev_cfg.w[2][0], row, 1)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "x/0 != 0 accepted"
+
+
+def test_oversized_shift_nonzero_result_rejected(circuit):
+    """1 << 256 must push 0; claim a nonzero result."""
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, h = build(code=CODE3)
+    asg = witness(circuit, builder, h, code=CODE3)
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.op == 0x1B and FR.decode(asg.cols[ev_cfg.vcell][r]) == 0)
+    asg.set_int(ev_cfg.w[2][0], row, 1)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "oversized shift nonzero result accepted"
+
+
+def test_forged_bitwise_result_rejected(circuit):
+    """Claim 0x3C AND 0x0F = 0x0D: the BitwiseTable lookup must break."""
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, h = build(code=CODE3)
+    asg = witness(circuit, builder, h, code=CODE3)
+    row = next(r for r, s in enumerate(builder.steps) if s.op == 0x16)
+    asg.set_int(ev_cfg.w[2][0], row, 0x0D)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged AND result accepted"

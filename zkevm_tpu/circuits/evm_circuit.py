@@ -85,6 +85,10 @@ class ES(IntEnum):
     CALLVALUE = 20
     ADDRESS = 21
     CALLDATASIZE = 22
+    MUL_DIV_MOD = 23  # execution/mul_div_mod.rs (WordArithTable lookup)
+    SHL_SHR = 24  # execution/shl_shr.rs (pow2 + WordArithTable)
+    AND_OR_XOR = 25  # execution/bitwise.rs (BitwiseTable lookup)
+    NOT = 26  # execution/not.rs (XOR all-ones)
 
 
 NSTATES = len(ES)
@@ -113,6 +117,10 @@ OP_STATES = {
     ES.CALLVALUE: (0x34, 2, -1, 2),
     ES.ADDRESS: (0x30, 2, -1, 2),
     ES.CALLDATASIZE: (0x36, 2, -1, 2),
+    ES.MUL_DIV_MOD: (None, 5, 1, 3),
+    ES.SHL_SHR: (None, 3, 1, 3),
+    ES.AND_OR_XOR: (None, 3, 1, 3),
+    ES.NOT: (0x19, 3, 0, 2),
 }
 STATIC_GAS_STATES = [
     s for s in OP_STATES
@@ -150,9 +158,17 @@ class EvmConfig:
     pcell: list  # 3 free value_prev (lo, hi) pairs for slots 0..2
     aux: list  # 3 scalar aux cells: nonce/mexp/gcase, refund_new, refund_prev
     iz: dict  # IsZero gadget instances by name
-    ltg: object  # 256-bit LtGadget (LT/GT rows)
+    ltg: object  # 256-bit LtGadget (LT/GT + SHL/SHR shift decomposition)
     rt4: RangeTable
     rt8: RangeTable
+    m_div: Column = None  # MUL_DIV_MOD one-hot bits (m_mul = 1 - div - mod)
+    m_mod: Column = None
+    bzc: Column = None  # materialized divisor-is-zero bit
+    waen: Column = None  # materialized WordArithTable lookup enable
+    vcell: Column = None  # materialized shift-is-valid bit (SHL/SHR)
+    p2s: Column = None  # pow2 fixed table: (s+1, 2^s lo, 2^s hi)
+    p2lo: Column = None
+    p2hi: Column = None
 
 
 def _word(cs) -> tuple:
@@ -167,6 +183,8 @@ def configure(
     tx_table=None,
     rt8: RangeTable | None = None,
     rw_count=None,
+    word_table=None,
+    bitwise_table=None,
 ) -> EvmConfig:
     q_step = cs.fixed_column()
     q_first = cs.fixed_column()
@@ -193,6 +211,9 @@ def configure(
     carries = [cs.advice_column() for _ in range(4)]
     pcell = [_word(cs) for _ in range(3)]
     aux = [cs.advice_column() for _ in range(3)]
+    m_div, m_mod = cs.advice_column(), cs.advice_column()
+    bzc, waen, vcell = (cs.advice_column() for _ in range(3))
+    p2s, p2lo, p2hi = (cs.fixed_column() for _ in range(3))
     rt4 = rt4 or RangeTable.configure(cs, 4)
 
     one = Const(1)
@@ -336,13 +357,20 @@ def configure(
         "eq_hi": IsZero.configure(cs, S[ES.EQ],
                                   w[0][1].cur() - w[1][1].cur(), "ev_iz_eqhi"),
     }
-    # LT/GT: full 256-bit compare; lhs/rhs swapped by the is_sub flag
+    # LT/GT: full 256-bit compare; lhs/rhs swapped by the is_sub flag.
+    # The same 32-byte gadget serves SHL/SHR as the shift-word
+    # decomposition shift_lo = s0 + 256*srest (lhs=shift_lo, rhs=s0,
+    # lt forced 0, limb0 and limbs 16..31 forced 0 — see ev_shift below).
     fge = is_sub.cur()
-    lhs = (one - fge) * comb(w[0]) + fge * comb(w[1])
-    rhs = (one - fge) * comb(w[1]) + fge * comb(w[0])
+    lt_mode = S[ES.LT_GT]
+    sh_mode = S[ES.SHL_SHR]
+    lhs = lt_mode * ((one - fge) * comb(w[0]) + fge * comb(w[1])) \
+        + sh_mode * w[0][0].cur()
+    rhs = lt_mode * ((one - fge) * comb(w[1]) + fge * comb(w[0])) \
+        + sh_mode * opn.cur()
     rt8 = rt8 or RangeTable.configure(cs, 8)
-    ltg = LtGadget.configure(cs, S[ES.LT_GT], lhs, rhs, rt8, n_limbs=32,
-                             name="ev_ltg")
+    ltg = LtGadget.configure(cs, lt_mode + sh_mode, lhs, rhs, rt8,
+                             n_limbs=32, name="ev_ltg")
     cs.create_gate("ev_cmp_results", [
         S[ES.ISZERO] * (w[1][0].cur() - iz["a_lo"].expr() * iz["a_hi"].expr()),
         S[ES.ISZERO] * w[1][1].cur(),
@@ -354,6 +382,105 @@ def configure(
         (S[ES.JUMP] + S[ES.JUMPI]) * w[0][1].cur(),
     ])
     jnz = one - iz["jc_lo"].expr() * iz["jc_hi"].expr()
+
+    # -- word arithmetic: MUL/DIV/MOD + SHL/SHR (execution/mul_div_mod.rs,
+    # shl_shr.rs) against the WordArithTable satellite -------------------
+    MDM, SHS = S[ES.MUL_DIV_MOD], S[ES.SHL_SHR]
+    iz["mdm_blo"] = IsZero.configure(cs, MDM, w[1][0].cur(), "ev_iz_mdmblo")
+    iz["mdm_bhi"] = IsZero.configure(cs, MDM, w[1][1].cur(), "ev_iz_mdmbhi")
+    m_mul = one - m_div.cur() - m_mod.cur()
+    bz = iz["mdm_blo"].expr() * iz["mdm_bhi"].expr()
+    cs.create_gate("ev_mdm", [
+        MDM * (opcode.cur() - Const(2) - Const(2) * m_div.cur()
+               - Const(4) * m_mod.cur()),
+        MDM * m_div.cur() * (one - m_div.cur()),
+        MDM * m_mod.cur() * (one - m_mod.cur()),
+        MDM * m_div.cur() * m_mod.cur(),
+        # materialized bits (keep downstream lookup/gate degrees low)
+        qs * (bzc.cur() - MDM * bz),
+        qs * (waen.cur() - MDM * (m_mul + (one - m_mul) * (one - bzc.cur()))),
+        # x/0 and x%0 push 0 (and skip the table lookup)
+        MDM * bzc.cur() * (one - m_mul) * w[2][0].cur(),
+        MDM * bzc.cur() * (one - m_mul) * w[2][1].cur(),
+    ])
+    # SHL/SHR: opcode = 0x1B + is_sub; shift validity via the ltg
+    # decomposition shift_lo = s0 + 256*srest (s0 = opn cell)
+    srest = Const(0)
+    for i in range(1, 16):
+        srest = srest + Const(1 << (8 * (i - 1))) * ltg.limbs[i].cur()
+    iz["sh_hi"] = IsZero.configure(cs, SHS, w[0][1].cur(), "ev_iz_shhi")
+    iz["sh_rest"] = IsZero.configure(cs, SHS, srest, "ev_iz_shrest")
+    cs.create_gate("ev_shift", [
+        SHS * (opcode.cur() - Const(0x1B) - is_sub.cur()),
+        SHS * ltg.lt.cur(),
+        SHS * ltg.limbs[0].cur(),
+    ] + [
+        SHS * ltg.limbs[i].cur() for i in range(16, 32)
+    ] + [
+        qs * (vcell.cur() - SHS * iz["sh_hi"].expr() * iz["sh_rest"].expr()),
+        # invalid shift (>= 256): result is 0
+        (SHS - vcell.cur()) * w[2][0].cur(),
+        (SHS - vcell.cur()) * w[2][1].cur(),
+    ])
+    # pow2 fixed table: w3 = 2^s0 when the shift is valid (key stored +1
+    # so the disabled all-zero tuple stays out of the live entries)
+    cs.lookup("ev_pow2", [
+        (vcell.cur() * (opn.cur() + one), p2s.cur()),
+        (vcell.cur() * w[3][0].cur(), p2lo.cur()),
+        (vcell.cur() * w[3][1].cur(), p2hi.cur()),
+    ])
+    if word_table is not None:
+        fsh = is_sub.cur()
+        # MUL: d=a*b; DIV: dividend = q*b + r exactly, r < b in-table;
+        # MOD symmetric with q free
+        word_table.lookup(
+            cs, "ev_wa_mdm", waen.cur(),
+            Const(2) - m_mul,
+            (m_mul * w[0][0].cur() + m_div.cur() * w[2][0].cur()
+             + m_mod.cur() * w[3][0].cur(),
+             m_mul * w[0][1].cur() + m_div.cur() * w[2][1].cur()
+             + m_mod.cur() * w[3][1].cur()),
+            (w[1][0].cur(), w[1][1].cur()),
+            (m_div.cur() * w[3][0].cur() + m_mod.cur() * w[2][0].cur(),
+             m_div.cur() * w[3][1].cur() + m_mod.cur() * w[2][1].cur()),
+            ((one - m_mul) * w[0][0].cur() + m_mul * w[2][0].cur(),
+             (one - m_mul) * w[0][1].cur() + m_mul * w[2][1].cur()),
+        )
+        # SHL: value * 2^s0 mod 2^256; SHR: value = q*2^s0 + r exactly
+        word_table.lookup(
+            cs, "ev_wa_shift", vcell.cur(),
+            one + fsh,
+            ((one - fsh) * w[1][0].cur() + fsh * w[2][0].cur(),
+             (one - fsh) * w[1][1].cur() + fsh * w[2][1].cur()),
+            (w[3][0].cur(), w[3][1].cur()),
+            (fsh * w[4][0].cur(), fsh * w[4][1].cur()),
+            ((one - fsh) * w[2][0].cur() + fsh * w[1][0].cur(),
+             (one - fsh) * w[2][1].cur() + fsh * w[1][1].cur()),
+        )
+    else:
+        cs.create_gate("ev_no_word_table", [qs * (MDM + SHS)])
+
+    # -- bitwise: AND/OR/XOR/NOT against the BitwiseTable ------------------
+    AOX, NOTS = S[ES.AND_OR_XOR], S[ES.NOT]
+    cs.create_gate("ev_aox", [
+        AOX * (opcode.cur() - Const(0x16) - opn.cur()),
+        AOX * opn.cur() * (opn.cur() - one) * (opn.cur() - Const(2)),
+    ])
+    if bitwise_table is not None:
+        bitwise_table.lookup(
+            cs, "ev_bw_aox", AOX, opn.cur() + one,
+            (w[0][0].cur(), w[0][1].cur()),
+            (w[1][0].cur(), w[1][1].cur()),
+            (w[2][0].cur(), w[2][1].cur()),
+        )
+        bitwise_table.lookup(
+            cs, "ev_bw_not", NOTS, Const(3),
+            (w[0][0].cur(), w[0][1].cur()),
+            (Const(M128), Const(M128)),
+            (w[1][0].cur(), w[1][1].cur()),
+        )
+    else:
+        cs.create_gate("ev_no_bitwise_table", [qs * (AOX + NOTS)])
 
     # -- per-state step transitions --------------------------------------
     def trans(cell, nxt_exprs: dict, default):
@@ -498,10 +625,13 @@ def configure(
     use(ES.JUMPI, 1, stack_rd(spc + one, wc(1)))
     use(ES.ISZERO, 0, stack_rd(spc, wc(0)))
     use(ES.ISZERO, 1, stack_wr(spc, wc(1), wc(0)))
-    for s_cmp in (ES.EQ, ES.LT_GT):
+    for s_cmp in (ES.EQ, ES.LT_GT, ES.MUL_DIV_MOD, ES.SHL_SHR,
+                  ES.AND_OR_XOR):
         use(s_cmp, 0, stack_rd(spc, wc(0)))
         use(s_cmp, 1, stack_rd(spc + one, wc(1)))
         use(s_cmp, 2, stack_wr(spc + one, wc(2), wc(1)))
+    use(ES.NOT, 0, stack_rd(spc, wc(0)))
+    use(ES.NOT, 1, stack_wr(spc, wc(1), wc(0)))
     for s_ctx, fld in [
         (ES.CALLER, CallContextField.CALLER_ADDRESS),
         (ES.CALLVALUE, CallContextField.VALUE),
@@ -568,6 +698,7 @@ def configure(
         q_step, q_first, q_last, q_trans, sel, tx_id, cid, pc, opcode,
         gas_left, gc, sp, rwc, code_hash, code_hash_hi, callee, opn,
         is_sub, warm, bb0, bb1, w, carries, pcell, aux, iz, ltg, rt4, rt8,
+        m_div, m_mod, bzc, waen, vcell, p2s, p2lo, p2hi,
     )
 
 
@@ -588,7 +719,11 @@ def _state_of(step: ExecStep) -> ES:
          0x5B: ES.JUMPDEST, 0x56: ES.JUMP, 0x57: ES.JUMPI,
          0x15: ES.ISZERO, 0x14: ES.EQ, 0x10: ES.LT_GT, 0x11: ES.LT_GT,
          0x33: ES.CALLER, 0x34: ES.CALLVALUE, 0x30: ES.ADDRESS,
-         0x36: ES.CALLDATASIZE}
+         0x36: ES.CALLDATASIZE,
+         0x02: ES.MUL_DIV_MOD, 0x04: ES.MUL_DIV_MOD, 0x06: ES.MUL_DIV_MOD,
+         0x1B: ES.SHL_SHR, 0x1C: ES.SHL_SHR,
+         0x16: ES.AND_OR_XOR, 0x17: ES.AND_OR_XOR, 0x18: ES.AND_OR_XOR,
+         0x19: ES.NOT}
     if op not in m:
         raise NotImplementedError(f"opcode {op:#x} not in EVM circuit scope")
     return m[op]
@@ -608,6 +743,12 @@ def assign(
     asg = asg if asg is not None else Assignment(cs, n)
     cfg.rt4.load(asg)
     cfg.rt8.load(asg)
+    # pow2 fixed table: entry for shift s at key s+1 (row 0 stays zero
+    # for the disabled-consumer tuple)
+    assert n >= 258
+    asg.set_ints(cfg.p2s, 1, range(1, 257))
+    asg.set_ints(cfg.p2lo, 1, [(1 << s) & M128 for s in range(256)])
+    asg.set_ints(cfg.p2hi, 1, [(1 << s) >> 128 for s in range(256)])
     m = cs.usable_rows(n) - 1  # the lookup-active region
     assert len(steps) <= m
     one = FR.encode(1)
@@ -764,6 +905,53 @@ def assign(
         elif st in (ES.CALLER, ES.CALLVALUE, ES.ADDRESS, ES.CALLDATASIZE):
             put_word(0, vals[0].value)
             put_pcell(1, _group_prev(rws, vals[1]))
+        elif st == ES.MUL_DIV_MOD:
+            a, b_, res = vals[0].value, vals[1].value, vals[2].value
+            put_word(0, a)
+            put_word(1, b_)
+            put_word(2, res)
+            is_div = 1 if step.op == 0x04 else 0
+            is_mod = 1 if step.op == 0x06 else 0
+            asg.set_int(cfg.m_div, r, is_div)
+            asg.set_int(cfg.m_mod, r, is_mod)
+            _set_inv(asg, cfg.iz["mdm_blo"], r, b_ & M128)
+            _set_inv(asg, cfg.iz["mdm_bhi"], r, b_ >> 128)
+            bz = 1 if b_ == 0 else 0
+            asg.set_int(cfg.bzc, r, bz)
+            asg.set_int(cfg.waen, r, 1 if (not is_div and not is_mod) or not bz
+                        else 0)
+            if b_ and (is_div or is_mod):
+                put_word(3, a % b_ if is_div else a // b_)
+        elif st == ES.SHL_SHR:
+            shift, value, res = vals[0].value, vals[1].value, vals[2].value
+            put_word(0, shift)
+            put_word(1, value)
+            put_word(2, res)
+            is_shr = 1 if step.op == 0x1C else 0
+            asg.set_int(cfg.is_sub, r, is_shr)
+            s0 = shift & 0xFF
+            asg.set_int(cfg.opn, r, s0)
+            shift_lo = shift & M128
+            diff = shift_lo - s0  # >= 0, divisible by 256
+            for i, c in enumerate(cfg.ltg.limbs):
+                asg.set_int(c, r, (diff >> (8 * i)) & 0xFF)
+            srest = diff >> 8
+            _set_inv(asg, cfg.iz["sh_hi"], r, shift >> 128)
+            _set_inv(asg, cfg.iz["sh_rest"], r, srest)
+            valid = 1 if (shift >> 128) == 0 and srest == 0 else 0
+            asg.set_int(cfg.vcell, r, valid)
+            if valid:
+                put_word(3, 1 << s0)
+                if is_shr:
+                    put_word(4, value - (value >> s0) * (1 << s0))
+        elif st == ES.AND_OR_XOR:
+            put_word(0, vals[0].value)
+            put_word(1, vals[1].value)
+            put_word(2, vals[2].value)
+            asg.set_int(cfg.opn, r, step.op - 0x16)
+        elif st == ES.NOT:
+            put_word(0, vals[0].value)
+            put_word(1, vals[1].value)
 
     # EndBlock padding
     for r in range(len(steps), m):
@@ -782,6 +970,57 @@ def assign(
 def _set_inv(asg: Assignment, gadget, row: int, value: int) -> None:
     if value % FR_MOD:
         asg.set_int(gadget.inv, row, pow(value % FR_MOD, FR_MOD - 2, FR_MOD))
+
+
+def word_arith_ops(steps: list[ExecStep], rws: RwMap) -> list:
+    """Collect the WordArithTable rows the EVM steps will look up
+    (the satellite circuit's witness; one op per MUL/DIV/MOD/valid-shift
+    step)."""
+    from zkevm_tpu.circuits.word_arith import WordArithOp, WordOp
+
+    by_rwc = {row.rw_counter: row for row in rws.rows}
+    ops = []
+    for step in steps:
+        st = _state_of(step)
+        if st not in (ES.MUL_DIV_MOD, ES.SHL_SHR):
+            continue
+        vals = [by_rwc[i] for i in step.rw_indices]
+        x, y, res = vals[0].value, vals[1].value, vals[2].value
+        if st == ES.MUL_DIV_MOD:
+            if step.op == 0x02:
+                ops.append(WordArithOp(WordOp.MUL, x, y, 0))
+            elif y:  # DIV/MOD with nonzero divisor
+                q, rem = divmod(x, y)
+                ops.append(WordArithOp(WordOp.DIVMOD, q, y, rem))
+        else:  # SHL/SHR
+            shift, value = x, y
+            if shift < 256:
+                p = 1 << shift
+                if step.op == 0x1B:
+                    ops.append(WordArithOp(WordOp.MUL, value, p, 0))
+                else:
+                    q, rem = divmod(value, p)
+                    ops.append(WordArithOp(WordOp.DIVMOD, q, p, rem))
+    return ops
+
+
+def bitwise_events(steps: list[ExecStep], rws: RwMap) -> list:
+    """Collect the BitwiseTable rows the EVM steps will look up."""
+    from zkevm_tpu.circuits.bitwise_circuit import BitOp, BitwiseEvent
+
+    by_rwc = {row.rw_counter: row for row in rws.rows}
+    evs = []
+    for step in steps:
+        st = _state_of(step)
+        if st == ES.AND_OR_XOR:
+            vals = [by_rwc[i] for i in step.rw_indices]
+            evs.append(BitwiseEvent(BitOp(step.op - 0x15),
+                                    vals[0].value, vals[1].value))
+        elif st == ES.NOT:
+            vals = [by_rwc[i] for i in step.rw_indices]
+            evs.append(BitwiseEvent(BitOp.XOR, vals[0].value,
+                                    (1 << 256) - 1))
+    return evs
 
 
 def _group_prev(rws: RwMap, row) -> int:

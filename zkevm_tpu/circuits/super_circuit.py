@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from zkevm_tpu.circuits import bitwise_circuit as bwc
 from zkevm_tpu.circuits import bytecode_circuit as bc
 from zkevm_tpu.circuits import copy_circuit as cp
 from zkevm_tpu.circuits import evm_circuit as evm
@@ -37,6 +38,7 @@ from zkevm_tpu.circuits import pi_circuit as pic
 from zkevm_tpu.circuits import rlp_circuit as rlp
 from zkevm_tpu.circuits import state_circuit as st
 from zkevm_tpu.circuits import tx_circuit as txc
+from zkevm_tpu.circuits import word_arith as wac
 from zkevm_tpu.circuits.tables import BytecodeTable, Challenges, RwTable
 from zkevm_tpu.plonk.assign import Assignment
 from zkevm_tpu.plonk.cs import ConstraintSystem
@@ -55,6 +57,8 @@ class SuperConfig:
     ev: evm.EvmConfig
     cp: cp.CopyConfig
     pi: pic.PiConfig
+    wa: wac.WordArithConfig
+    bw: bwc.BitwiseConfig
 
 
 def configure(
@@ -72,13 +76,16 @@ def configure(
     txcfg = txc.configure(cs, ch, ktcfg.table,
                           cd_cap=params.max_calldata, rlp_cap=params.max_rlp)
     rlpcfg = rlp.configure(cs, txcfg)
+    wacfg = wac.configure(cs, txcfg.rt8)
+    bwcfg = bwc.configure(cs)
     evcfg = evm.configure(cs, rw_table, bt, tx_table=txcfg.table,
-                          rt8=txcfg.rt8, rw_count=stcfg.count_surface)
+                          rt8=txcfg.rt8, rw_count=stcfg.count_surface,
+                          word_table=wacfg.table, bitwise_table=bwcfg.table)
     cpcfg = cp.configure(cs, rw_table, bt)
     picfg = pic.configure(cs, ch, ktcfg.table, txcfg, ntx=params.max_txs,
                           rt8=txcfg.rt8)
     return SuperConfig(params, ch, ktcfg, bccfg, stcfg, txcfg, rlpcfg,
-                       evcfg, cpcfg, picfg)
+                       evcfg, cpcfg, picfg, wacfg, bwcfg)
 
 
 def keccak_messages(block: Block) -> list[bytes]:
@@ -104,6 +111,10 @@ def row_usage(cfg: SuperConfig, block: Block) -> dict:
         "tx": len(block.txs) * cfg.tx.block + 1,
         "copy": copy_rows + cp.WORD + 1,
         "pi": cfg.pi.rows + 1,
+        "word_arith": wac.R * len(evm.word_arith_ops(block.steps, block.rws))
+        + 1,
+        "bitwise": bwc.R * len(evm.bitwise_events(block.steps, block.rws))
+        + 769,
     }
 
 
@@ -184,6 +195,8 @@ def assign(
     kwit = kt.assign(cs, cfg.kt, n, keccak_messages(block), asg)
     bwit = bc.assign(cs, cfg.bc, n, block.codes, asg)
     evm.assign(cs, cfg.ev, n, block.steps, block.rws, asg=asg)
+    wac.assign(cs, cfg.wa, n, evm.word_arith_ops(block.steps, block.rws), asg)
+    bwc.assign(cs, cfg.bw, n, evm.bitwise_events(block.steps, block.rws), asg)
     cp.assign(cs, cfg.cp, n, block.copy_events, block.rws, asg)
     twit = txc.assign(cs, cfg.tx, n, block.txs, asg)
     rlp.assign(cs, cfg.rlp, n, block.txs, asg)
