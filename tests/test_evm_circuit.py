@@ -45,12 +45,25 @@ def circuit():
     rt8 = RangeTable.configure(cs, 8)
     wa_cfg = wa.configure(cs, rt8)
     bw_cfg = bw.configure(cs)
+    # mini BlockTable provider: fixed (en, tag, lo, hi) rows loaded from
+    # BLOCK_CTX below (the real producer is the PI circuit; the super
+    # circuit test covers that wiring)
+    from zkevm_tpu.circuits.pi_circuit import BlockTable
+
+    bt_cols = [cs.fixed_column() for _ in range(4)]
+    block_table = BlockTable([c.cur() for c in bt_cols])
     ev_cfg = evm.configure(
         cs, RwTable.from_state(st_cfg), BytecodeTable.from_config(bc_cfg),
         rw_count=st_cfg.count_surface, rt8=rt8,
         word_table=wa_cfg.table, bitwise_table=bw_cfg.table,
+        block_table=block_table,
     )
-    return cs, st_cfg, bc_cfg, ev_cfg, wa_cfg, bw_cfg
+    return cs, st_cfg, bc_cfg, ev_cfg, wa_cfg, bw_cfg, bt_cols
+
+
+BLOCK_CTX = {"coinbase": 0xC01BA5E, "timestamp": 1_700_000_000,
+             "number": 1234, "gas_limit": 30_000_000, "chain_id": 7,
+             "base_fee": 10**9}
 
 
 def build(code=CODE, value=VALUE):
@@ -59,7 +72,8 @@ def build(code=CODE, value=VALUE):
     sdb.ensure(CALLEE).code_hash = h
     sdb.ensure(CALLER).balance = 10**18
     pre = sdb.clone()
-    tr = trace_call(sdb, cdb, caller=CALLER, callee=CALLEE, value=value)
+    tr = trace_call(sdb, cdb, caller=CALLER, callee=CALLEE, value=value,
+                    block_ctx=BLOCK_CTX)
     assert not tr.failed
     builder = CircuitInputBuilder(pre, cdb)
     builder.handle_tx(tr, caller=CALLER, callee=CALLEE, value=value)
@@ -68,8 +82,23 @@ def build(code=CODE, value=VALUE):
 
 
 def witness(circuit, builder, h, code=CODE, rows=None):
-    cs, st_cfg, bc_cfg, ev_cfg, wa_cfg, bw_cfg = circuit
+    cs, st_cfg, bc_cfg, ev_cfg, wa_cfg, bw_cfg, bt_cols = circuit
     asg = Assignment(cs, N)
+    # load the mini block table (row 0 stays zero = disabled tuple)
+    from zkevm_tpu.circuits.pi_circuit import BlockField
+
+    M128 = (1 << 128) - 1
+    fields = [(BlockField.COINBASE, BLOCK_CTX["coinbase"]),
+              (BlockField.TIMESTAMP, BLOCK_CTX["timestamp"]),
+              (BlockField.NUMBER, BLOCK_CTX["number"]),
+              (BlockField.GAS_LIMIT, BLOCK_CTX["gas_limit"]),
+              (BlockField.CHAIN_ID, BLOCK_CTX["chain_id"]),
+              (BlockField.BASE_FEE, BLOCK_CTX["base_fee"])]
+    for i, (tag, v) in enumerate(fields):
+        asg.set_int(bt_cols[0], 1 + i, 1)
+        asg.set_int(bt_cols[1], 1 + i, int(tag))
+        asg.set_int(bt_cols[2], 1 + i, v & M128)
+        asg.set_int(bt_cols[3], 1 + i, v >> 128)
     st.assign(cs, st_cfg, N, rows if rows is not None
               else st.fix_value_prev(builder.rws.rows), asg)
     bc.assign(cs, bc_cfg, N, [code], asg)
@@ -302,3 +331,54 @@ def test_forged_bitwise_result_rejected(circuit):
     asg.set_int(ev_cfg.w[2][0], row, 0x0D)
     fails = MockProver(cs, asg).verify()
     assert fails, "forged AND result accepted"
+
+
+# COINBASE TIMESTAMP NUMBER GASLIMIT CHAINID BASEFEE PC GAS SELFBALANCE
+# BALANCE(caller, warm) EXTCODEHASH(callee, warm) BALANCE(0xCCCC, cold) STOP
+CODE4 = bytes([
+    0x41, 0x42, 0x43, 0x45, 0x46, 0x48, 0x58, 0x5A, 0x47,
+    0x61, 0xAA, 0xAA, 0x31,
+    0x61, 0xBB, 0xBB, 0x3F,
+    0x61, 0xCC, 0xCC, 0x31,
+    0x00,
+])
+
+
+def test_context_states_proven(circuit):
+    """Round-2 batch: block context (BlockTable lookups), PC/GAS,
+    SELFBALANCE, BALANCE/EXTCODEHASH with EIP-2929 warm/cold gas."""
+    cs = circuit[0]
+    builder, h = build(code=CODE4)
+    ops = [s.op for s in builder.steps if s.exec_state is None]
+    for op in (0x41, 0x42, 0x43, 0x45, 0x46, 0x48, 0x58, 0x5A, 0x47,
+               0x31, 0x3F):
+        assert op in ops, hex(op)
+    # cold BALANCE charged 2600, warm 100
+    costs = [s.gas_cost for s in builder.steps
+             if s.exec_state is None and s.op == 0x31]
+    assert costs == [100, 2600]
+    asg = witness(circuit, builder, h, code=CODE4)
+    MockProver(cs, asg).assert_satisfied()
+
+
+def test_forged_block_value_rejected(circuit):
+    """Claim a different TIMESTAMP than the block header's."""
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, h = build(code=CODE4)
+    asg = witness(circuit, builder, h, code=CODE4)
+    row = next(r for r, s in enumerate(builder.steps) if s.op == 0x42)
+    asg.set_int(ev_cfg.w[0][0], row, BLOCK_CTX["timestamp"] + 1)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged block value accepted"
+
+
+def test_forged_cold_gas_rejected(circuit):
+    """Claim the cold BALANCE access was warm (gas 100 instead of 2600)."""
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, h = build(code=CODE4)
+    asg = witness(circuit, builder, h, code=CODE4)
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.op == 0x31 and s.gas_cost == 2600)
+    asg.set_int(ev_cfg.gc, row, 100)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged warm-access gas accepted"

@@ -56,7 +56,29 @@ M128 = (1 << 128) - 1
 NSLOTS = 7  # RW lookup budget per step row (BeginTx uses all seven)
 
 COLD_SLOAD_EXTRA = 2000  # 2100 cold - 100 warm
+COLD_ACCOUNT_EXTRA = 2500  # 2600 cold - 100 warm (EIP-2929 account access)
 SSTORE_CASES = (100, 2900, 20000)
+
+
+def _opmap() -> list:
+    """(opcode, tag) rows of the shared opcode->table-tag fixed map:
+    BLOCK_CTX -> BlockField, TX_CTX -> TxFieldTag, ACCT_INFO ->
+    AccountField. Opcode keys are disjoint so one table serves all."""
+    from zkevm_tpu.circuits.pi_circuit import BlockField
+    from zkevm_tpu.circuits.tx_circuit import TxFieldTag
+
+    return [
+        (0x41, int(BlockField.COINBASE)),
+        (0x42, int(BlockField.TIMESTAMP)),
+        (0x43, int(BlockField.NUMBER)),
+        (0x45, int(BlockField.GAS_LIMIT)),
+        (0x46, int(BlockField.CHAIN_ID)),
+        (0x48, int(BlockField.BASE_FEE)),
+        (0x32, int(TxFieldTag.CALLER_ADDRESS)),  # ORIGIN (no CREATE scope)
+        (0x3A, int(TxFieldTag.GAS_PRICE)),
+        (0x31, int(AccountField.BALANCE)),
+        (0x3F, int(AccountField.CODE_HASH)),
+    ]
 
 
 class ES(IntEnum):
@@ -89,6 +111,11 @@ class ES(IntEnum):
     SHL_SHR = 24  # execution/shl_shr.rs (pow2 + WordArithTable)
     AND_OR_XOR = 25  # execution/bitwise.rs (BitwiseTable lookup)
     NOT = 26  # execution/not.rs (XOR all-ones)
+    BLOCK_CTX = 27  # execution/block_ctx.rs (BlockTable lookup)
+    TX_CTX = 28  # ORIGIN/GASPRICE (execution/origin.rs, gasprice.rs)
+    PC_GAS = 29  # execution/pc.rs, gas.rs
+    ACCT_INFO = 30  # BALANCE/EXTCODEHASH (execution/balance.rs, ...)
+    SELFBALANCE = 31  # execution/selfbalance.rs
 
 
 NSTATES = len(ES)
@@ -121,10 +148,15 @@ OP_STATES = {
     ES.SHL_SHR: (None, 3, 1, 3),
     ES.AND_OR_XOR: (None, 3, 1, 3),
     ES.NOT: (0x19, 3, 0, 2),
+    ES.BLOCK_CTX: (None, 2, -1, 1),
+    ES.TX_CTX: (None, 2, -1, 1),
+    ES.PC_GAS: (None, 2, -1, 1),
+    ES.ACCT_INFO: (None, 100, 0, 4),
+    ES.SELFBALANCE: (0x47, 5, -1, 3),
 }
 STATIC_GAS_STATES = [
     s for s in OP_STATES
-    if s not in (ES.MLOAD, ES.MSTORE, ES.SLOAD, ES.SSTORE)
+    if s not in (ES.MLOAD, ES.MSTORE, ES.SLOAD, ES.SSTORE, ES.ACCT_INFO)
 ]
 NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0}
 NRW.update({s: spec[3] for s, spec in OP_STATES.items()})
@@ -169,6 +201,8 @@ class EvmConfig:
     p2s: Column = None  # pow2 fixed table: (s+1, 2^s lo, 2^s hi)
     p2lo: Column = None
     p2hi: Column = None
+    om_op: Column = None  # opcode -> table-tag fixed map
+    om_tag: Column = None
 
 
 def _word(cs) -> tuple:
@@ -185,6 +219,7 @@ def configure(
     rw_count=None,
     word_table=None,
     bitwise_table=None,
+    block_table=None,
 ) -> EvmConfig:
     q_step = cs.fixed_column()
     q_first = cs.fixed_column()
@@ -214,6 +249,7 @@ def configure(
     m_div, m_mod = cs.advice_column(), cs.advice_column()
     bzc, waen, vcell = (cs.advice_column() for _ in range(3))
     p2s, p2lo, p2hi = (cs.fixed_column() for _ in range(3))
+    om_op, om_tag = cs.fixed_column(), cs.fixed_column()
     rt4 = rt4 or RangeTable.configure(cs, 4)
 
     one = Const(1)
@@ -482,6 +518,38 @@ def configure(
     else:
         cs.create_gate("ev_no_bitwise_table", [qs * (AOX + NOTS)])
 
+    # -- context / environment states -------------------------------------
+    BCX, TCX, PCG, ACI = (S[ES.BLOCK_CTX], S[ES.TX_CTX], S[ES.PC_GAS],
+                          S[ES.ACCT_INFO])
+    # shared opcode -> table-tag map (opn carries the tag)
+    map_en = BCX + TCX + ACI
+    cs.lookup("ev_opmap", [
+        (map_en * opcode.cur(), om_op.cur()),
+        (map_en * opn.cur(), om_tag.cur()),
+    ])
+    cs.create_gate("ev_pc_gas", [
+        PCG * (opcode.cur() - Const(0x58) - Const(2) * is_sub.cur()),
+        PCG * (w[0][0].cur() - (one - is_sub.cur()) * pc.cur()
+               - is_sub.cur() * (gas_left.cur() - Const(2))),
+        PCG * w[0][1].cur(),
+    ])
+    cs.create_gate("ev_acct_info", [
+        ACI * (gc.cur() - Const(100)
+               - Const(COLD_ACCOUNT_EXTRA) * (one - warm.cur())),
+    ])
+    if block_table is not None:
+        block_table.lookup(cs, "ev_blockctx", BCX, opn.cur(),
+                           w[0][0].cur(), w[0][1].cur())
+    else:
+        cs.create_gate("ev_no_block_table", [qs * BCX])
+    if tx_table is not None:
+        tx_table.lookup(cs, "ev_txctx", [
+            TCX, TCX * tx_id.cur(), TCX * opn.cur(), Const(0),
+            TCX * w[0][0].cur(), TCX * w[0][1].cur(),
+        ])
+    else:
+        cs.create_gate("ev_no_tx_table_ctx", [qs * TCX])
+
     # -- per-state step transitions --------------------------------------
     def trans(cell, nxt_exprs: dict, default):
         """cell(+1) = sum_s sel_s * expr_s."""
@@ -632,6 +700,26 @@ def configure(
         use(s_cmp, 2, stack_wr(spc + one, wc(2), wc(1)))
     use(ES.NOT, 0, stack_rd(spc, wc(0)))
     use(ES.NOT, 1, stack_wr(spc, wc(1), wc(0)))
+    # context/environment pushes
+    for s_push in (ES.BLOCK_CTX, ES.TX_CTX, ES.PC_GAS):
+        use(s_push, 0, stack_wr(spc - one, wc(0), pc_(0)))
+    # BALANCE/EXTCODEHASH: addr pop, EIP-2929 access-list write, account
+    # read (field tag = opn via ev_opmap), value push
+    ALA = int(Target.TX_ACCESS_LIST_ACCOUNT)
+    use(ES.ACCT_INFO, 0, stack_rd(spc, wc(0)))
+    use(ES.ACCT_INFO, 1, [one, Const(ALA), tx_id.cur(), comb(w[0]), ZERO,
+                          ZERO, one, ZERO, warm.cur(), ZERO])
+    use(ES.ACCT_INFO, 2, [ZERO, Const(ACC), ZERO, comb(w[0]), opn.cur(),
+                          ZERO, *wc(1), *wc(1)])
+    use(ES.ACCT_INFO, 3, stack_wr(spc, wc(1), wc(0)))
+    # SELFBALANCE: callee-address context read, balance read, push
+    use(ES.SELFBALANCE, 0, [ZERO, Const(CC), cid.cur(), ZERO,
+                            Const(int(CallContextField.CALLEE_ADDRESS)),
+                            ZERO, *wc(2), *wc(2)])
+    use(ES.SELFBALANCE, 1, [ZERO, Const(ACC), ZERO, comb(w[2]),
+                            Const(int(AccountField.BALANCE)), ZERO,
+                            *wc(0), *wc(0)])
+    use(ES.SELFBALANCE, 2, stack_wr(spc - one, wc(0), pc_(1)))
     for s_ctx, fld in [
         (ES.CALLER, CallContextField.CALLER_ADDRESS),
         (ES.CALLVALUE, CallContextField.VALUE),
@@ -698,7 +786,7 @@ def configure(
         q_step, q_first, q_last, q_trans, sel, tx_id, cid, pc, opcode,
         gas_left, gc, sp, rwc, code_hash, code_hash_hi, callee, opn,
         is_sub, warm, bb0, bb1, w, carries, pcell, aux, iz, ltg, rt4, rt8,
-        m_div, m_mod, bzc, waen, vcell, p2s, p2lo, p2hi,
+        m_div, m_mod, bzc, waen, vcell, p2s, p2lo, p2hi, om_op, om_tag,
     )
 
 
@@ -723,7 +811,13 @@ def _state_of(step: ExecStep) -> ES:
          0x02: ES.MUL_DIV_MOD, 0x04: ES.MUL_DIV_MOD, 0x06: ES.MUL_DIV_MOD,
          0x1B: ES.SHL_SHR, 0x1C: ES.SHL_SHR,
          0x16: ES.AND_OR_XOR, 0x17: ES.AND_OR_XOR, 0x18: ES.AND_OR_XOR,
-         0x19: ES.NOT}
+         0x19: ES.NOT,
+         0x41: ES.BLOCK_CTX, 0x42: ES.BLOCK_CTX, 0x43: ES.BLOCK_CTX,
+         0x45: ES.BLOCK_CTX, 0x46: ES.BLOCK_CTX, 0x48: ES.BLOCK_CTX,
+         0x32: ES.TX_CTX, 0x3A: ES.TX_CTX,
+         0x58: ES.PC_GAS, 0x5A: ES.PC_GAS,
+         0x31: ES.ACCT_INFO, 0x3F: ES.ACCT_INFO,
+         0x47: ES.SELFBALANCE}
     if op not in m:
         raise NotImplementedError(f"opcode {op:#x} not in EVM circuit scope")
     return m[op]
@@ -749,6 +843,9 @@ def assign(
     asg.set_ints(cfg.p2s, 1, range(1, 257))
     asg.set_ints(cfg.p2lo, 1, [(1 << s) & M128 for s in range(256)])
     asg.set_ints(cfg.p2hi, 1, [(1 << s) >> 128 for s in range(256)])
+    omap = _opmap()
+    asg.set_ints(cfg.om_op, 1, [op for op, _ in omap])
+    asg.set_ints(cfg.om_tag, 1, [t for _, t in omap])
     m = cs.usable_rows(n) - 1  # the lookup-active region
     assert len(steps) <= m
     one = FR.encode(1)
@@ -952,6 +1049,23 @@ def assign(
         elif st == ES.NOT:
             put_word(0, vals[0].value)
             put_word(1, vals[1].value)
+        elif st in (ES.BLOCK_CTX, ES.TX_CTX):
+            put_word(0, vals[0].value)
+            asg.set_int(cfg.opn, r, dict(_opmap())[step.op])
+            put_pcell(0, _group_prev(rws, vals[0]))
+        elif st == ES.PC_GAS:
+            put_word(0, vals[0].value)
+            asg.set_int(cfg.is_sub, r, 1 if step.op == 0x5A else 0)
+            put_pcell(0, _group_prev(rws, vals[0]))
+        elif st == ES.ACCT_INFO:
+            put_word(0, vals[0].value)  # address
+            asg.set_int(cfg.warm, r, vals[1].value_prev)
+            put_word(1, vals[2].value)  # account field value
+            asg.set_int(cfg.opn, r, dict(_opmap())[step.op])
+        elif st == ES.SELFBALANCE:
+            put_word(2, vals[0].value)  # callee address
+            put_word(0, vals[1].value)  # balance
+            put_pcell(1, _group_prev(rws, vals[2]))
 
     # EndBlock padding
     for r in range(len(steps), m):

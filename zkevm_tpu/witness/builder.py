@@ -511,6 +511,14 @@ class CircuitInputBuilder:
             f, v = fmap[name]
             ri.append(self.call_context(cid, f, v))
             ri.append(self.stack_write(cid, sp - 1, nxt_top()))
+        elif name == "SELFBALANCE":
+            ri.append(self.call_context(
+                cid, CallContextField.CALLEE_ADDRESS, call.address))
+            acc = self.sdb.get_account(call.address)
+            ri.append(self.account(RW.READ, call.address,
+                                   AccountField.BALANCE,
+                                   acc.balance, acc.balance))
+            ri.append(self.stack_write(cid, sp - 1, nxt_top()))
         elif name in ("BALANCE", "EXTCODESIZE", "EXTCODEHASH"):
             addr = top(0) & ((1 << 160) - 1)
             ri.append(self.stack_read(cid, sp, top(0)))
