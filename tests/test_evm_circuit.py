@@ -11,6 +11,7 @@ import pytest
 from zkevm_tpu.circuits import bitwise_circuit as bw
 from zkevm_tpu.circuits import bytecode_circuit as bc
 from zkevm_tpu.circuits import evm_circuit as evm
+from zkevm_tpu.circuits import exp_circuit as ec
 from zkevm_tpu.circuits import state_circuit as st
 from zkevm_tpu.circuits import word_arith as wa
 from zkevm_tpu.circuits.tables import BytecodeTable, RwTable
@@ -52,13 +53,14 @@ def circuit():
 
     bt_cols = [cs.fixed_column() for _ in range(4)]
     block_table = BlockTable([c.cur() for c in bt_cols])
+    ex_cfg = ec.configure(cs, wa_cfg.table)
     ev_cfg = evm.configure(
         cs, RwTable.from_state(st_cfg), BytecodeTable.from_config(bc_cfg),
         rw_count=st_cfg.count_surface, rt8=rt8,
         word_table=wa_cfg.table, bitwise_table=bw_cfg.table,
-        block_table=block_table,
+        block_table=block_table, exp_table=ex_cfg.table,
     )
-    return cs, st_cfg, bc_cfg, ev_cfg, wa_cfg, bw_cfg, bt_cols
+    return cs, st_cfg, bc_cfg, ev_cfg, wa_cfg, bw_cfg, bt_cols, ex_cfg
 
 
 BLOCK_CTX = {"coinbase": 0xC01BA5E, "timestamp": 1_700_000_000,
@@ -82,7 +84,7 @@ def build(code=CODE, value=VALUE):
 
 
 def witness(circuit, builder, h, code=CODE, rows=None):
-    cs, st_cfg, bc_cfg, ev_cfg, wa_cfg, bw_cfg, bt_cols = circuit
+    (cs, st_cfg, bc_cfg, ev_cfg, wa_cfg, bw_cfg, bt_cols, ex_cfg) = circuit
     asg = Assignment(cs, N)
     # load the mini block table (row 0 stays zero = disabled tuple)
     from zkevm_tpu.circuits.pi_circuit import BlockField
@@ -103,8 +105,11 @@ def witness(circuit, builder, h, code=CODE, rows=None):
               else st.fix_value_prev(builder.rws.rows), asg)
     bc.assign(cs, bc_cfg, N, [code], asg)
     evm.assign(cs, ev_cfg, N, builder.steps, builder.rws, asg=asg)
-    wa.assign(cs, wa_cfg, N, evm.word_arith_ops(builder.steps, builder.rws),
-              asg)
+    xevents = evm.exp_events(builder.steps, builder.rws)
+    ec.assign(cs, ex_cfg, N, xevents, asg)
+    wa.assign(cs, wa_cfg, N,
+              evm.word_arith_ops(builder.steps, builder.rws)
+              + ec.word_arith_ops(xevents), asg)
     bw.assign(cs, bw_cfg, N, evm.bitwise_events(builder.steps, builder.rws),
               asg)
     return asg
@@ -382,3 +387,173 @@ def test_forged_cold_gas_rejected(circuit):
     asg.set_int(ev_cfg.gc, row, 100)
     fails = MockProver(cs, asg).verify()
     assert fails, "forged warm-access gas accepted"
+
+
+# ADDMOD (250+13)%7=4; ADDMOD N=0 -> 0; ADDMOD (M+M)%7=2 (257-bit sum);
+# MULMOD (M*M)%12=9 (512-bit product); MULMOD (6*5)%7=2; MULMOD N=0 -> 0
+M = (1 << 256) - 1
+CODE5 = bytes([
+    0x60, 7, 0x60, 13, 0x60, 250, 0x08, 0x50,
+    0x60, 0, 0x60, 1, 0x60, 2, 0x08, 0x50,
+    0x60, 7, 0x60, 0, 0x19, 0x80, 0x08, 0x50,
+    0x60, 12, 0x60, 0, 0x19, 0x80, 0x09, 0x50,
+    0x60, 7, 0x60, 5, 0x60, 6, 0x09, 0x50,
+    0x60, 0, 0x60, 5, 0x60, 6, 0x09, 0x50,
+    0x00,
+])
+
+
+def test_mod_arith_states_proven(circuit):
+    """Round-2 batch: ADDMOD/MULMOD via the 512-bit WordArithTable tags,
+    including the 2^256 overflow shapes and the N = 0 zero-push rule."""
+    cs = circuit[0]
+    builder, h = build(code=CODE5)
+    results = []
+    for s in builder.steps:
+        if s.exec_state is None and s.op in (0x08, 0x09):
+            w = builder.rws.rows
+            by = {row.rw_counter: row for row in w}
+            results.append(by[s.rw_indices[3]].value)
+    assert results == [4, 0, 2, 9, 2, 0]
+    wops = evm.word_arith_ops(builder.steps, builder.rws)
+    # 2 ops per live ADDMOD, 3 per live MULMOD, 0 for N = 0
+    assert len(wops) == 2 + 0 + 2 + 3 + 3 + 0
+    asg = witness(circuit, builder, h, code=CODE5)
+    MockProver(cs, asg).assert_satisfied()
+
+
+def test_forged_mod_result_rejected(circuit):
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, h = build(code=CODE5)
+    asg = witness(circuit, builder, h, code=CODE5)
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.exec_state is None and s.op == 0x09 and
+               builder.steps[r].gas_left)
+    asg.set_int(ev_cfg.w[3][0], row, 11)  # (M*M)%12 != 11
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged MULMOD result accepted"
+
+
+def test_forged_modzero_result_rejected(circuit):
+    """N = 0 must push 0 — claim 1 instead."""
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, h = build(code=CODE5)
+    rows = [r for r, s in enumerate(builder.steps)
+            if s.exec_state is None and s.op == 0x08]
+    row = rows[1]  # the N = 0 ADDMOD
+    asg = witness(circuit, builder, h, code=CODE5)
+    asg.set_int(ev_cfg.w[3][0], row, 1)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged N=0 ADDMOD result accepted"
+
+
+# EXP: 3^13 (table chain); 2^0 -> 1; 5^1 -> 5; 2^256 wrap (0x0100 exp);
+# each POPped
+CODE6 = bytes([
+    0x60, 13, 0x60, 3, 0x0A, 0x50,
+    0x60, 0, 0x60, 2, 0x0A, 0x50,
+    0x60, 1, 0x60, 5, 0x0A, 0x50,
+    0x61, 0x01, 0x00, 0x60, 2, 0x0A, 0x50,
+    0x00,
+])
+
+
+def test_exp_states_proven(circuit):
+    """Round-2 batch: EXP via the word-semantics ExpTable + byte-size
+    gas, including the 0/1 special cases and a wrap-to-zero power."""
+    cs = circuit[0]
+    builder, h = build(code=CODE6)
+    by = {row.rw_counter: row for row in builder.rws.rows}
+    results = [by[s.rw_indices[2]].value for s in builder.steps
+               if s.exec_state is None and s.op == 0x0A]
+    assert results == [pow(3, 13), 1, 5, 0]
+    gas = [s.gas_cost for s in builder.steps
+           if s.exec_state is None and s.op == 0x0A]
+    assert gas == [60, 10, 60, 110]  # 10 + 50*byte_size(exponent)
+    asg = witness(circuit, builder, h, code=CODE6)
+    MockProver(cs, asg).assert_satisfied()
+
+
+def test_forged_exp_result_rejected(circuit):
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, h = build(code=CODE6)
+    asg = witness(circuit, builder, h, code=CODE6)
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.exec_state is None and s.op == 0x0A)
+    asg.set_int(ev_cfg.w[2][0], row, pow(3, 13) + 2)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged EXP result accepted"
+
+
+def test_forged_exp_gas_rejected(circuit):
+    """Claim byte_size(exponent)=1 for the 2-byte exponent."""
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, h = build(code=CODE6)
+    asg = witness(circuit, builder, h, code=CODE6)
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.exec_state is None and s.op == 0x0A
+               and s.gas_cost == 110)
+    asg.set_int(ev_cfg.gc, row, 60)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged EXP byte-size gas accepted"
+
+
+# BYTE: i=31 (low byte), i=3 of a PUSH2 value, i>=32 -> 0;
+# SIGNEXTEND: i=0 on 0xFF (-> all-ones), i=0 on 0x7F (-> 0x7F), i>=31 -> x;
+# SAR: 0xFF00 >> 4 (positive), sign-extended shift of a negative word,
+# shift >= 256 of a negative word -> all-ones
+NEG = (1 << 256) - 0x100  # "-256": top bit set
+CODE7 = bytes([
+    0x61, 0xBE, 0xEF, 0x60, 31, 0x1A, 0x50,   # BYTE(31, 0xBEEF) = 0xEF
+    0x61, 0xBE, 0xEF, 0x60, 30, 0x1A, 0x50,   # BYTE(30, 0xBEEF) = 0xBE
+    0x61, 0xBE, 0xEF, 0x60, 40, 0x1A, 0x50,   # BYTE(40, .) = 0
+    0x60, 0xFF, 0x60, 0, 0x0B, 0x50,          # SIGNEXTEND(0, 0xFF) = -1
+    0x60, 0x7F, 0x60, 0, 0x0B, 0x50,          # SIGNEXTEND(0, 0x7F) = 0x7F
+    0x60, 0x7F, 0x60, 33, 0x0B, 0x50,         # SIGNEXTEND(33, x) = x
+    0x61, 0xFF, 0x00, 0x60, 4, 0x1D, 0x50,    # SAR(4, 0xFF00) = 0xFF0
+    0x60, 0, 0x19, 0x60, 4, 0x1D, 0x50,       # SAR(4, -1) = -1
+    0x60, 0, 0x19, 0x61, 0x01, 0x00, 0x1D, 0x50,  # SAR(256, -1) = -1
+    0x60, 5, 0x60, 0, 0x19, 0x1D, 0x50,       # SAR(shift=-1, 5) = 0
+    0x00,
+])
+
+
+def test_byte_signext_sar_proven(circuit):
+    """Round-2 batch: BYTE / SIGNEXTEND / SAR via pow2 + DIVMOD
+    decompositions with sign masks."""
+    cs = circuit[0]
+    builder, h = build(code=CODE7)
+    by = {row.rw_counter: row for row in builder.rws.rows}
+    res = [by[s.rw_indices[2]].value for s in builder.steps
+           if s.exec_state is None and s.op in (0x1A, 0x0B, 0x1D)]
+    M = (1 << 256) - 1
+    assert res == [0xEF, 0xBE, 0, M, 0x7F, 0x7F, 0xFF0, M, M, 0]
+    asg = witness(circuit, builder, h, code=CODE7)
+    MockProver(cs, asg).assert_satisfied()
+
+
+def test_forged_byte_rejected(circuit):
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, h = build(code=CODE7)
+    asg = witness(circuit, builder, h, code=CODE7)
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.exec_state is None and s.op == 0x1A)
+    asg.set_int(ev_cfg.w[2][0], row, 0xBE)  # byte 31 of 0xBEEF is 0xEF
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged BYTE accepted"
+
+
+def test_forged_sar_sign_rejected(circuit):
+    """Claim the negative SAR input was positive (sign bit 0)."""
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, h = build(code=CODE7)
+    rows = [r for r, s in enumerate(builder.steps)
+            if s.exec_state is None and s.op == 0x1D]
+    row = rows[1]  # SAR(4, -1)
+    asg = witness(circuit, builder, h, code=CODE7)
+    asg.set_int(ev_cfg.carries[2], row, 0)
+    M128 = (1 << 128) - 1
+    asg.set_int(ev_cfg.w[2][0], row, (((1 << 256) - 1) >> 4) & M128)
+    asg.set_int(ev_cfg.w[2][1], row, (((1 << 256) - 1) >> 4) >> 128)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged SAR sign accepted"

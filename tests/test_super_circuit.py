@@ -23,10 +23,15 @@ K = 14
 N = 1 << K
 
 # PUSH1 5; PUSH1 7; ADD; PUSH1 0; MSTORE; PUSH1 0; MLOAD; PUSH1 1;
-# SSTORE; JUMPDEST; STOP
+# SSTORE; JUMPDEST; then the context batch (TIMESTAMP, CHAINID, ORIGIN,
+# GASPRICE, PC, SELFBALANCE -- BlockTable/TxTable/context lookups in the
+# super composition), each POPped; STOP
 CODE = bytes([
     0x60, 5, 0x60, 7, 0x01, 0x60, 0, 0x52,
-    0x60, 0, 0x51, 0x60, 1, 0x55, 0x5B, 0x00,
+    0x60, 0, 0x51, 0x60, 1, 0x55, 0x5B,
+    0x42, 0x50, 0x46, 0x50, 0x32, 0x50,
+    0x3A, 0x50, 0x58, 0x50, 0x47, 0x50,
+    0x60, 3, 0x60, 2, 0x0A, 0x50, 0x00,  # 2^3 via the ExpTable
 ])
 PARAMS = CircuitsParams(max_txs=2, max_calldata=16, max_rlp=128)
 

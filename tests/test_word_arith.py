@@ -125,3 +125,45 @@ def test_byte_grid_range_checked(circuit):
     asg.set_int(cfg.g1[0], 0, 256)  # out of byte range
     fails = MockProver(cs, asg).verify()
     assert any(f.kind == "lookup" for f in fails)
+
+
+def test_mul512_rows_satisfied(circuit):
+    cs, cfg, rt8 = circuit
+    ops = [
+        wa.WordArithOp(wa.WordOp.MUL512, BIG, BIG, 0),
+        wa.WordArithOp(wa.WordOp.MUL512, M256, M256, M256),
+        wa.WordArithOp(wa.WordOp.MUL512, 3, 5, 7),  # e = 0
+    ]
+    full = BIG * BIG
+    assert ops[0].d == full & M256 and ops[0].e == full >> 256
+    MockProver(cs, _assign(cs, cfg, rt8, ops)).assert_satisfied()
+
+
+def test_divmod512_rows_satisfied(circuit):
+    cs, cfg, rt8 = circuit
+    # k*N + r covering > 2^256 products (the ADDMOD/MULMOD shape)
+    cases = [(BIG, 12345, 12344), (M256, M256 - 1, M256 - 2), (0, 5, 4)]
+    ops = [wa.WordArithOp(wa.WordOp.DIVMOD512, k, n, r)
+           for k, n, r in cases]
+    MockProver(cs, _assign(cs, cfg, rt8, ops)).assert_satisfied()
+
+
+def test_mul512_wrong_high_word_caught(circuit):
+    cs, cfg, rt8 = circuit
+    ops = [wa.WordArithOp(wa.WordOp.MUL512, BIG, BIG, 0)]
+    asg = _assign(cs, cfg, rt8, ops)
+    e = ops[0].e
+    asg.set_int(cfg.e_lo, 0, (e + 1) & ((1 << 128) - 1))
+    fails = MockProver(cs, asg).verify()
+    assert any(f.kind == "gate" for f in fails)
+
+
+def test_divmod512_remainder_ge_divisor_caught(circuit):
+    cs, cfg, rt8 = circuit
+    try:
+        wa.assign(cs, cfg, N, [wa.WordArithOp(wa.WordOp.DIVMOD512, 7, 7, 51)],
+                  Assignment(cs, N))
+        raised = False
+    except AssertionError:
+        raised = True
+    assert raised, "assign-time canonicality guard missing for DIVMOD512"

@@ -16,19 +16,24 @@ constraints are merged into shared gates/lookups as sum_s sel_s * expr_s
 (the same merging the reference's constraint builder does per column,
 done here per slot).
 
-Implemented states: BeginTx, EndTx, EndBlock (padding), STOP, PUSH1/2,
-POP, ADD/SUB, DUP1-16, SWAP1-16, MLOAD, MSTORE (32-byte-aligned words),
-SLOAD, SSTORE (EIP-2929 access-list rows, gas from the looked-up is_warm
-bit), JUMPDEST, JUMP, JUMPI (taken jumps bytecode-checked to land on
-JUMPDEST), ISZERO, EQ, LT, GT (full 256-bit compare via a 32-byte-limb
-LtGadget), CALLER, CALLVALUE, ADDRESS, CALLDATASIZE. Words are (lo, hi)
-128-bit halves, range-checked by the state circuit at the lookup
-boundary. Known gaps, matching the witness builder's scope: MUL/DIV and
-bitwise ops (need the byte-op table), CALL family states, the SSTORE
-refund amount (the TX_REFUND row is proven present but the delta is
-unconstrained), the memory-expansion gas term (witnessed in an aux cell),
-and rw-counter completeness (EndBlock total-rws instance, reference
-evm_circuit/execution/end_block.rs).
+Implemented states (38 of the reference's 79): BeginTx, EndTx, EndBlock
+(padding), STOP, PUSH1/2, POP, ADD/SUB, DUP1-16, SWAP1-16, MLOAD, MSTORE
+(32-byte-aligned words), SLOAD, SSTORE (EIP-2929 access-list rows, gas
+from the looked-up is_warm bit), JUMPDEST, JUMP, JUMPI (taken jumps
+bytecode-checked to land on JUMPDEST), ISZERO, EQ, LT, GT (full 256-bit
+compare via a 32-byte-limb LtGadget), CALLER, CALLVALUE, ADDRESS,
+CALLDATASIZE, MUL/DIV/MOD + SHL/SHR (WordArithTable), AND/OR/XOR/NOT
+(BitwiseTable), ADDMOD/MULMOD (512-bit word-arith tags), EXP (ExpTable +
+byte-size gas), BYTE, SIGNEXTEND, SAR (pow2 + DIVMOD decompositions with
+sign masks), COINBASE/TIMESTAMP/NUMBER/GASLIMIT/CHAINID/BASEFEE
+(BlockTable), ORIGIN/GASPRICE (TxTable), PC, GAS, SELFBALANCE,
+BALANCE/EXTCODEHASH (EIP-2929 warm/cold account access). Words are
+(lo, hi) 128-bit halves, range-checked by the state circuit at the
+lookup boundary. Known gaps, matching the witness builder's scope: CALL
+family states, the SSTORE refund amount (the TX_REFUND row is proven
+present but the delta is unconstrained), the memory-expansion gas term
+(witnessed in an aux cell; the quadratic gadget is pending), and
+byte-granular memory.
 """
 
 from __future__ import annotations
@@ -53,6 +58,7 @@ FR = fr_spec()
 
 STACK_CAP = 1024
 M128 = (1 << 128) - 1
+M256 = (1 << 256) - 1
 NSLOTS = 7  # RW lookup budget per step row (BeginTx uses all seven)
 
 COLD_SLOAD_EXTRA = 2000  # 2100 cold - 100 warm
@@ -116,6 +122,12 @@ class ES(IntEnum):
     PC_GAS = 29  # execution/pc.rs, gas.rs
     ACCT_INFO = 30  # BALANCE/EXTCODEHASH (execution/balance.rs, ...)
     SELFBALANCE = 31  # execution/selfbalance.rs
+    ADDMOD = 32  # execution/addmod.rs (DIVMOD512 WordArithTable lookup)
+    MULMOD = 33  # execution/mulmod.rs (3 WordArithTable lookups)
+    EXP = 34  # execution/exponentiation.rs (ExpTable lookup + byte size)
+    BYTE = 35  # execution/byte.rs (pow2 + 2 DIVMOD lookups)
+    SIGNEXTEND = 36  # execution/signextend.rs
+    SAR = 37  # execution/sar.rs (SHR + sign mask)
 
 
 NSTATES = len(ES)
@@ -153,10 +165,17 @@ OP_STATES = {
     ES.PC_GAS: (None, 2, -1, 1),
     ES.ACCT_INFO: (None, 100, 0, 4),
     ES.SELFBALANCE: (0x47, 5, -1, 3),
+    ES.ADDMOD: (0x08, 8, 2, 4),
+    ES.MULMOD: (0x09, 8, 2, 4),
+    ES.EXP: (0x0A, 10, 1, 3),
+    ES.BYTE: (0x1A, 3, 1, 3),
+    ES.SIGNEXTEND: (0x0B, 5, 1, 3),
+    ES.SAR: (0x1D, 3, 1, 3),
 }
 STATIC_GAS_STATES = [
     s for s in OP_STATES
-    if s not in (ES.MLOAD, ES.MSTORE, ES.SLOAD, ES.SSTORE, ES.ACCT_INFO)
+    if s not in (ES.MLOAD, ES.MSTORE, ES.SLOAD, ES.SSTORE, ES.ACCT_INFO,
+                 ES.EXP)
 ]
 NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0}
 NRW.update({s: spec[3] for s, spec in OP_STATES.items()})
@@ -197,12 +216,21 @@ class EvmConfig:
     m_mod: Column = None
     bzc: Column = None  # materialized divisor-is-zero bit
     waen: Column = None  # materialized WordArithTable lookup enable
+    nzc: Column = None  # ADDMOD/MULMOD: materialized modulus-is-zero bit
+    am_en: Column = None  # ADDMOD lookup enable (state * N!=0)
+    mm_en: Column = None  # MULMOD lookup enable
     vcell: Column = None  # materialized shift-is-valid bit (SHL/SHR)
     p2s: Column = None  # pow2 fixed table: (s+1, 2^s lo, 2^s hi)
     p2lo: Column = None
     p2hi: Column = None
     om_op: Column = None  # opcode -> table-tag fixed map
     om_tag: Column = None
+    msb: ColumnGroup = None  # EXP exponent byte-size one-hot
+    minv: Column = None  # inverse of the msb byte
+    vcell2: Column = None  # materialized ExpTable lookup enable
+    byv: Column = None  # BYTE index-valid bit (i < 32)
+    sev: Column = None  # SIGNEXTEND index-valid bit (i < 31)
+    sarm: Column = None  # SAR mask-lookup enable (valid & s0 != 0)
 
 
 def _word(cs) -> tuple:
@@ -220,6 +248,7 @@ def configure(
     word_table=None,
     bitwise_table=None,
     block_table=None,
+    exp_table=None,
 ) -> EvmConfig:
     q_step = cs.fixed_column()
     q_first = cs.fixed_column()
@@ -248,6 +277,9 @@ def configure(
     aux = [cs.advice_column() for _ in range(3)]
     m_div, m_mod = cs.advice_column(), cs.advice_column()
     bzc, waen, vcell = (cs.advice_column() for _ in range(3))
+    nzc, am_en, mm_en = (cs.advice_column() for _ in range(3))
+    vcell2 = cs.advice_column()
+    byv, sev, sarm = (cs.advice_column() for _ in range(3))
     p2s, p2lo, p2hi = (cs.fixed_column() for _ in range(3))
     om_op, om_tag = cs.fixed_column(), cs.fixed_column()
     rt4 = rt4 or RangeTable.configure(cs, 4)
@@ -400,13 +432,22 @@ def configure(
     fge = is_sub.cur()
     lt_mode = S[ES.LT_GT]
     sh_mode = S[ES.SHL_SHR]
+    # EXP borrows the 32-limb grid as the exponent byte decomposition
+    # (lhs = exponent, rhs = 0 forces lt = 0 and limbs = the bytes)
+    exp_mode = S[ES.EXP]
+    # BYTE/SIGNEXTEND: lt = the index-validity bit; SAR shares the
+    # SHL/SHR shift decomposition (lhs = shift_lo, rhs = s0)
+    by_mode, se_mode, sar_mode = S[ES.BYTE], S[ES.SIGNEXTEND], S[ES.SAR]
     lhs = lt_mode * ((one - fge) * comb(w[0]) + fge * comb(w[1])) \
-        + sh_mode * w[0][0].cur()
+        + (sh_mode + sar_mode) * w[0][0].cur() + exp_mode * comb(w[1]) \
+        + (by_mode + se_mode) * comb(w[0])
     rhs = lt_mode * ((one - fge) * comb(w[1]) + fge * comb(w[0])) \
-        + sh_mode * opn.cur()
+        + (sh_mode + sar_mode) * opn.cur() \
+        + by_mode * Const(32) + se_mode * Const(31)
     rt8 = rt8 or RangeTable.configure(cs, 8)
-    ltg = LtGadget.configure(cs, lt_mode + sh_mode, lhs, rhs, rt8,
-                             n_limbs=32, name="ev_ltg")
+    ltg = LtGadget.configure(
+        cs, lt_mode + sh_mode + exp_mode + by_mode + se_mode + sar_mode,
+        lhs, rhs, rt8, n_limbs=32, name="ev_ltg")
     cs.create_gate("ev_cmp_results", [
         S[ES.ISZERO] * (w[1][0].cur() - iz["a_lo"].expr() * iz["a_hi"].expr()),
         S[ES.ISZERO] * w[1][1].cur(),
@@ -444,19 +485,21 @@ def configure(
     srest = Const(0)
     for i in range(1, 16):
         srest = srest + Const(1 << (8 * (i - 1))) * ltg.limbs[i].cur()
-    iz["sh_hi"] = IsZero.configure(cs, SHS, w[0][1].cur(), "ev_iz_shhi")
-    iz["sh_rest"] = IsZero.configure(cs, SHS, srest, "ev_iz_shrest")
+    SARS = S[ES.SAR]
+    SHX = SHS + SARS  # both decompose shift_lo = s0 + 256*srest
+    iz["sh_hi"] = IsZero.configure(cs, SHX, w[0][1].cur(), "ev_iz_shhi")
+    iz["sh_rest"] = IsZero.configure(cs, SHX, srest, "ev_iz_shrest")
     cs.create_gate("ev_shift", [
         SHS * (opcode.cur() - Const(0x1B) - is_sub.cur()),
-        SHS * ltg.lt.cur(),
-        SHS * ltg.limbs[0].cur(),
+        SHX * ltg.lt.cur(),
+        SHX * ltg.limbs[0].cur(),
     ] + [
-        SHS * ltg.limbs[i].cur() for i in range(16, 32)
+        SHX * ltg.limbs[i].cur() for i in range(16, 32)
     ] + [
-        qs * (vcell.cur() - SHS * iz["sh_hi"].expr() * iz["sh_rest"].expr()),
-        # invalid shift (>= 256): result is 0
-        (SHS - vcell.cur()) * w[2][0].cur(),
-        (SHS - vcell.cur()) * w[2][1].cur(),
+        qs * (vcell.cur() - SHX * iz["sh_hi"].expr() * iz["sh_rest"].expr()),
+        # invalid shift (>= 256): SHL/SHR result is 0
+        (SHS - SHS * vcell.cur()) * w[2][0].cur(),
+        (SHS - SHS * vcell.cur()) * w[2][1].cur(),
     ])
     # pow2 fixed table: w3 = 2^s0 when the shift is valid (key stored +1
     # so the disabled all-zero tuple stays out of the live entries)
@@ -483,8 +526,9 @@ def configure(
              (one - m_mul) * w[0][1].cur() + m_mul * w[2][1].cur()),
         )
         # SHL: value * 2^s0 mod 2^256; SHR: value = q*2^s0 + r exactly
+        # (vcell is shared with SAR, so gate by the SHL/SHR state too)
         word_table.lookup(
-            cs, "ev_wa_shift", vcell.cur(),
+            cs, "ev_wa_shift", SHS * vcell.cur(),
             one + fsh,
             ((one - fsh) * w[1][0].cur() + fsh * w[2][0].cur(),
              (one - fsh) * w[1][1].cur() + fsh * w[2][1].cur()),
@@ -517,6 +561,228 @@ def configure(
         )
     else:
         cs.create_gate("ev_no_bitwise_table", [qs * (AOX + NOTS)])
+
+    # -- modular arithmetic: ADDMOD / MULMOD over the 512 word-arith tags
+    # (execution/addmod.rs, mulmod.rs) ------------------------------------
+    AM, MM = S[ES.ADDMOD], S[ES.MULMOD]
+    iz["n_lo"] = IsZero.configure(cs, AM + MM, w[2][0].cur(), "ev_iz_nlo")
+    iz["n_hi"] = IsZero.configure(cs, AM + MM, w[2][1].cur(), "ev_iz_nhi")
+    n_is_zero = iz["n_lo"].expr() * iz["n_hi"].expr()
+    cs.create_gate("ev_mod_arith", [
+        qs * (nzc.cur() - (AM + MM) * n_is_zero),
+        qs * (am_en.cur() - AM * (one - nzc.cur())),
+        qs * (mm_en.cur() - MM * (one - nzc.cur())),
+        # N = 0 pushes 0
+        qs * nzc.cur() * w[3][0].cur(),
+        qs * nzc.cur() * w[3][1].cur(),
+    ])
+    if word_table is not None:
+        amq, mmq = am_en.cur(), mm_en.cur()
+        # (i) shared reduction: k1*N + a_red = a exactly, a_red < N
+        # (reference addmod.rs/mulmod.rs both reduce a first so the
+        # k2 quotient below always fits 256 bits)
+        word_table.lookup(
+            cs, "ev_wa_modred", amq + mmq, Const(2),
+            (w[5][0].cur(), w[5][1].cur()),
+            (w[2][0].cur(), w[2][1].cur()),
+            (w[4][0].cur(), w[4][1].cur()),
+            (w[0][0].cur(), w[0][1].cur()),
+        )
+        # (ii) MULMOD only: full product a_red * b = P_hi*2^256 + P_lo
+        word_table.lookup(
+            cs, "ev_wa_mmmul", mmq, Const(3),
+            (w[4][0].cur(), w[4][1].cur()),
+            (w[1][0].cur(), w[1][1].cur()),
+            (Const(0), Const(0)),
+            (pcell[0][0].cur(), pcell[0][1].cur()),
+            (pcell[1][0].cur(), pcell[1][1].cur()),
+        )
+        # (iii) shared k2*N + r = e*2^256 + d with r < N in-table.
+        # ADDMOD: d = a_red + b (the carry chain inlined, k0/k1 carries),
+        # e = the carry bit; MULMOD: (d, e) = the product halves.
+        am_dlo = w[4][0].cur() + w[1][0].cur() - k[0] * TWO128
+        am_dhi = w[4][1].cur() + w[1][1].cur() + k[0] - k[1] * TWO128
+        word_table.lookup(
+            cs, "ev_wa_modk", amq + mmq, Const(4),
+            (pcell[2][0].cur(), pcell[2][1].cur()),
+            (w[2][0].cur(), w[2][1].cur()),
+            (w[3][0].cur(), w[3][1].cur()),
+            (amq * am_dlo + mmq * pcell[0][0].cur(),
+             amq * am_dhi + mmq * pcell[0][1].cur()),
+            (amq * k[1] + mmq * pcell[1][0].cur(),
+             mmq * pcell[1][1].cur()),
+        )
+    else:
+        cs.create_gate("ev_no_word_table_mod", [qs * (AM + MM)])
+
+    # -- EXP: ExpTable lookup + exponent byte-size gas ---------------------
+    # (execution/exponentiation.rs; ByteSizeGadget via the ltg byte grid)
+    E = S[ES.EXP]
+    iz["x_elo"] = IsZero.configure(cs, E, w[1][0].cur(), "ev_iz_xelo")
+    iz["x_ehi"] = IsZero.configure(cs, E, w[1][1].cur(), "ev_iz_xehi")
+    iz["x_e1"] = IsZero.configure(cs, E, w[1][0].cur() - one, "ev_iz_xe1")
+    ez = iz["x_elo"].expr() * iz["x_ehi"].expr()  # exponent == 0
+    eo = iz["x_e1"].expr() * iz["x_ehi"].expr()  # exponent == 1
+    msb = cs.advice_group("ev_msb", 32)  # byte-size one-hot
+    minv = cs.advice_column()
+    MSB = [msb.columns[i].cur() for i in range(32)]
+    msum = Const(0)
+    size = Const(0)
+    mbyte = Const(0)
+    sfx = Const(0)
+    run = Const(0)
+    for i in range(31, -1, -1):
+        sfx = sfx + MSB[i] * run  # sum of bytes ABOVE the msb position
+        run = run + ltg.limbs[i].cur()
+    for i in range(32):
+        msum = msum + MSB[i]
+        size = size + Const(i + 1) * MSB[i]
+        mbyte = mbyte + MSB[i] * ltg.limbs[i].cur()
+    cs.create_vector_gate("ev_msb_bool", qs * msb.q() * (msb.q() - one), 32)
+    cs.create_gate("ev_exp", [
+        # exactly one msb indicator unless the exponent is zero
+        E * (msum - (one - ez)),
+        # the indicated byte is nonzero; all bytes above it are zero
+        E * (mbyte * minv.cur() - (one - ez)),
+        E * sfx,
+        # dynamic gas: 10 + 50 * byte_size(exponent)
+        E * (gc.cur() - Const(10) - Const(50) * size),
+        # special cases: e = 0 -> 1; e = 1 -> base
+        E * ez * (w[2][0].cur() - one),
+        E * ez * w[2][1].cur(),
+        E * eo * (w[2][0].cur() - w[0][0].cur()),
+        E * eo * (w[2][1].cur() - w[0][1].cur()),
+        # materialized table enable: e >= 2
+        qs * (vcell2.cur() - E * (one - ez) * (one - eo)),
+    ])
+    if exp_table is not None:
+        exp_table.lookup(
+            cs, "ev_exp_table", vcell2.cur(),
+            (w[0][0].cur(), w[0][1].cur()),
+            (w[1][0].cur(), w[1][1].cur()),
+            (w[2][0].cur(), w[2][1].cur()),
+        )
+    else:
+        cs.create_gate("ev_no_exp_table", [qs * vcell2.cur()])
+
+    # -- BYTE / SIGNEXTEND / SAR (execution/byte.rs, signextend.rs,
+    # sar.rs): byte indexing and sign propagation via pow2 + DIVMOD ------
+    BY, SE = S[ES.BYTE], S[ES.SIGNEXTEND]
+    TWO128c = Const(1 << 128)
+    sg = carries[2].cur()  # sign bit (BEGIN_TX's k2 is free on these rows)
+    iz["se_ph"] = IsZero.configure(cs, SE, w[3][1].cur(), "ev_iz_seph")
+    iz["sar_sz"] = IsZero.configure(cs, SARS, opn.cur(), "ev_iz_sarsz")
+    iz["sar_th"] = IsZero.configure(
+        cs, SARS, pcell[1][1].cur(), "ev_iz_sarth")
+    ph0 = iz["se_ph"].expr()
+    sz = iz["sar_sz"].expr()
+    th0 = iz["sar_th"].expr()
+    se_tlo = ph0 * (TWO128c - w[3][0].cur())
+    se_thi = ph0 * (TWO128c - one) + (one - ph0) * (TWO128c - w[3][1].cur())
+    cs.create_gate("ev_byte_se_sar", [
+        qs * (byv.cur() - BY * ltg.lt.cur()),
+        qs * (sev.cur() - SE * ltg.lt.cur()),
+        qs * (sarm.cur() - SARS * vcell.cur() * (one - sz)),
+        # BYTE, i >= 32: result 0
+        (BY - byv.cur()) * w[2][0].cur(),
+        BY * w[2][1].cur(),  # result is always a single byte
+        # SIGNEXTEND, i >= 31: result = x
+        (SE - sev.cur()) * (w[2][0].cur() - w[1][0].cur()),
+        (SE - sev.cur()) * (w[2][1].cur() - w[1][1].cur()),
+        # SIGNEXTEND result: r + sign * (2^256 - 2^(8(i+1)))
+        sev.cur() * (w[2][0].cur() - w[5][0].cur() - sg * se_tlo),
+        sev.cur() * (w[2][1].cur() - w[5][1].cur() - sg * se_thi),
+        # SAR mask cells (bb0/bb1 are free outside PUSH rows):
+        # sarm rows: mask = 2^256 - 2^(256 - s0) split into halves
+        sarm.cur() * (bb0.cur() - th0 * (TWO128c - pcell[1][0].cur())),
+        sarm.cur() * (bb1.cur() - th0 * (TWO128c - one)
+                      - (one - th0) * (TWO128c - pcell[1][1].cur())),
+        # s0 = 0: mask is zero
+        SARS * sz * bb0.cur(),
+        SARS * sz * bb1.cur(),
+        # SAR valid: result = q + sign * mask
+        SARS * vcell.cur() * (w[2][0].cur() - w[4][0].cur() - sg * bb0.cur()),
+        SARS * vcell.cur() * (w[2][1].cur() - w[4][1].cur() - sg * bb1.cur()),
+        # SAR invalid (shift >= 256): result = sign ? all-ones : 0
+        SARS * (one - vcell.cur()) * (w[2][0].cur() - sg * Const(M128)),
+        SARS * (one - vcell.cur()) * (w[2][1].cur() - sg * Const(M128)),
+    ])
+    # byte-range + sign-split proofs for the extracted top bytes
+    rt8.lookup(cs, "ev_sar_se_top", [
+        (SARS * aux[0].cur() + sev.cur() * opn.cur()),
+        (SARS + sev.cur()) * Const(2)
+        * (SARS * aux[0].cur() + sev.cur() * opn.cur()
+           - Const(128) * sg),
+    ])
+    # pow2 bindings
+    cs.lookup("ev_pow2_byte", [
+        (byv.cur() * (Const(249) - Const(8) * w[0][0].cur()), p2s.cur()),
+        (byv.cur() * w[3][0].cur(), p2lo.cur()),
+        (byv.cur() * w[3][1].cur(), p2hi.cur()),
+    ])
+    cs.lookup("ev_pow2_se1", [
+        (sev.cur() * (Const(9) + Const(8) * w[0][0].cur()), p2s.cur()),
+        (sev.cur() * w[3][0].cur(), p2lo.cur()),
+        (sev.cur() * w[3][1].cur(), p2hi.cur()),
+    ])
+    cs.lookup("ev_pow2_se2", [
+        (sev.cur() * (one + Const(8) * w[0][0].cur()), p2s.cur()),
+        (sev.cur() * pcell[0][0].cur(), p2lo.cur()),
+        (sev.cur() * pcell[0][1].cur(), p2hi.cur()),
+    ])
+    cs.lookup("ev_pow2_sar", [
+        (sarm.cur() * (Const(257) - opn.cur()), p2s.cur()),
+        (sarm.cur() * pcell[1][0].cur(), p2lo.cur()),
+        (sarm.cur() * pcell[1][1].cur(), p2hi.cur()),
+    ])
+    if word_table is not None:
+        # BYTE: x = q1 * 2^(8(31-i)) + r1 ; q1 = q2 * 256 + byte
+        word_table.lookup(
+            cs, "ev_wa_byte1", byv.cur(), Const(2),
+            (w[4][0].cur(), w[4][1].cur()),
+            (w[3][0].cur(), w[3][1].cur()),
+            (pcell[0][0].cur(), pcell[0][1].cur()),
+            (w[1][0].cur(), w[1][1].cur()),
+        )
+        word_table.lookup(
+            cs, "ev_wa_byte2", byv.cur(), Const(2),
+            (w[5][0].cur(), w[5][1].cur()),
+            (Const(256), Const(0)),
+            (w[2][0].cur(), w[2][1].cur()),
+            (w[4][0].cur(), w[4][1].cur()),
+        )
+        # SIGNEXTEND: x = q * 2^(8(i+1)) + r ; r = b_top * 2^(8i) + r2
+        word_table.lookup(
+            cs, "ev_wa_se1", sev.cur(), Const(2),
+            (w[4][0].cur(), w[4][1].cur()),
+            (w[3][0].cur(), w[3][1].cur()),
+            (w[5][0].cur(), w[5][1].cur()),
+            (w[1][0].cur(), w[1][1].cur()),
+        )
+        word_table.lookup(
+            cs, "ev_wa_se2", sev.cur(), Const(2),
+            (opn.cur(), Const(0)),
+            (pcell[0][0].cur(), pcell[0][1].cur()),
+            (pcell[2][0].cur(), pcell[2][1].cur()),
+            (w[5][0].cur(), w[5][1].cur()),
+        )
+        # SAR: x = b_top * 2^248 + rest (sign extract) ; x = q * 2^s0 + rem
+        word_table.lookup(
+            cs, "ev_wa_sar_top", SARS, Const(2),
+            (aux[0].cur(), Const(0)),
+            (Const(0), Const(1 << 120)),
+            (pcell[0][0].cur(), pcell[0][1].cur()),
+            (w[1][0].cur(), w[1][1].cur()),
+        )
+        word_table.lookup(
+            cs, "ev_wa_sar_shr", SARS * vcell.cur(), Const(2),
+            (w[4][0].cur(), w[4][1].cur()),
+            (w[3][0].cur(), w[3][1].cur()),
+            (pcell[2][0].cur(), pcell[2][1].cur()),
+            (w[1][0].cur(), w[1][1].cur()),
+        )
+    else:
+        cs.create_gate("ev_no_word_table_byte", [qs * (BY + SE + SARS)])
 
     # -- context / environment states -------------------------------------
     BCX, TCX, PCG, ACI = (S[ES.BLOCK_CTX], S[ES.TX_CTX], S[ES.PC_GAS],
@@ -700,6 +966,15 @@ def configure(
         use(s_cmp, 2, stack_wr(spc + one, wc(2), wc(1)))
     use(ES.NOT, 0, stack_rd(spc, wc(0)))
     use(ES.NOT, 1, stack_wr(spc, wc(1), wc(0)))
+    for s_mod in (ES.ADDMOD, ES.MULMOD):
+        use(s_mod, 0, stack_rd(spc, wc(0)))
+        use(s_mod, 1, stack_rd(spc + one, wc(1)))
+        use(s_mod, 2, stack_rd(spc + Const(2), wc(2)))
+        use(s_mod, 3, stack_wr(spc + Const(2), wc(3), wc(2)))
+    for s_bin in (ES.EXP, ES.BYTE, ES.SIGNEXTEND, ES.SAR):
+        use(s_bin, 0, stack_rd(spc, wc(0)))
+        use(s_bin, 1, stack_rd(spc + one, wc(1)))
+        use(s_bin, 2, stack_wr(spc + one, wc(2), wc(1)))
     # context/environment pushes
     for s_push in (ES.BLOCK_CTX, ES.TX_CTX, ES.PC_GAS):
         use(s_push, 0, stack_wr(spc - one, wc(0), pc_(0)))
@@ -786,7 +1061,8 @@ def configure(
         q_step, q_first, q_last, q_trans, sel, tx_id, cid, pc, opcode,
         gas_left, gc, sp, rwc, code_hash, code_hash_hi, callee, opn,
         is_sub, warm, bb0, bb1, w, carries, pcell, aux, iz, ltg, rt4, rt8,
-        m_div, m_mod, bzc, waen, vcell, p2s, p2lo, p2hi, om_op, om_tag,
+        m_div, m_mod, bzc, waen, nzc, am_en, mm_en, vcell,
+        p2s, p2lo, p2hi, om_op, om_tag, msb, minv, vcell2, byv, sev, sarm,
     )
 
 
@@ -817,7 +1093,9 @@ def _state_of(step: ExecStep) -> ES:
          0x32: ES.TX_CTX, 0x3A: ES.TX_CTX,
          0x58: ES.PC_GAS, 0x5A: ES.PC_GAS,
          0x31: ES.ACCT_INFO, 0x3F: ES.ACCT_INFO,
-         0x47: ES.SELFBALANCE}
+         0x47: ES.SELFBALANCE,
+         0x08: ES.ADDMOD, 0x09: ES.MULMOD, 0x0A: ES.EXP,
+         0x1A: ES.BYTE, 0x0B: ES.SIGNEXTEND, 0x1D: ES.SAR}
     if op not in m:
         raise NotImplementedError(f"opcode {op:#x} not in EVM circuit scope")
     return m[op]
@@ -1066,6 +1344,121 @@ def assign(
             put_word(2, vals[0].value)  # callee address
             put_word(0, vals[1].value)  # balance
             put_pcell(1, _group_prev(rws, vals[2]))
+        elif st in (ES.ADDMOD, ES.MULMOD):
+            a, b_, N = vals[0].value, vals[1].value, vals[2].value
+            res = vals[3].value
+            put_word(0, a)
+            put_word(1, b_)
+            put_word(2, N)
+            put_word(3, res)
+            _set_inv(asg, cfg.iz["n_lo"], r, N & M128)
+            _set_inv(asg, cfg.iz["n_hi"], r, N >> 128)
+            nz = 1 if N == 0 else 0
+            asg.set_int(cfg.nzc, r, nz)
+            asg.set_int(cfg.am_en if st == ES.ADDMOD else cfg.mm_en,
+                        r, 1 - nz)
+            if N:
+                a_red = a % N
+                put_word(4, a_red)
+                put_word(5, a // N)
+                if st == ES.ADDMOD:
+                    s_full = a_red + b_
+                    asg.set_int(
+                        cfg.carries[0], r,
+                        1 if (a_red & M128) + (b_ & M128) > M128 else 0)
+                    asg.set_int(cfg.carries[1], r, s_full >> 256)
+                    put_pcell(2, s_full // N)
+                else:
+                    full = a_red * b_
+                    put_pcell(0, full & M256)
+                    put_pcell(1, full >> 256)
+                    put_pcell(2, full // N)
+        elif st == ES.EXP:
+            base, e_, res = vals[0].value, vals[1].value, vals[2].value
+            put_word(0, base)
+            put_word(1, e_)
+            put_word(2, res)
+            _set_inv(asg, cfg.iz["x_elo"], r, e_ & M128)
+            _set_inv(asg, cfg.iz["x_ehi"], r, e_ >> 128)
+            _set_inv(asg, cfg.iz["x_e1"], r, ((e_ & M128) - 1) % FR_MOD)
+            for i, c in enumerate(cfg.ltg.limbs):
+                asg.set_int(c, r, (e_ >> (8 * i)) & 0xFF)
+            if e_:
+                nbytes = (e_.bit_length() + 7) // 8
+                asg.set_int(cfg.msb.columns[nbytes - 1], r, 1)
+                mb = (e_ >> (8 * (nbytes - 1))) & 0xFF
+                asg.set_int(cfg.minv, r, pow(mb, FR_MOD - 2, FR_MOD))
+            asg.set_int(cfg.vcell2, r, 1 if e_ >= 2 else 0)
+        elif st == ES.BYTE:
+            i_, x = vals[0].value, vals[1].value
+            put_word(0, i_)
+            put_word(1, x)
+            put_word(2, vals[2].value)
+            valid = 1 if i_ < 32 else 0
+            asg.set_int(cfg.byv, r, valid)
+            lt_assign(asg, cfg.ltg, r, i_, 32)
+            if valid:
+                P = 1 << (8 * (31 - i_))
+                q1, r1 = divmod(x, P)
+                put_word(3, P)
+                put_word(4, q1)
+                put_pcell(0, r1)
+                put_word(5, q1 >> 8)
+        elif st == ES.SIGNEXTEND:
+            i_, x = vals[0].value, vals[1].value
+            put_word(0, i_)
+            put_word(1, x)
+            put_word(2, vals[2].value)
+            valid = 1 if i_ < 31 else 0
+            asg.set_int(cfg.sev, r, valid)
+            lt_assign(asg, cfg.ltg, r, i_, 31)
+            if valid:
+                P = 1 << (8 * (i_ + 1))
+                P256 = P >> 8
+                q_, rr_ = divmod(x, P)
+                btop, r2 = divmod(rr_, P256)
+                put_word(3, P)
+                put_word(4, q_)
+                put_word(5, rr_)
+                put_pcell(0, P256)
+                put_pcell(2, r2)
+                asg.set_int(cfg.opn, r, btop)
+                asg.set_int(cfg.carries[2], r, 1 if btop >= 128 else 0)
+                _set_inv(asg, cfg.iz["se_ph"], r, P >> 128)
+        elif st == ES.SAR:
+            shift, x = vals[0].value, vals[1].value
+            put_word(0, shift)
+            put_word(1, x)
+            put_word(2, vals[2].value)
+            btop, rest = divmod(x, 1 << 248)
+            asg.set_int(cfg.aux[0], r, btop)
+            put_pcell(0, rest)
+            sgn = 1 if btop >= 128 else 0
+            asg.set_int(cfg.carries[2], r, sgn)
+            s0 = shift & 0xFF
+            asg.set_int(cfg.opn, r, s0)
+            diff = (shift & M128) - s0
+            for i, c in enumerate(cfg.ltg.limbs):
+                asg.set_int(c, r, (diff >> (8 * i)) & 0xFF)
+            _set_inv(asg, cfg.iz["sh_hi"], r, shift >> 128)
+            _set_inv(asg, cfg.iz["sh_rest"], r, diff >> 8)
+            _set_inv(asg, cfg.iz["sar_sz"], r, s0)
+            valid = 1 if shift < 256 else 0
+            asg.set_int(cfg.vcell, r, valid)
+            asg.set_int(cfg.sarm, r, 1 if (valid and s0) else 0)
+            if valid:
+                P = 1 << s0
+                q_, rem = divmod(x, P)
+                put_word(3, P)
+                put_word(4, q_)
+                put_pcell(2, rem)
+                if s0:
+                    T = 1 << (256 - s0)
+                    put_pcell(1, T)
+                    _set_inv(asg, cfg.iz["sar_th"], r, T >> 128)
+                    mask = (1 << 256) - T
+                    asg.set_int(cfg.bb0, r, mask & M128)
+                    asg.set_int(cfg.bb1, r, mask >> 128)
 
     # EndBlock padding
     for r in range(len(steps), m):
@@ -1079,6 +1472,16 @@ def assign(
         asg.set_int(cfg.code_hash_hi, r, ch_hi)
         asg.set_int(cfg.callee, r, callee)
     return asg
+
+
+def lt_assign(asg: Assignment, ltg, row: int, lhs: int, rhs: int) -> None:
+    """Witness the 32-limb LtGadget at one row: lt = [lhs < rhs] and the
+    byte decomposition of lhs - rhs + lt*2^256."""
+    lt = 1 if lhs < rhs else 0
+    diff = lhs - rhs + lt * (1 << 256)
+    asg.set_int(ltg.lt, row, lt)
+    for i, c in enumerate(ltg.limbs):
+        asg.set_int(c, row, (diff >> (8 * i)) & 0xFF)
 
 
 def _set_inv(asg: Assignment, gadget, row: int, value: int) -> None:
@@ -1096,6 +1499,43 @@ def word_arith_ops(steps: list[ExecStep], rws: RwMap) -> list:
     ops = []
     for step in steps:
         st = _state_of(step)
+        if st in (ES.ADDMOD, ES.MULMOD):
+            vals = [by_rwc[i] for i in step.rw_indices]
+            a, b, N, res = (v.value for v in vals[:4])
+            if not N:
+                continue
+            a_red = a % N
+            ops.append(WordArithOp(WordOp.DIVMOD, a // N, N, a_red))
+            if st == ES.ADDMOD:
+                ops.append(
+                    WordArithOp(WordOp.DIVMOD512, (a_red + b) // N, N, res))
+            else:
+                full = a_red * b
+                ops.append(WordArithOp(WordOp.MUL512, a_red, b, 0))
+                ops.append(WordArithOp(WordOp.DIVMOD512, full // N, N, res))
+            continue
+        if st in (ES.BYTE, ES.SIGNEXTEND, ES.SAR):
+            vals = [by_rwc[i] for i in step.rw_indices]
+            i_, x = vals[0].value, vals[1].value
+            if st == ES.BYTE and i_ < 32:
+                P = 1 << (8 * (31 - i_))
+                q1, r1 = divmod(x, P)
+                ops.append(WordArithOp(WordOp.DIVMOD, q1, P, r1))
+                ops.append(WordArithOp(WordOp.DIVMOD, q1 >> 8, 256, q1 & 0xFF))
+            elif st == ES.SIGNEXTEND and i_ < 31:
+                P = 1 << (8 * (i_ + 1))
+                q_, rr_ = divmod(x, P)
+                btop, r2 = divmod(rr_, P >> 8)
+                ops.append(WordArithOp(WordOp.DIVMOD, q_, P, rr_))
+                ops.append(WordArithOp(WordOp.DIVMOD, btop, P >> 8, r2))
+            elif st == ES.SAR:
+                btop, rest = divmod(x, 1 << 248)
+                ops.append(WordArithOp(WordOp.DIVMOD, btop, 1 << 248, rest))
+                if i_ < 256:
+                    q_, rem = divmod(x, 1 << (i_ & 0xFF))
+                    ops.append(
+                        WordArithOp(WordOp.DIVMOD, q_, 1 << (i_ & 0xFF), rem))
+            continue
         if st not in (ES.MUL_DIV_MOD, ES.SHL_SHR):
             continue
         vals = [by_rwc[i] for i in step.rw_indices]
@@ -1116,6 +1556,19 @@ def word_arith_ops(steps: list[ExecStep], rws: RwMap) -> list:
                     q, rem = divmod(value, p)
                     ops.append(WordArithOp(WordOp.DIVMOD, q, p, rem))
     return ops
+
+
+def exp_events(steps: list[ExecStep], rws: RwMap) -> list:
+    """(base, exponent) pairs the EXP steps look up in the ExpTable
+    (exponent >= 2 only; 0/1 are handled inline by the EXP state)."""
+    by_rwc = {row.rw_counter: row for row in rws.rows}
+    evs = []
+    for step in steps:
+        if step.exec_state is None and step.op == 0x0A:
+            vals = [by_rwc[i] for i in step.rw_indices]
+            if vals[1].value >= 2:
+                evs.append((vals[0].value, vals[1].value))
+    return evs
 
 
 def bitwise_events(steps: list[ExecStep], rws: RwMap) -> list:

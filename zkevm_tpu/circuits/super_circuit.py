@@ -33,6 +33,7 @@ from zkevm_tpu.circuits import bitwise_circuit as bwc
 from zkevm_tpu.circuits import bytecode_circuit as bc
 from zkevm_tpu.circuits import copy_circuit as cp
 from zkevm_tpu.circuits import evm_circuit as evm
+from zkevm_tpu.circuits import exp_circuit as ec
 from zkevm_tpu.circuits import keccak_table as kt
 from zkevm_tpu.circuits import pi_circuit as pic
 from zkevm_tpu.circuits import rlp_circuit as rlp
@@ -59,6 +60,7 @@ class SuperConfig:
     pi: pic.PiConfig
     wa: wac.WordArithConfig
     bw: bwc.BitwiseConfig
+    ex: ec.ExpConfig
 
 
 def configure(
@@ -78,14 +80,16 @@ def configure(
     rlpcfg = rlp.configure(cs, txcfg)
     wacfg = wac.configure(cs, txcfg.rt8)
     bwcfg = bwc.configure(cs)
-    evcfg = evm.configure(cs, rw_table, bt, tx_table=txcfg.table,
-                          rt8=txcfg.rt8, rw_count=stcfg.count_surface,
-                          word_table=wacfg.table, bitwise_table=bwcfg.table)
-    cpcfg = cp.configure(cs, rw_table, bt)
     picfg = pic.configure(cs, ch, ktcfg.table, txcfg, ntx=params.max_txs,
                           rt8=txcfg.rt8)
+    excfg = ec.configure(cs, wacfg.table)
+    evcfg = evm.configure(cs, rw_table, bt, tx_table=txcfg.table,
+                          rt8=txcfg.rt8, rw_count=stcfg.count_surface,
+                          word_table=wacfg.table, bitwise_table=bwcfg.table,
+                          block_table=picfg.table, exp_table=excfg.table)
+    cpcfg = cp.configure(cs, rw_table, bt)
     return SuperConfig(params, ch, ktcfg, bccfg, stcfg, txcfg, rlpcfg,
-                       evcfg, cpcfg, picfg, wacfg, bwcfg)
+                       evcfg, cpcfg, picfg, wacfg, bwcfg, excfg)
 
 
 def keccak_messages(block: Block) -> list[bytes]:
@@ -111,8 +115,14 @@ def row_usage(cfg: SuperConfig, block: Block) -> dict:
         "tx": len(block.txs) * cfg.tx.block + 1,
         "copy": copy_rows + cp.WORD + 1,
         "pi": cfg.pi.rows + 1,
-        "word_arith": wac.R * len(evm.word_arith_ops(block.steps, block.rws))
-        + 1,
+        "word_arith": wac.R * (
+            len(evm.word_arith_ops(block.steps, block.rws))
+            + len(ec.word_arith_ops(evm.exp_events(block.steps, block.rws)))
+        ) + 1,
+        "exp": sum(
+            len(ec.unroll_event(b, e))
+            for b, e in evm.exp_events(block.steps, block.rws)
+        ) + 1,
         "bitwise": bwc.R * len(evm.bitwise_events(block.steps, block.rws))
         + 769,
     }
@@ -195,7 +205,11 @@ def assign(
     kwit = kt.assign(cs, cfg.kt, n, keccak_messages(block), asg)
     bwit = bc.assign(cs, cfg.bc, n, block.codes, asg)
     evm.assign(cs, cfg.ev, n, block.steps, block.rws, asg=asg)
-    wac.assign(cs, cfg.wa, n, evm.word_arith_ops(block.steps, block.rws), asg)
+    xevents = evm.exp_events(block.steps, block.rws)
+    ec.assign(cs, cfg.ex, n, xevents, asg)
+    wac.assign(cs, cfg.wa, n,
+               evm.word_arith_ops(block.steps, block.rws)
+               + ec.word_arith_ops(xevents), asg)
     bwc.assign(cs, cfg.bw, n, evm.bitwise_events(block.steps, block.rws), asg)
     cp.assign(cs, cfg.cp, n, block.copy_events, block.rws, asg)
     twit = txc.assign(cs, cfg.tx, n, block.txs, asg)

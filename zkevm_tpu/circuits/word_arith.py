@@ -19,7 +19,10 @@ Row group layout (R = 16 rows per operation, anchor = row 0):
     rows  8..11  g1 = c's limbs
     rows 12..13  g1 = carry_lo bytes 0..7 / 8..9 (rest forced 0)
     rows 14..15  g1 = carry_hi bytes 0..7 / 8..9 (rest forced 0)
-    rows  8..11  g2 = D = b - c - 1 limb bytes (the c < b witness, tag 2)
+    rows  8..11  g2 = D = b - c - 1 limb bytes (c < b witness, tags 2/4)
+    rows  0..3   g2 = e bytes (512 tags: e_lo rows 0..1, e_hi rows 2..3)
+    rows  4..7   g2 = d bytes (512 tags: d_lo rows 4..5, d_hi rows 6..7)
+    rows 14..15  g2 = carry2 bytes 0..7 / 8..9 (512 tags; rest forced 0)
 
 Anchor-row identities over the limb sums (t_k = sum_{i+j=k} a_i b_j):
 
@@ -27,12 +30,20 @@ Anchor-row identities over the limb sums (t_k = sum_{i+j=k} a_i b_j):
     t2 + t3*2^64 + c_hi + carry_lo = d_hi + carry_hi*2^128
 
 Tags:
-    1 = MUL     d = a*b + c mod 2^256, overflow free (c is the addend;
-                the EVM's MUL/SHL pass c = 0)
-    2 = DIVMOD  additionally carry_hi = 0 (no 2^256 wrap: a*b + c = d
-                EXACTLY) and c < b via a borrowed limb subtraction
-                D = b - c - 1 (so DIV/MOD/SHR remainders are canonical
-                without any consumer-side range check)
+    1 = MUL        d = a*b + c mod 2^256, overflow free (c is the addend;
+                   the EVM's MUL/SHL pass c = 0)
+    2 = DIVMOD     additionally carry_hi = 0 (no 2^256 wrap: a*b + c = d
+                   EXACTLY) and c < b via a borrowed limb subtraction
+                   D = b - c - 1 (so DIV/MOD/SHR remainders are canonical
+                   without any consumer-side range check)
+    3 = MUL512     full product: a*b + c = e*2^256 + d with the high word
+                   e on the surface; d AND e byte-decomposed in-table
+                   (their cells are intermediates for consumers like
+                   MULMOD, never stack words, so the table supplies the
+                   128-bit-half range proof itself)
+    4 = DIVMOD512  MUL512 plus the c < b remainder check — the k*N + r
+                   side of ADDMOD/MULMOD (reference mulmod.rs's
+                   MulAddWords512Gadget + LtWordGadget)
 
 The b = 0 divisor case never reaches this table: EVM-side gadgets gate
 the lookup off and pin the pushed result to 0 (reference
@@ -48,6 +59,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from enum import IntEnum
 
+from zkevm_tpu.ff.goldens import FR_MOD
 from zkevm_tpu.gadgets import RangeTable
 from zkevm_tpu.plonk.assign import Assignment
 from zkevm_tpu.plonk.cs import Column, ConstraintSystem
@@ -62,22 +74,30 @@ M256 = (1 << 256) - 1
 class WordOp(IntEnum):
     MUL = 1
     DIVMOD = 2
+    MUL512 = 3
+    DIVMOD512 = 4
 
 
 @dataclass
 class WordArithTable:
     """Lookup surface: (enabled, tag, a_lo, a_hi, b_lo, b_hi, c_lo, c_hi,
-    d_lo, d_hi), all anchor-gated (disabled rows are the zero tuple)."""
+    d_lo, d_hi, e_lo, e_hi), all anchor-gated (disabled rows are the zero
+    tuple; e is the 512-tag product high word, 0 for tags 1/2)."""
 
     exprs: list
 
     def lookup(self, cs: ConstraintSystem, name: str, en: Expr,
-               tag: Expr, a: tuple, b: tuple, c: tuple, d: tuple) -> None:
+               tag: Expr, a: tuple, b: tuple, c: tuple, d: tuple,
+               e: tuple | None = None) -> None:
         """en must be 0/1; word args are (lo, hi) expression pairs."""
         ins = [en, en * tag]
         for w in (a, b, c, d):
             ins.append(en * w[0])
             ins.append(en * w[1])
+        if e is None:
+            ins.extend([Const(0), Const(0)])
+        else:
+            ins.extend([en * e[0], en * e[1]])
         cs.lookup(name, list(zip(ins, self.exprs)))
 
 
@@ -94,8 +114,10 @@ class WordArithConfig:
     c_hi: Column
     d_lo: Column
     d_hi: Column
+    e_lo: Column  # 512-tag product high word (0 on tags 1/2)
+    e_hi: Column
     g1: list  # 8 byte columns: operand/carry grid
-    g2: list  # 8 byte columns: the c < b subtraction grid
+    g2: list  # 8 byte columns: c < b subtraction + 512-tag d/e/carry2 grid
     borrows: list  # 4 boolean columns (anchor row): limb borrow chain
     table: WordArithTable
     n_ops: int  # capacity in operations (set by assign-time region size)
@@ -116,6 +138,7 @@ def configure(cs: ConstraintSystem, rt8: RangeTable) -> WordArithConfig:
     b_lo, b_hi = cs.advice_column(), cs.advice_column()
     c_lo, c_hi = cs.advice_column(), cs.advice_column()
     d_lo, d_hi = cs.advice_column(), cs.advice_column()
+    e_lo, e_hi = cs.advice_column(), cs.advice_column()
     g1 = [cs.advice_column() for _ in range(8)]
     g2 = [cs.advice_column() for _ in range(8)]
     borrows = [cs.advice_column() for _ in range(4)]
@@ -132,6 +155,14 @@ def configure(cs: ConstraintSystem, rt8: RangeTable) -> WordArithConfig:
     carry_hi = _byte_sum(g1, 14) + Const(1 << 64) * (
         g1[0].rot(15) + Const(1 << 8) * g1[1].rot(15)
     )
+    carry2 = _byte_sum(g2, 14) + Const(1 << 64) * (
+        g2[0].rot(15) + Const(1 << 8) * g2[1].rot(15)
+    )
+    # 512-tag byte decompositions of e and d (128-bit half range proofs)
+    el_sum = _byte_sum(g2, 0) + Const(1 << 64) * _byte_sum(g2, 1)
+    eh_sum = _byte_sum(g2, 2) + Const(1 << 64) * _byte_sum(g2, 3)
+    dl_sum = _byte_sum(g2, 4) + Const(1 << 64) * _byte_sum(g2, 5)
+    dh_sum = _byte_sum(g2, 6) + Const(1 << 64) * _byte_sum(g2, 7)
 
     two64 = Const(1 << 64)
     two128 = Const(1 << 128)
@@ -139,12 +170,22 @@ def configure(cs: ConstraintSystem, rt8: RangeTable) -> WordArithConfig:
     t1 = al[0] * bl[1] + al[1] * bl[0]
     t2 = al[0] * bl[2] + al[1] * bl[1] + al[2] * bl[0]
     t3 = al[0] * bl[3] + al[1] * bl[2] + al[2] * bl[1] + al[3] * bl[0]
+    t4 = al[1] * bl[3] + al[2] * bl[2] + al[3] * bl[1]
+    t5 = al[2] * bl[3] + al[3] * bl[2]
+    t6 = al[3] * bl[3]
 
-    is_divmod = tag.cur() - one  # 1 iff tag == 2 (given the tag-set gate)
+    # tag indicators over the domain {1, 2, 3, 4} (Lagrange basis)
+    t = tag.cur()
+    inv = lambda x: Const(pow(x % FR_MOD, FR_MOD - 2, FR_MOD))
+    ind2 = (t - one) * (t - Const(3)) * (t - Const(4)) * inv(2)
+    ind3 = (t - one) * (t - Const(2)) * (t - Const(4)) * inv(-2)
+    ind4 = (t - one) * (t - Const(2)) * (t - Const(3)) * inv(6)
+    is_rem = ind2 + ind4  # c < b remainder tags
+    is512 = ind3 + ind4  # full-product tags
 
     polys = [
         # tag domain
-        qa * (tag.cur() - one) * (tag.cur() - Const(2)),
+        qa * (t - one) * (t - Const(2)) * (t - Const(3)) * (t - Const(4)),
         # word <-> limb bindings
         qa * (a_lo.cur() - al[0] - two64 * al[1]),
         qa * (a_hi.cur() - al[2] - two64 * al[3]),
@@ -152,34 +193,42 @@ def configure(cs: ConstraintSystem, rt8: RangeTable) -> WordArithConfig:
         qa * (b_hi.cur() - bl[2] - two64 * bl[3]),
         qa * (c_lo.cur() - cl[0] - two64 * cl[1]),
         qa * (c_hi.cur() - cl[2] - two64 * cl[3]),
-        # mul-add identities
+        # mul-add identities (low 256 bits)
         qa * (t0 + t1 * two64 + c_lo.cur() - d_lo.cur() - carry_lo * two128),
         qa * (t2 + t3 * two64 + c_hi.cur() + carry_lo - d_hi.cur()
               - carry_hi * two128),
         # DIVMOD: exact — the full overflow (mul_add_words.rs overflow()),
         # not just carry_hi: every product limb above 2^256 must vanish
-        qa * is_divmod * (
-            carry_hi
-            + al[1] * bl[3] + al[2] * bl[2] + al[3] * bl[1]
-            + al[2] * bl[3] + al[3] * bl[2] + al[3] * bl[3]
-        ),
+        qa * ind2 * (carry_hi + t4 + t5 + t6),
+        # 512 tags: high-word identities + in-table e range proof
+        qa * is512 * (t4 + t5 * two64 + carry_hi - el_sum - carry2 * two128),
+        qa * is512 * (t6 + carry2 - eh_sum),
+        # d byte decomposition, ALL tags: without it the (d, carry)
+        # split is ambiguous by 2^128 multiples whenever the consumer
+        # cell is not otherwise range-bound (EXP/MULMOD intermediates)
+        qa * (d_lo.cur() - dl_sum),
+        qa * (d_hi.cur() - dh_sum),
+        # e columns: the byte sums on 512 tags, 0 otherwise
+        qa * (e_lo.cur() - is512 * el_sum),
+        qa * (e_hi.cur() - is512 * eh_sum),
     ]
     # carry rows use only bytes 0..1 of rows 13/15
     for j in range(2, 8):
         polys.append(qa * g1[j].rot(13))
         polys.append(qa * g1[j].rot(15))
-    # DIVMOD: c < b  <=>  b - (c+1) = D with no final borrow, limb-wise
-    # (a field-wide 256-bit subtraction would wrap past p, hence limbs)
+        polys.append(qa * is512 * g2[j].rot(15))
+    # remainder tags: c < b  <=>  b - (c+1) = D with no final borrow,
+    # limb-wise (a field-wide 256-bit subtraction would wrap past p)
     bin_ = one  # borrow-in of limb 0 is the "+1"
     for i in range(4):
         bo = borrows[i].cur()
         polys.append(qa * bo * (one - bo))
         polys.append(
-            qa * is_divmod
+            qa * is_rem
             * (bl[i] - cl[i] - bin_ + bo * two64 - dl2[i])
         )
         bin_ = bo
-    polys.append(qa * is_divmod * borrows[3].cur())  # no underflow: c < b
+    polys.append(qa * is_rem * borrows[3].cur())  # no underflow: c < b
     cs.create_gate("wa_table", polys)
 
     rt8.lookup(cs, "wa_g1_u8", [q_en.cur() * c.cur() for c in g1])
@@ -192,16 +241,17 @@ def configure(cs: ConstraintSystem, rt8: RangeTable) -> WordArithConfig:
         qa * b_lo.cur(), qa * b_hi.cur(),
         qa * c_lo.cur(), qa * c_hi.cur(),
         qa * d_lo.cur(), qa * d_hi.cur(),
+        qa * e_lo.cur(), qa * e_hi.cur(),
     ])
     return WordArithConfig(
         q_anchor, q_en, tag, a_lo, a_hi, b_lo, b_hi, c_lo, c_hi, d_lo, d_hi,
-        g1, g2, borrows, table, 0,
+        e_lo, e_hi, g1, g2, borrows, table, 0,
     )
 
 
 @dataclass
 class WordArithOp:
-    """One table row group: d = a*b + c (mod 2^256)."""
+    """One table row group: e*2^256 + d = a*b + c (e = 0 unless 512)."""
 
     tag: WordOp
     a: int
@@ -211,6 +261,12 @@ class WordArithOp:
     @property
     def d(self) -> int:
         return (self.a * self.b + self.c) & M256
+
+    @property
+    def e(self) -> int:
+        if self.tag in (WordOp.MUL512, WordOp.DIVMOD512):
+            return (self.a * self.b + self.c) >> 256
+        return 0
 
 
 def assign(
@@ -232,10 +288,11 @@ def assign(
             asg.set_int(cfg.q_en, r, 1)
         a, b, c = int(op.a), int(op.b), int(op.c)
         assert 0 <= a <= M256 and 0 <= b <= M256 and 0 <= c <= M256
-        d = op.d
+        d, e = op.d, op.e
         if op.tag == WordOp.DIVMOD:
             assert a * b + c == d, "DIVMOD op wraps 2^256"
-            assert c < b, "DIVMOD remainder not canonical"
+        if op.tag in (WordOp.DIVMOD, WordOp.DIVMOD512):
+            assert c < b, "remainder not canonical"
         asg.set_int(cfg.tag, r0, int(op.tag))
         asg.set_int(cfg.a_lo, r0, a & M128)
         asg.set_int(cfg.a_hi, r0, a >> 128)
@@ -245,6 +302,8 @@ def assign(
         asg.set_int(cfg.c_hi, r0, c >> 128)
         asg.set_int(cfg.d_lo, r0, d & M128)
         asg.set_int(cfg.d_hi, r0, d >> 128)
+        asg.set_int(cfg.e_lo, r0, e & M128)
+        asg.set_int(cfg.e_hi, r0, e >> 128)
 
         def put_bytes(cols, row, value, nbytes):
             for j in range(nbytes):
@@ -268,7 +327,18 @@ def assign(
         put_bytes(cfg.g1, r0 + 14, carry_hi & M64, 8)
         put_bytes(cfg.g1, r0 + 15, carry_hi >> 64, 2)
 
-        if op.tag == WordOp.DIVMOD:
+        for i in range(4):  # d bytes rows 4..7 (all tags)
+            put_bytes(cfg.g2, r0 + 4 + i, (d >> (64 * i)) & M64, 8)
+        if op.tag in (WordOp.MUL512, WordOp.DIVMOD512):
+            t4 = al[1] * bl[3] + al[2] * bl[2] + al[3] * bl[1]
+            t5 = al[2] * bl[3] + al[3] * bl[2]
+            carry2 = (t4 + (t5 << 64) + carry_hi - (e & M128)) >> 128
+            for i in range(4):  # e bytes rows 0..3
+                put_bytes(cfg.g2, r0 + i, (e >> (64 * i)) & M64, 8)
+            put_bytes(cfg.g2, r0 + 14, carry2 & M64, 8)
+            put_bytes(cfg.g2, r0 + 15, carry2 >> 64, 2)
+
+        if op.tag in (WordOp.DIVMOD, WordOp.DIVMOD512):
             borrow_in = 1
             for i in range(4):
                 cl_i = (c >> (64 * i)) & M64

@@ -11,6 +11,7 @@ complete-case selects); reference role: halo2 best_multiexp.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -22,7 +23,9 @@ from zkevm_tpu.ff import limbs as ff
 from zkevm_tpu.ff.limbs import add_t, fq_spec, mont_mul_t, sub_t
 
 FQ = fq_spec()
-UNROLL = False  # scan-CIOS keeps the single-jit MSM module compilable
+# scan-CIOS keeps the single-jit MSM module compilable on XLA:CPU;
+# ZKEVM_TPU_UNROLL_EC=1 switches to the straight-line CIOS (TPU bench)
+UNROLL = os.environ.get("ZKEVM_TPU_UNROLL_EC", "0") == "1"
 
 
 def _mul(a, b):

@@ -38,6 +38,7 @@ x ~23 muls + bucket IO.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -49,7 +50,9 @@ from zkevm_tpu.ff import limbs as ff
 from zkevm_tpu.ff.limbs import add_t, fq_spec, mont_mul_t, sub_t
 
 FQ = fq_spec()
-UNROLL = False
+# scan-CIOS keeps compiles sane on XLA:CPU; the unrolled straight-line
+# CIOS is worth trying on the real chip (ZKEVM_TPU_UNROLL_EC=1)
+UNROLL = os.environ.get("ZKEVM_TPU_UNROLL_EC", "0") == "1"
 
 
 def _mul(a, b):
@@ -184,25 +187,28 @@ def _window_sums(px, py, sd, c):
 
     # --- sum_t PS[pos_t]: blocked scan + tree ---------------------------
     K = B - 1
-    pad = (-K) % 1024
+    blk_sz = 1
+    while blk_sz < min(K, 1024):
+        blk_sz *= 2
+    pad = (-K) % blk_sz
     def padded(a):
         return jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
     sx, sy, sz = padded(ps.x), padded(ps.y), padded(ps.z)
-    nb = (K + pad) // 1024
-    sx = sx.reshape(L, G, nb, 1024)
-    sy = sy.reshape(L, G, nb, 1024)
-    sz = sz.reshape(L, G, nb, 1024)
+    nb = (K + pad) // blk_sz
+    sx = sx.reshape(L, G, nb, blk_sz)
+    sy = sy.reshape(L, G, nb, blk_sz)
+    sz = sz.reshape(L, G, nb, blk_sz)
 
     def bstep(acc, blk):
         return add_pt(acc, G1T(*blk)), None
 
-    binit = identity_t((G, 1024), like=px)
+    binit = identity_t((G, blk_sz), like=px)
     bacc, _ = jax.lax.scan(
         bstep, binit,
         (jnp.moveaxis(sx, 2, 0), jnp.moveaxis(sy, 2, 0),
          jnp.moveaxis(sz, 2, 0)),
     )
-    m = 1024
+    m = blk_sz
     while m > 1:
         m //= 2
         bacc = add_pt(
