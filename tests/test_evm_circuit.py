@@ -83,7 +83,7 @@ def build(code=CODE, value=VALUE):
     return builder, h
 
 
-def witness(circuit, builder, h, code=CODE, rows=None):
+def witness(circuit, builder, h, code=CODE, rows=None, codes=None):
     (cs, st_cfg, bc_cfg, ev_cfg, wa_cfg, bw_cfg, bt_cols, ex_cfg) = circuit
     asg = Assignment(cs, N)
     # load the mini block table (row 0 stays zero = disabled tuple)
@@ -103,8 +103,9 @@ def witness(circuit, builder, h, code=CODE, rows=None):
         asg.set_int(bt_cols[3], 1 + i, v >> 128)
     st.assign(cs, st_cfg, N, rows if rows is not None
               else st.fix_value_prev(builder.rws.rows), asg)
-    bc.assign(cs, bc_cfg, N, [code], asg)
-    evm.assign(cs, ev_cfg, N, builder.steps, builder.rws, asg=asg)
+    bc.assign(cs, bc_cfg, N, codes if codes is not None else [code], asg)
+    evm.assign(cs, ev_cfg, N, builder.steps, builder.rws, asg=asg,
+               calls=builder.calls)
     xevents = evm.exp_events(builder.steps, builder.rws)
     ec.assign(cs, ex_cfg, N, xevents, asg)
     wa.assign(cs, wa_cfg, N,
@@ -557,3 +558,107 @@ def test_forged_sar_sign_rejected(circuit):
     asg.set_int(ev_cfg.w[2][1], row, (((1 << 256) - 1) >> 4) >> 128)
     fails = MockProver(cs, asg).verify()
     assert fails, "forged SAR sign accepted"
+
+
+# -- CALL family --------------------------------------------------------
+CHILD = 0xCCC1
+# child: SSTORE(1, 7); PUSH 42; PUSH 0; MSTORE; STOP
+CHILD_CODE = bytes([0x60, 7, 0x60, 1, 0x55, 0x00])
+# parent: CALL(gas=0xFFFF, to=CHILD, value=5, in=(0,0), out=(0,0)); POP;
+# then STATICCALL(gas=0xFFFF, to=CHILD... child SSTOREs -> fails) is NOT
+# used here (separate test); just ADD after to prove resume works
+PARENT_CALL = bytes([
+    0x60, 0, 0x60, 0, 0x60, 0, 0x60, 0, 0x60, 5,
+    0x61, (CHILD >> 8) & 0xFF, CHILD & 0xFF, 0x61, 0xFF, 0xFF, 0xF1,
+    0x60, 3, 0x01, 0x50, 0x00,
+])
+# parent: DELEGATECALL into a reader child; child: CALLVALUE; POP; STOP
+READER_CODE = bytes([0x34, 0x50, 0x00])
+PARENT_DC = bytes([
+    0x60, 0, 0x60, 0, 0x60, 0, 0x60, 0,
+    0x61, (CHILD >> 8) & 0xFF, CHILD & 0xFF, 0x61, 0xFF, 0xFF, 0xF4,
+    0x50, 0x00,
+])
+# parent: STATICCALL into the reader; child returns data-free
+PARENT_SC = bytes([
+    0x60, 0, 0x60, 0, 0x60, 0, 0x60, 0,
+    0x61, (CHILD >> 8) & 0xFF, CHILD & 0xFF, 0x61, 0xFF, 0xFF, 0xFA,
+    0x50, 0x00,
+])
+# child that REVERTs after an SSTORE
+REVERTER = bytes([0x60, 9, 0x60, 1, 0x55, 0x60, 0, 0x60, 0, 0xFD])
+
+
+def build_call(parent_code, child_code, value=0):
+    sdb, cdb = StateDB(), CodeDB()
+    h = cdb.insert(parent_code)
+    sdb.ensure(CALLEE).code_hash = h
+    sdb.ensure(CHILD).code_hash = cdb.insert(child_code)
+    sdb.ensure(CALLER).balance = 10**18
+    sdb.ensure(CALLEE).balance = 10**6
+    pre = sdb.clone()
+    tr = trace_call(sdb, cdb, caller=CALLER, callee=CALLEE, value=value,
+                    block_ctx=BLOCK_CTX)
+    builder = CircuitInputBuilder(pre, cdb)
+    builder.handle_tx(tr, caller=CALLER, callee=CALLEE, value=value)
+    return builder, tr
+
+
+def test_call_frame_proven(circuit):
+    """A value CALL into a storage-writing child, then resume and ADD in
+    the parent: the full 4-row CALL + Restore frame machinery."""
+    cs = circuit[0]
+    builder, tr = build_call(PARENT_CALL, CHILD_CODE)
+    assert not tr.failed
+    assert builder.sdb.get_storage(CHILD, 1) == 7
+    assert builder.sdb.get_account(CHILD).balance == 10**0 * 5
+    asg = witness(circuit, builder, None, codes=[PARENT_CALL, CHILD_CODE])
+    MockProver(cs, asg).assert_satisfied()
+
+
+def test_delegatecall_staticcall_proven(circuit):
+    cs = circuit[0]
+    for parent in (PARENT_DC, PARENT_SC):
+        builder, tr = build_call(parent, READER_CODE)
+        assert not tr.failed
+        asg = witness(circuit, builder, None, codes=[parent, READER_CODE])
+        MockProver(cs, asg).assert_satisfied()
+
+
+def test_reverting_child_proven(circuit):
+    """Child SSTOREs then REVERTs: the parent resumes with success=0 and
+    the state write is rolled back (journal compensation rows)."""
+    cs = circuit[0]
+    builder, tr = build_call(PARENT_CALL, REVERTER)
+    assert not tr.failed  # the PARENT tx still succeeds
+    assert builder.sdb.get_storage(CHILD, 1) == 0
+    restore = next(s for s in builder.steps if s.exec_state == "Restore")
+    by = {row.rw_counter: row for row in builder.rws.rows}
+    assert by[restore.rw_indices[-1]].value == 0  # pushed failure
+    asg = witness(circuit, builder, None, codes=[PARENT_CALL, REVERTER])
+    MockProver(cs, asg).assert_satisfied()
+
+
+def test_forged_resume_pc_rejected(circuit):
+    """Tamper the saved resume pc on the Restore row: the ctx read no
+    longer matches the saved row AND the parent's next pc breaks."""
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, _ = build_call(PARENT_CALL, CHILD_CODE)
+    asg = witness(circuit, builder, None, codes=[PARENT_CALL, CHILD_CODE])
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.exec_state == "Restore")
+    asg.set_int(ev_cfg.w[3][0], row, 5)  # wrong resume pc
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged resume pc accepted"
+
+
+def test_forged_call_success_rejected(circuit):
+    """Claim the reverting child succeeded."""
+    cs, _, _, ev_cfg = circuit[:4]
+    builder, _ = build_call(PARENT_CALL, REVERTER)
+    asg = witness(circuit, builder, None, codes=[PARENT_CALL, REVERTER])
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.exec_state == "Restore")
+    asg.set_int(ev_cfg.aux[1], row, 1)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged call success accepted"

@@ -114,10 +114,11 @@ def test_call_tree():
     assert [c.call_id for c in builder.calls] == [1, 2]
     child = builder.calls[1]
     assert child.caller_id == 1 and child.address == OTHER and child.is_success
-    # the CALL result push is 1
-    call_step = next(s for s in builder.steps if s.op == 0xF1)
+    # the CALL result push is 1 (on the Restore row since the 4-row
+    # CALL layout landed)
+    restore = next(s for s in builder.steps if s.exec_state == "Restore")
     rows = {r.rw_counter: r for r in builder.rws.rows}
-    result = rows[call_step.rw_indices[-1]]
+    result = rows[restore.rw_indices[-1]]
     assert result.rw == RW.WRITE and result.value == 1
     # the child's SSTORE landed with the child's context
     sstores = [r for r in builder.rws.rows
@@ -139,9 +140,9 @@ def test_revert_rolls_back_child_writes():
               if r.tag == Target.STORAGE and r.rw == RW.WRITE]
     assert [w.value for w in writes] == [7, 0]
     # the CALL result push is 0
-    call_step = next(s for s in builder.steps if s.op == 0xF1)
+    restore = next(s for s in builder.steps if s.exec_state == "Restore")
     rows = {r.rw_counter: r for r in builder.rws.rows}
-    assert rows[call_step.rw_indices[-1]].value == 0
+    assert rows[restore.rw_indices[-1]].value == 0
 
 
 def test_staticcall_write_violation():

@@ -59,7 +59,7 @@ FR = fr_spec()
 STACK_CAP = 1024
 M128 = (1 << 128) - 1
 M256 = (1 << 256) - 1
-NSLOTS = 7  # RW lookup budget per step row (BeginTx uses all seven)
+NSLOTS = 8  # RW lookup budget per step row (Restore uses all eight)
 
 COLD_SLOAD_EXTRA = 2000  # 2100 cold - 100 warm
 COLD_ACCOUNT_EXTRA = 2500  # 2600 cold - 100 warm (EIP-2929 account access)
@@ -128,6 +128,13 @@ class ES(IntEnum):
     BYTE = 35  # execution/byte.rs (pow2 + 2 DIVMOD lookups)
     SIGNEXTEND = 36  # execution/signextend.rs
     SAR = 37  # execution/sar.rs (SHR + sign mask)
+    CALL1 = 38  # execution/callop.rs rows 1-4 (stack args)
+    CALL2 = 39  # access list + balance transfer + child ctx
+    CALL3 = 40  # child ctx + caller resume pc/sp saves
+    CALL4 = 41  # resume gas/code-hash/self-addr saves + child code read
+    RESTORE = 42  # frame pop: 7 ctx reads + the result push
+    RETURN = 43  # execution/return_revert.rs (frame exit side)
+    REVERT = 44
 
 
 NSTATES = len(ES)
@@ -171,14 +178,22 @@ OP_STATES = {
     ES.BYTE: (0x1A, 3, 1, 3),
     ES.SIGNEXTEND: (0x0B, 5, 1, 3),
     ES.SAR: (0x1D, 3, 1, 3),
+    ES.CALL1: (None, 0, 0, 7),  # nrw actually 6+has_value (chain override)
+    ES.CALL2: (None, 0, 0, 7),
+    ES.CALL3: (None, 0, 0, 7),
+    ES.CALL4: (None, 0, 0, 4),
+    ES.RETURN: (0xF3, 0, 2, 2),
+    ES.REVERT: (0xFD, 0, 2, 2),
 }
 STATIC_GAS_STATES = [
     s for s in OP_STATES
     if s not in (ES.MLOAD, ES.MSTORE, ES.SLOAD, ES.SSTORE, ES.ACCT_INFO,
-                 ES.EXP)
+                 ES.EXP, ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4,
+                 ES.RETURN, ES.REVERT)
 ]
-NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0}
+NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0, ES.RESTORE: 8}
 NRW.update({s: spec[3] for s, spec in OP_STATES.items()})
+CALL_OPS = (0xF1, 0xF2, 0xF4, 0xFA)
 
 
 @dataclass
@@ -231,6 +246,10 @@ class EvmConfig:
     byv: Column = None  # BYTE index-valid bit (i < 32)
     sev: Column = None  # SIGNEXTEND index-valid bit (i < 31)
     sarm: Column = None  # SAR mask-lookup enable (valid & s0 != 0)
+    dep: Column = None  # call depth (chained: BeginTx 1, CALL4 +1, ...)
+    istc: Column = None  # current frame's is_static flag (chained)
+    vnz: Column = None  # CALL1: transfer-value-nonzero bit
+    ccid: Column = None  # CALL1-4: the child call id
 
 
 def _word(cs) -> tuple:
@@ -280,6 +299,7 @@ def configure(
     nzc, am_en, mm_en = (cs.advice_column() for _ in range(3))
     vcell2 = cs.advice_column()
     byv, sev, sarm = (cs.advice_column() for _ in range(3))
+    dep, istc, vnz, ccid = (cs.advice_column() for _ in range(4))
     p2s, p2lo, p2hi = (cs.fixed_column() for _ in range(3))
     om_op, om_tag = cs.fixed_column(), cs.fixed_column()
     rt4 = rt4 or RangeTable.configure(cs, 4)
@@ -303,6 +323,8 @@ def configure(
         qf * (rwc.cur() - one),  # rw counter starts at 1 (row 0 is Start)
         qf * (tx_id.cur() - one),
         qf * (cid.cur() - one),
+        qf * (dep.cur() - one),
+        qf * istc.cur(),
         ql * (S[ES.END_BLOCK] - one),
     ])
 
@@ -314,16 +336,25 @@ def configure(
             acc = acc + SN[t]
         return one - acc
 
+    EXITS = (ES.STOP, ES.RETURN, ES.REVERT)
+    CALL_CHAIN = {ES.CALL1: ES.CALL2, ES.CALL2: ES.CALL3, ES.CALL3: ES.CALL4}
     cs.create_gate("ev_transitions", [
         qt * S[ES.BEGIN_TX] * allowed(opcode_states + [ES.END_TX]),
-        qt * S[ES.STOP] * allowed([ES.END_TX]),
         qt * S[ES.END_TX] * allowed([ES.BEGIN_TX, ES.END_BLOCK]),
         qt * S[ES.END_BLOCK] * allowed([ES.END_BLOCK]),
+        # child's first row / caller's resume row is a plain opcode row
+        qt * S[ES.CALL4] * allowed(opcode_states),
+        qt * S[ES.RESTORE] * allowed(opcode_states),
+    ] + [
+        qt * S[a] * allowed([b]) for a, b in CALL_CHAIN.items()
     ] + [
         qt * S[s] * allowed(opcode_states + [ES.END_TX])
         for s in opcode_states
-        if s != ES.STOP
+        if s not in EXITS + (ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4)
     ])
+    # exit rows fork on is-root (the depth chain): root -> EndTx,
+    # nested -> Restore; constrained below once the IsZero gadget for
+    # depth-1 exists (ev_exit_transitions)
 
     # -- opcode binding + operand ranges ---------------------------------
     cs.create_gate("ev_opcode_bind", [
@@ -364,7 +395,10 @@ def configure(
         # MLOAD/MSTORE: static 3 + memory-expansion term (aux cell; the
         # quadratic expansion gadget is a later-round item)
         (S[ES.MLOAD] + S[ES.MSTORE]) * (gc.cur() - Const(3) - gcase),
-        (S[ES.BEGIN_TX] + S[ES.END_TX] + S[ES.END_BLOCK]) * gc.cur(),
+        # RETURN/REVERT: pure memory-expansion cost (same aux witness)
+        (S[ES.RETURN] + S[ES.REVERT]) * (gc.cur() - gcase),
+        (S[ES.BEGIN_TX] + S[ES.END_TX] + S[ES.END_BLOCK]
+         + S[ES.RESTORE]) * gc.cur(),
     ])
 
     # -- word semantics ---------------------------------------------------
@@ -438,16 +472,27 @@ def configure(
     # BYTE/SIGNEXTEND: lt = the index-validity bit; SAR shares the
     # SHL/SHR shift decomposition (lhs = shift_lo, rhs = s0)
     by_mode, se_mode, sar_mode = S[ES.BYTE], S[ES.SIGNEXTEND], S[ES.SAR]
+    # CALL2 borrows the grid to byte-decompose the callee address word
+    # (the CALL1 row's w1): to = the low 20 bytes
+    call2_mode = S[ES.CALL2]
     lhs = lt_mode * ((one - fge) * comb(w[0]) + fge * comb(w[1])) \
         + (sh_mode + sar_mode) * w[0][0].cur() + exp_mode * comb(w[1]) \
-        + (by_mode + se_mode) * comb(w[0])
+        + (by_mode + se_mode) * comb(w[0]) \
+        + call2_mode * (w[1][0].rot(-1) + Const(1 << 128) * w[1][1].rot(-1))
     rhs = lt_mode * ((one - fge) * comb(w[1]) + fge * comb(w[0])) \
         + (sh_mode + sar_mode) * opn.cur() \
         + by_mode * Const(32) + se_mode * Const(31)
     rt8 = rt8 or RangeTable.configure(cs, 8)
     ltg = LtGadget.configure(
-        cs, lt_mode + sh_mode + exp_mode + by_mode + se_mode + sar_mode,
+        cs, lt_mode + sh_mode + exp_mode + by_mode + se_mode + sar_mode
+        + call2_mode,
         lhs, rhs, rt8, n_limbs=32, name="ev_ltg")
+    to_expr = Const(0)  # the CALL callee address (valid on CALL2 rows)
+    for _i in range(20):
+        to_expr = to_expr + Const(1 << (8 * _i)) * ltg.limbs[_i].cur()
+    to_expr_r2 = Const(0)  # the same, seen from the CALL4 row
+    for _i in range(20):
+        to_expr_r2 = to_expr_r2 + Const(1 << (8 * _i)) * ltg.limbs[_i].rot(-2)
     cs.create_gate("ev_cmp_results", [
         S[ES.ISZERO] * (w[1][0].cur() - iz["a_lo"].expr() * iz["a_hi"].expr()),
         S[ES.ISZERO] * w[1][1].cur(),
@@ -816,6 +861,95 @@ def configure(
     else:
         cs.create_gate("ev_no_tx_table_ctx", [qs * TCX])
 
+
+    # -- CALL family (execution/callop.rs + return_revert.rs) -------------
+    # four-row step + Restore frame pop; see witness builder
+    # _handle_call_op for the row/slot layout
+    S1, S2, S3, S4 = S[ES.CALL1], S[ES.CALL2], S[ES.CALL3], S[ES.CALL4]
+    RST = S[ES.RESTORE]
+    hv = is_sub  # reused on CALL1: the has_value variant bit
+    cc_bit, dc_bit = m_div, m_mod  # reused: is-CALL / is-DELEGATECALL
+    iz["cv_lo"] = IsZero.configure(cs, S1, w[2][0].cur(), "ev_iz_cvlo")
+    iz["cv_hi"] = IsZero.configure(cs, S1, w[2][1].cur(), "ev_iz_cvhi")
+    vz = iz["cv_lo"].expr() * iz["cv_hi"].expr()
+    F1, F2, F4, FA = (Const(c) for c in CALL_OPS)
+    op_ = opcode.cur()
+    st_bit1 = one - hv.cur() - dc_bit.cur()  # is-STATICCALL (on CALL1)
+    cs.create_gate("ev_call_variant", [
+        S1 * (op_ - F1) * (op_ - F2) * (op_ - F4) * (op_ - FA),
+        S1 * cc_bit.cur() * (op_ - F1),
+        S1 * dc_bit.cur() * (op_ - F4),
+        S1 * (hv.cur() - cc_bit.cur()) * (op_ - F2),
+        S1 * st_bit1 * (op_ - FA),
+        S1 * cc_bit.cur() * (one - cc_bit.cur()),
+        S1 * dc_bit.cur() * (one - dc_bit.cur()),
+        S1 * dc_bit.cur() * hv.cur(),
+        S1 * cc_bit.cur() * (one - hv.cur()),
+        # no-value variants carry a zero value cell
+        S1 * (one - hv.cur()) * w[2][0].cur(),
+        S1 * (one - hv.cur()) * w[2][1].cur(),
+        # vnz defined on the CALL1 row; the chain below copies it to rows
+        # 2-4 (a qs-global definition would conflict with the chain)
+        S1 * (vnz.cur() - (one - vz)),
+        # static frames may not transfer value (tracer VmError analog)
+        qs * istc.cur() * S1 * hv.cur() * vnz.cur(),
+    ] + [
+        # continuation rows share the opcode (bytecode re-fetch) and the
+        # child id; variant bits are read by back-rotation instead
+        qt * Sx * (col.rot(1) - col.cur())
+        for Sx in (S1, S2, S3)
+        for col in (opcode, ccid)
+    ])
+
+    # per-variant bits seen from later rows
+    hv2, cc2, dc2 = hv.rot(-1), cc_bit.rot(-1), dc_bit.rot(-1)
+    hv3, dc3 = hv.rot(-2), dc_bit.rot(-2)
+    st3 = one - hv3 - dc3
+    hv4, vnz4 = hv.rot(-3), vnz.rot(-3)
+    st4 = one - hv4 - dc_bit.rot(-3)
+    TWO160 = Const(1 << 160)
+    cs.create_gate("ev_call_ctx_values", [
+        # CALL2: caller address halves (w3) = parent self unless DELEGATE
+        S2 * (one - dc2) * (w[3][0].cur() + TWO128 * w[3][1].cur()
+                            - callee.cur()),
+        # CALL2: child self address halves (w4)
+        S2 * (w[4][0].cur() + TWO128 * w[4][1].cur()
+              - (cc2 + one - hv2 - dc2) * to_expr
+              - (hv2 - cc2 + dc2) * callee.cur()),
+        # CALL2: code address halves (w5)
+        S2 * (w[5][0].cur() + TWO128 * w[5][1].cur() - to_expr),
+        # CALL3: the child VALUE word (w0): CALL/CALLCODE pass the stack
+        # value, STATICCALL passes 0 (DELEGATECALL: caller value, witness)
+        S3 * hv3 * (w[0][0].cur() - w[2][0].rot(-2)),
+        S3 * hv3 * (w[0][1].cur() - w[2][1].rot(-2)),
+        S3 * st3 * w[0][0].cur(),
+        S3 * st3 * w[0][1].cur(),
+        # CALL4: packed caller-self+static save halves (w0)
+        S4 * (w[0][0].cur() + TWO128 * w[0][1].cur()
+              - callee.cur() - TWO160 * istc.cur()),
+        # CALL4: base gas = 100 + 2500*cold + 9000*value-transfer
+        # (+ bb0: the memory-expansion witness; quadratic gadget pending)
+        S4 * (aux[0].cur() - Const(100)
+              - Const(2500) * (one - warm.rot(-2))
+              - Const(9000) * hv4 * vnz4 - bb0.cur()),
+    ])
+
+    # exit rows: root -> EndTx, nested -> Restore (+ success binding)
+    exq = S[ES.STOP] + S[ES.RETURN] + S[ES.REVERT]
+    iz["root"] = IsZero.configure(cs, exq, dep.cur() - one, "ev_iz_root")
+    ir = iz["root"].expr()
+    cs.create_gate("ev_exit_transitions", [
+        qt * S[x] * (ir * allowed([ES.END_TX])
+                     + (one - ir) * allowed([ES.RESTORE]))
+        for x in EXITS
+    ] + [
+        qt * (S[ES.STOP] + S[ES.RETURN]) * (one - ir)
+        * (aux[1].rot(1) - one),
+        qt * S[ES.REVERT] * (one - ir) * aux[1].rot(1),
+        # static frames may not SSTORE (reference STATICCALL semantics)
+        qs * istc.cur() * S[ES.SSTORE],
+    ])
+
     # -- per-state step transitions --------------------------------------
     def trans(cell, nxt_exprs: dict, default):
         """cell(+1) = sum_s sel_s * expr_s."""
@@ -825,12 +959,24 @@ def configure(
             acc = acc + S[s] * e
         return qt * (cell.rot(1) - acc)
 
+    CONT = (ES.CALL1, ES.CALL2, ES.CALL3)  # continuation rows: keep state
+    ps_restore = warm.cur()  # packed parent-static bit on the Restore row
     pc_next = {ES.BEGIN_TX: Const(0), ES.END_TX: Const(0), ES.END_BLOCK: Const(0),
-               ES.STOP: Const(0), ES.PUSH: pc.cur() + one + opn.cur(),
+               ES.PUSH: pc.cur() + one + opn.cur(),
                ES.JUMP: w[0][0].cur(),
-               ES.JUMPI: jnz * w[0][0].cur() + (one - jnz) * (pc.cur() + one)}
+               ES.JUMPI: jnz * w[0][0].cur() + (one - jnz) * (pc.cur() + one),
+               ES.CALL4: Const(0),  # child starts at pc 0
+               ES.RESTORE: w[3][0].cur()}  # saved resume pc
     sp_next = {ES.BEGIN_TX: Const(STACK_CAP), ES.END_TX: Const(STACK_CAP),
-               ES.END_BLOCK: Const(STACK_CAP), ES.STOP: Const(STACK_CAP)}
+               ES.END_BLOCK: Const(STACK_CAP),
+               ES.CALL4: Const(STACK_CAP),  # child starts empty
+               ES.RESTORE: w[4][0].cur()}  # saved resume sp
+    for x in CONT:
+        pc_next[x] = pc.cur()
+        sp_next[x] = sp.cur()
+    for x in EXITS:  # next row (EndTx or Restore) re-binds everything
+        pc_next[x] = pc.rot(1)
+        sp_next[x] = sp.rot(1)
     for s, (op, cost, dsp, _) in OP_STATES.items():
         if s not in pc_next:
             pc_next[s] = pc.cur() + one
@@ -839,24 +985,63 @@ def configure(
     # at EndTx the next row is a fresh BeginTx: its own gate re-binds
     # code_hash/callee from the account read, and gas restarts, so those
     # chains are FREED across the boundary (next = its own rot(1) makes
-    # the EndTx term cancel).
+    # the EndTx term cancel). Exit rows are likewise freed into the
+    # Restore/EndTx row, which re-binds from the saved context reads.
+    def freed(cell, extra):
+        d = {ES.END_TX: cell.rot(1)}
+        for x in EXITS:
+            d[x] = cell.rot(1)
+        d.update(extra)
+        return d
+
+    child_gas = opn.cur() + Const(2300) * hv4 * vnz4  # fwd + stipend
     cs.create_gate("ev_step_next", [
         trans(pc, pc_next, lambda s: pc.cur()),
         trans(sp, sp_next, lambda s: sp.cur()),
-        trans(gas_left, {ES.END_TX: gas_left.rot(1)},
-              lambda s: gas_left.cur() - gc.cur()),
-        trans(rwc, {}, lambda s: rwc.cur() + Const(NRW[s])),
-        trans(code_hash, {ES.END_TX: code_hash.rot(1)},
+        trans(gas_left, freed(gas_left, {
+            ES.CALL1: gas_left.cur(), ES.CALL2: gas_left.cur(),
+            ES.CALL3: gas_left.cur(),
+            ES.CALL4: child_gas,
+            # resume gas = saved base + the child leftover this row holds
+            ES.RESTORE: gas_left.cur() + w[5][0].cur(),
+        }), lambda s: gas_left.cur() - gc.cur()),
+        trans(rwc, {ES.CALL1: rwc.cur() + Const(6) + hv.cur(),
+                    # REVERT: the journal's compensating writes are
+                    # emitted right after the frame's rows (builder
+                    # _revert_to); opn carries their count. Bounded by
+                    # the state circuit's total-rws binding; an explicit
+                    # reversible-write counter chain is a later item.
+                    ES.REVERT: rwc.cur() + Const(2) + opn.cur()},
+              lambda s: rwc.cur() + Const(NRW[s])),
+        trans(code_hash, freed(code_hash, {
+            ES.CALL4: w[1][0].cur(), ES.RESTORE: w[0][0].cur()}),
               lambda s: code_hash.cur()),
-        trans(code_hash_hi, {ES.END_TX: code_hash_hi.rot(1)},
+        trans(code_hash_hi, freed(code_hash_hi, {
+            ES.CALL4: w[1][1].cur(), ES.RESTORE: w[0][1].cur()}),
               lambda s: code_hash_hi.cur()),
-        trans(callee, {ES.END_TX: callee.rot(1)}, lambda s: callee.cur()),
+        trans(callee, freed(callee, {
+            ES.CALL4: (cc_bit.rot(-3) + one - hv4 - dc_bit.rot(-3))
+            * to_expr_r2
+            + (hv4 - cc_bit.rot(-3) + dc_bit.rot(-3)) * callee.cur(),
+            ES.RESTORE: w[1][0].cur() + TWO128 * w[1][1].cur()
+            - TWO160 * ps_restore,
+        }), lambda s: callee.cur()),
         trans(tx_id, {ES.END_TX: tx_id.cur() + one},
               lambda s: tx_id.cur()),
         # root call ids are sound without an explicit chain: every slot
         # keyed by cid must hit a real RwTable row, so a forged cid has
         # no matching rows; freed across the tx boundary
-        trans(cid, {ES.END_TX: cid.rot(1)}, lambda s: cid.cur()),
+        trans(cid, freed(cid, {ES.CALL4: ccid.cur(),
+                               ES.RESTORE: w[2][0].cur()}),
+              lambda s: cid.cur()),
+        # call depth and the static flag
+        trans(dep, {ES.END_TX: Const(1), ES.CALL4: dep.cur() + one,
+                    ES.RESTORE: dep.cur() - one},
+              lambda s: dep.cur()),
+        trans(istc, {ES.END_TX: Const(0),
+                     ES.CALL4: istc.cur() + st4 - istc.cur() * st4,
+                     ES.RESTORE: ps_restore},
+              lambda s: istc.cur()),
     ])
 
     # -- RW lookup slots --------------------------------------------------
@@ -884,10 +1069,18 @@ def configure(
 
     slots: list[list] = [[] for _ in range(NSLOTS)]
 
-    def use(state, i, fields):
+    def use(state, i, fields, en=None):
         """fields: [is_write, tag, id, address, field_tag, storage_key,
-        vlo, vhi, plo, phi] (rw_counter added here)."""
-        slots[i].append((state, [one, rwc.cur() + Const(i)] + fields))
+        vlo, vhi, plo, phi] (rw_counter added here). `en` (0/1 expr)
+        gates the whole slot within the state (variant-dependent slots);
+        every field is multiplied so a disabled slot is the zero tuple."""
+        if en is None:
+            slots[i].append((state, [one, rwc.cur() + Const(i)] + fields))
+        else:
+            slots[i].append(
+                (state,
+                 [en, en * (rwc.cur() + Const(i))] + [en * f for f in fields])
+            )
 
     # BeginTx (order mirrors builder.handle_tx)
     use(ES.BEGIN_TX, 0, [ZERO, Const(CC), cid.cur(), ZERO,
@@ -975,6 +1168,92 @@ def configure(
         use(s_bin, 0, stack_rd(spc, wc(0)))
         use(s_bin, 1, stack_rd(spc + one, wc(1)))
         use(s_bin, 2, stack_wr(spc + one, wc(2), wc(1)))
+    # -- CALL family (see _handle_call_op's row/slot layout) --------------
+    ALAT = int(Target.TX_ACCESS_LIST_ACCOUNT)
+    hvc = hv.cur()
+    # row 1: stack args; slots shift by has_value (gas, to, [value],
+    # inOff, inLen, retOff, retLen)
+    use(ES.CALL1, 0, stack_rd(spc, wc(0)))
+    use(ES.CALL1, 1, stack_rd(spc + one, wc(1)))
+    arg = [wc(2), wc(3), wc(4), pc_(0), pc_(1)]
+    for kk in range(2, 6):
+        v = tuple(hvc * arg[kk - 2][j] + (one - hvc) * arg[kk - 1][j]
+                  for j in range(2))
+        use(ES.CALL1, kk, stack_rd(spc + Const(kk), v))
+    use(ES.CALL1, 6, stack_rd(spc + Const(6), pc_(1)), en=hvc)
+    # row 2: access list + transfer + first child ctx
+    x_lo = cc_bit.rot(-1) * w[2][0].rot(-1)
+    x_hi = cc_bit.rot(-1) * w[2][1].rot(-1)
+    use(ES.CALL2, 0, [one, Const(ALAT), tx_id.cur(), to_expr, ZERO, ZERO,
+                      one, ZERO, warm.cur(), ZERO])
+    use(ES.CALL2, 1, [one, Const(ACC), ZERO, callee.cur(),
+                      Const(int(AccountField.BALANCE)), ZERO,
+                      *wc(0),
+                      w[0][0].cur() + x_lo - k[0] * TWO128,
+                      w[0][1].cur() + x_hi + k[0]])
+    use(ES.CALL2, 2, [one, Const(ACC), ZERO,
+                      cc_bit.rot(-1) * to_expr
+                      + (one - cc_bit.rot(-1)) * callee.cur(),
+                      Const(int(AccountField.BALANCE)), ZERO,
+                      *wc(1),
+                      w[1][0].cur() - x_lo + k[1] * TWO128,
+                      w[1][1].cur() - x_hi - k[1]])
+
+    def ctxw(fld, vlo, vhi=ZERO):
+        return [one, Const(CC), ccid.cur(), ZERO, Const(int(fld)), ZERO,
+                vlo, vhi, vlo, vhi]
+
+    use(ES.CALL2, 3, ctxw(CallContextField.CALLER_ID, cid.cur()))
+    use(ES.CALL2, 4, ctxw(CallContextField.CALLER_ADDRESS,
+                          w[3][0].cur(), w[3][1].cur()))
+    use(ES.CALL2, 5, ctxw(CallContextField.CALLEE_ADDRESS,
+                          w[4][0].cur(), w[4][1].cur()))
+    use(ES.CALL2, 6, ctxw(CallContextField.CODE_ADDRESS,
+                          w[5][0].cur(), w[5][1].cur()))
+    # row 3: remaining child ctx + resume pc/sp saves
+    use(ES.CALL3, 0, ctxw(CallContextField.VALUE,
+                          w[0][0].cur(), w[0][1].cur()))
+    use(ES.CALL3, 1, ctxw(CallContextField.CALL_DATA_LENGTH,
+                          w[4][0].rot(-2)))
+    use(ES.CALL3, 2, ctxw(CallContextField.IS_STATIC,
+                          istc.cur() + st3 - istc.cur() * st3))
+    use(ES.CALL3, 3, ctxw(CallContextField.IS_SUCCESS, aux[2].cur()))
+    use(ES.CALL3, 4, ctxw(CallContextField.DEPTH, dep.cur() + one))
+    use(ES.CALL3, 5, ctxw(CallContextField.PROGRAM_COUNTER, pc.cur() + one))
+    use(ES.CALL3, 6, ctxw(CallContextField.STACK_POINTER,
+                          sp.cur() + Const(5) + hv.rot(-2)))
+    # row 4: resume gas / code hash / packed self+static saves + child code
+    use(ES.CALL4, 0, ctxw(CallContextField.GAS_LEFT,
+                          gas_left.cur() - aux[0].cur() - opn.cur()))
+    use(ES.CALL4, 1, ctxw(CallContextField.CODE_HASH,
+                          code_hash.cur(), code_hash_hi.cur()))
+    use(ES.CALL4, 2, ctxw(CallContextField.CALLER_SELF_ADDRESS,
+                          w[0][0].cur(), w[0][1].cur()))
+    use(ES.CALL4, 3, [ZERO, Const(ACC), ZERO, to_expr_r2,
+                      Const(int(AccountField.CODE_HASH)), ZERO,
+                      *wc(1), *wc(1)])
+
+    def ctxr(fld, vlo, vhi=ZERO):
+        return [ZERO, Const(CC), cid.cur(), ZERO, Const(int(fld)), ZERO,
+                vlo, vhi, vlo, vhi]
+
+    # Restore: the 7 saved-context reads + the caller-stack result push
+    use(ES.RESTORE, 0, ctxr(CallContextField.CALLER_ID, w[2][0].cur()))
+    use(ES.RESTORE, 1, ctxr(CallContextField.IS_SUCCESS, aux[1].cur()))
+    use(ES.RESTORE, 2, ctxr(CallContextField.PROGRAM_COUNTER, w[3][0].cur()))
+    use(ES.RESTORE, 3, ctxr(CallContextField.STACK_POINTER, w[4][0].cur()))
+    use(ES.RESTORE, 4, ctxr(CallContextField.GAS_LEFT, w[5][0].cur()))
+    use(ES.RESTORE, 5, ctxr(CallContextField.CODE_HASH,
+                            w[0][0].cur(), w[0][1].cur()))
+    use(ES.RESTORE, 6, ctxr(CallContextField.CALLER_SELF_ADDRESS,
+                            w[1][0].cur(), w[1][1].cur()))
+    use(ES.RESTORE, 7, [one, Const(STK), w[2][0].cur(), w[4][0].cur(),
+                        ZERO, ZERO, aux[1].cur(), ZERO, *pc_(0)])
+    # RETURN/REVERT: the offset/length pops (return-data copy semantics
+    # land with copy-circuit v2)
+    for s_exit in (ES.RETURN, ES.REVERT):
+        use(s_exit, 0, stack_rd(spc, wc(0)))
+        use(s_exit, 1, stack_rd(spc + one, wc(1)))
     # context/environment pushes
     for s_push in (ES.BLOCK_CTX, ES.TX_CTX, ES.PC_GAS):
         use(s_push, 0, stack_wr(spc - one, wc(0), pc_(0)))
@@ -1063,7 +1342,12 @@ def configure(
         is_sub, warm, bb0, bb1, w, carries, pcell, aux, iz, ltg, rt4, rt8,
         m_div, m_mod, bzc, waen, nzc, am_en, mm_en, vcell,
         p2s, p2lo, p2hi, om_op, om_tag, msb, minv, vcell2, byv, sev, sarm,
+        dep, istc, vnz, ccid,
     )
+
+
+_CALL_CONT = {"CallB": ES.CALL2, "CallC": ES.CALL3, "CallD": ES.CALL4,
+              "Restore": ES.RESTORE}
 
 
 def _state_of(step: ExecStep) -> ES:
@@ -1071,6 +1355,10 @@ def _state_of(step: ExecStep) -> ES:
         return ES.BEGIN_TX
     if step.exec_state == "EndTx":
         return ES.END_TX
+    if step.exec_state in _CALL_CONT:
+        return _CALL_CONT[step.exec_state]
+    if step.exec_state == "CallNoExec":
+        raise NotImplementedError("no-exec CALL rows not yet constrained")
     op = step.op
     if 0x60 <= op <= 0x61:
         return ES.PUSH
@@ -1095,7 +1383,9 @@ def _state_of(step: ExecStep) -> ES:
          0x31: ES.ACCT_INFO, 0x3F: ES.ACCT_INFO,
          0x47: ES.SELFBALANCE,
          0x08: ES.ADDMOD, 0x09: ES.MULMOD, 0x0A: ES.EXP,
-         0x1A: ES.BYTE, 0x0B: ES.SIGNEXTEND, 0x1D: ES.SAR}
+         0x1A: ES.BYTE, 0x0B: ES.SIGNEXTEND, 0x1D: ES.SAR,
+         0xF1: ES.CALL1, 0xF2: ES.CALL1, 0xF4: ES.CALL1, 0xFA: ES.CALL1,
+         0xF3: ES.RETURN, 0xFD: ES.REVERT}
     if op not in m:
         raise NotImplementedError(f"opcode {op:#x} not in EVM circuit scope")
     return m[op]
@@ -1108,11 +1398,15 @@ def assign(
     steps: list[ExecStep],
     rws: RwMap,
     asg: Assignment | None = None,
+    calls: list | None = None,
 ) -> Assignment:
     """Per-tx context (tx_id, call id, callee, code hash) is derived from
     the steps themselves: each BeginTx's account-code-hash / callee reads
-    seed the following rows (multi-tx blocks supported)."""
+    seed the following rows (multi-tx blocks supported). `calls` (the
+    builder's call list) supplies per-frame code hash / self address /
+    static flags for multi-call traces; single-frame traces may omit it."""
     asg = asg if asg is not None else Assignment(cs, n)
+    calls_map = {c.call_id: c for c in calls} if calls else {}
     cfg.rt4.load(asg)
     cfg.rt8.load(asg)
     # pow2 fixed table: entry for shift s at key s+1 (row 0 stays zero
@@ -1137,6 +1431,7 @@ def assign(
     ch_lo = ch_hi = 0
     callee = 0
     cur_tx = 1
+    cur_ccid = 0
 
     end_gas = 0
     end_rwc = 1
@@ -1147,6 +1442,12 @@ def assign(
             callee = vals0[1].value
             ch = vals0[4].value
             ch_lo, ch_hi = ch & M128, ch >> 128
+        if calls_map and step.call_id in calls_map:
+            c_ = calls_map[step.call_id]
+            callee = c_.address
+            ch_lo, ch_hi = c_.code_hash & M128, c_.code_hash >> 128
+            asg.set_int(cfg.istc, r, int(c_.is_static))
+        asg.set_int(cfg.dep, r, step.depth)
         asg.set_int(cfg.sel.columns[int(st)], r, 1)
         asg.set_int(cfg.tx_id, r, cur_tx)
         asg.set_int(cfg.cid, r, step.call_id)
@@ -1168,6 +1469,8 @@ def assign(
         end_rwc = step.rw_counter_start + len(step.rw_indices)
 
         vals = [by_rwc[i] for i in step.rw_indices]
+        if st == ES.STOP:
+            _set_inv(asg, cfg.iz["root"], r, step.depth - 1)
 
         def put_word(wi, v):
             asg.set_int(cfg.w[wi][0], r, int(v) & M128)
@@ -1425,6 +1728,92 @@ def assign(
                 asg.set_int(cfg.opn, r, btop)
                 asg.set_int(cfg.carries[2], r, 1 if btop >= 128 else 0)
                 _set_inv(asg, cfg.iz["se_ph"], r, P >> 128)
+        elif st == ES.CALL1:
+            hv_ = 1 if step.op in (0xF1, 0xF2) else 0
+            cc_ = 1 if step.op == 0xF1 else 0
+            dc_ = 1 if step.op == 0xF4 else 0
+            asg.set_int(cfg.is_sub, r, hv_)
+            asg.set_int(cfg.m_div, r, cc_)
+            asg.set_int(cfg.m_mod, r, dc_)
+            put_word(0, vals[0].value)  # gas_req
+            put_word(1, vals[1].value)  # to word
+            if hv_:
+                v_ = vals[2].value
+                put_word(2, v_)
+                put_word(3, vals[3].value)
+                put_word(4, vals[4].value)
+                put_pcell(0, vals[5].value)
+                put_pcell(1, vals[6].value)
+            else:
+                v_ = 0
+                put_word(3, vals[2].value)
+                put_word(4, vals[3].value)
+                put_pcell(0, vals[4].value)
+                put_pcell(1, vals[5].value)
+            _set_inv(asg, cfg.iz["cv_lo"], r, v_ & M128)
+            _set_inv(asg, cfg.iz["cv_hi"], r, v_ >> 128)
+            asg.set_int(cfg.vnz, r, 1 if v_ else 0)
+            cur_ccid = by_rwc[steps[r + 1].rw_indices[3]].id
+            asg.set_int(cfg.ccid, r, cur_ccid)
+        elif st == ES.CALL2:
+            asg.set_int(cfg.ccid, r, cur_ccid)
+            asg.set_int(cfg.warm, r, vals[0].value_prev)
+            new_s, prev_s = vals[1].value, vals[1].value_prev
+            new_r, prev_r = vals[2].value, vals[2].value_prev
+            xfer = prev_s - new_s
+            put_word(0, new_s)
+            put_word(1, new_r)
+            asg.set_int(cfg.carries[0], r,
+                        1 if (new_s & M128) + (xfer & M128) > M128 else 0)
+            asg.set_int(cfg.carries[1], r,
+                        1 if (new_r & M128) < (xfer & M128) else 0)
+            # the callee address word byte grid (from the CALL1 row)
+            to_word = by_rwc[steps[r - 1].rw_indices[1]].value
+            for i, c in enumerate(cfg.ltg.limbs):
+                asg.set_int(c, r, (to_word >> (8 * i)) & 0xFF)
+            put_word(3, vals[4].value)  # caller address halves
+            put_word(4, vals[5].value)  # child self address halves
+            put_word(5, vals[6].value)  # code address halves
+        elif st == ES.CALL3:
+            asg.set_int(cfg.ccid, r, cur_ccid)
+            put_word(0, vals[0].value)  # child VALUE word
+            asg.set_int(cfg.aux[2], r, vals[3].value)  # is_success
+        elif st == ES.CALL4:
+            asg.set_int(cfg.ccid, r, cur_ccid)
+            save_gas = vals[0].value
+            child_gas = steps[r + 1].gas_left
+            c1 = steps[r - 3]
+            hv_ = 1 if c1.op in (0xF1, 0xF2) else 0
+            vnz_ = 1 if (hv_ and by_rwc[c1.rw_indices[2]].value) else 0
+            fwd = child_gas - (2300 if vnz_ else 0)
+            asg.set_int(cfg.opn, r, fwd)
+            gcb = step.gas_left - fwd - save_gas
+            asg.set_int(cfg.aux[0], r, gcb)
+            warm_ = by_rwc[steps[r - 2].rw_indices[0]].value_prev
+            mexp = gcb - 100 - 2500 * (1 - warm_) - 9000 * vnz_
+            assert mexp >= 0, "negative call base-gas residual"
+            asg.set_int(cfg.bb0, r, mexp)
+            put_word(0, vals[2].value)  # packed self+static save halves
+            put_word(1, vals[3].value)  # child code hash halves
+        elif st == ES.RESTORE:
+            asg.set_int(cfg.w[2][0], r, vals[0].value)  # caller id
+            asg.set_int(cfg.aux[1], r, vals[1].value)  # success
+            asg.set_int(cfg.w[3][0], r, vals[2].value)  # resume pc
+            asg.set_int(cfg.w[4][0], r, vals[3].value)  # resume sp
+            asg.set_int(cfg.w[5][0], r, vals[4].value)  # saved base gas
+            put_word(0, vals[5].value)  # caller code hash
+            put_word(1, vals[6].value)  # packed caller self+static
+            asg.set_int(cfg.warm, r, vals[6].value >> 160)
+            put_pcell(0, _group_prev(rws, vals[7]))
+        elif st in (ES.RETURN, ES.REVERT):
+            put_word(0, vals[0].value)
+            put_word(1, vals[1].value)
+            asg.set_int(cfg.aux[0], r, step.gas_cost)  # mexp witness
+            _set_inv(asg, cfg.iz["root"], r, step.depth - 1)
+            if st == ES.REVERT and r + 1 < len(steps):
+                gap = (steps[r + 1].rw_counter_start
+                       - step.rw_counter_start - 2)
+                asg.set_int(cfg.opn, r, gap)
         elif st == ES.SAR:
             shift, x = vals[0].value, vals[1].value
             put_word(0, shift)
@@ -1463,6 +1852,7 @@ def assign(
     # EndBlock padding
     for r in range(len(steps), m):
         asg.set_int(cfg.sel.columns[int(ES.END_BLOCK)], r, 1)
+        asg.set_int(cfg.dep, r, 1)
         asg.set_int(cfg.tx_id, r, cur_tx)
         asg.set_int(cfg.cid, r, steps[-1].call_id if steps else 1)
         asg.set_int(cfg.gas_left, r, end_gas)

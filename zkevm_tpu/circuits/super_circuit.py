@@ -204,7 +204,8 @@ def assign(
               asg)
     kwit = kt.assign(cs, cfg.kt, n, keccak_messages(block), asg)
     bwit = bc.assign(cs, cfg.bc, n, block.codes, asg)
-    evm.assign(cs, cfg.ev, n, block.steps, block.rws, asg=asg)
+    evm.assign(cs, cfg.ev, n, block.steps, block.rws, asg=asg,
+               calls=block.calls)
     xevents = evm.exp_events(block.steps, block.rws)
     ec.assign(cs, cfg.ex, n, xevents, asg)
     wac.assign(cs, cfg.wa, n,

@@ -48,6 +48,7 @@ class Block:
     steps: list
     copy_events: list[CopyEvent]
     exp_events: list[ExpEvent]
+    calls: list = field(default_factory=list)
     params: CircuitsParams = field(default_factory=CircuitsParams)
     prev_state_root: int = 0
     post_state_root: int = 0
@@ -89,6 +90,7 @@ def block_convert(
         steps=b.steps,
         copy_events=b.copy_events,
         exp_events=b.exp_events,
+        calls=b.calls,
         params=params,
     )
     return blk

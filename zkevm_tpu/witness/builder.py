@@ -366,8 +366,19 @@ class CircuitInputBuilder:
         return i
 
     def _handle_call_op(self, logs, i, call: Call) -> int:
-        """CALL-family step: spawn the child call (if it executes), replay
-        it, then handle reversion."""
+        """CALL-family: FOUR step rows (the EVM circuit is
+        one-row-per-step with an 8-slot rw budget; the reference packs the
+        same ~24 rws into one multi-row region, callop.rs):
+
+            row 1 (op row):   6+has_value stack reads
+            row 2 ("CallB"):  access-list + 2 balance rows + 4 child ctx
+            row 3 ("CallC"):  5 child ctx + resume pc/sp saves
+            row 4 ("CallD"):  resume gas/code-hash/self-addr saves +
+                              child code-hash account read
+            ... child frame rows ...
+            "Restore" row:    7 ctx reads + the parent-stack result write
+
+        then the parent's next opcode row resumes."""
         step = logs[i]
         name = OPCODES[step.op].name
         sp = STACK_CAP - len(step.stack)
@@ -388,8 +399,6 @@ class CircuitInputBuilder:
             ri.append(self.stack_read(call.call_id, sp + k, top(k)))
         to = top(1) & ((1 << 160) - 1)
         value = top(2) if has_value else 0
-        ai, _warm = self.access_account(to)
-        ri.append(ai)
 
         # find the return point: the next step at this call's depth
         j = i + 1
@@ -423,46 +432,112 @@ class CircuitInputBuilder:
 
         if not executed:
             # depth limit / insufficient balance: no child frame ran
+            # (single-row legacy layout; not yet circuit-constrained)
+            es.exec_state = "CallNoExec"
+            ai, _warm = self.access_account(to)
+            ri.append(ai)
             ri.append(self.stack_write(call.call_id, sp + nargs - 1, 0))
             return j
 
         self.calls.append(child)
         cp = self._checkpoint()
-        if name == "CALL" and value:
-            sender = self.sdb.ensure(call.address)
-            recv = self.sdb.ensure(to)
-            ps, pr = sender.balance, recv.balance
-            sender.balance -= value
-            recv.balance += value
-            ri.append(
-                self.account(RW.WRITE, call.address, AccountField.BALANCE,
-                             sender.balance, ps, reversible=True)
+
+        def cont(tag):
+            c = ExecStep(
+                pc=step.pc, op=step.op, gas_left=step.gas,
+                gas_cost=step.gas_cost, rw_counter_start=self.rwc,
+                stack_pointer=sp, call_id=call.call_id, depth=call.depth,
+                exec_state=tag,
             )
-            ri.append(
-                self.account(RW.WRITE, to, AccountField.BALANCE,
-                             recv.balance, pr, reversible=True)
-            )
-        # child context rows (reference: CallOpGadget's callee context writes)
+            self.steps.append(c)
+            return c.rw_indices
+
+        # --- row 2: access list, balance transfer, first child ctx ------
+        ri = cont("CallB")
+        ai, _warm = self.access_account(to)
+        ri.append(ai)
+        # uniform transfer rows for every variant (zero/self transfers
+        # are no-op writes; keeps the circuit's slot layout fixed)
+        xfer = value if name == "CALL" else 0
+        recv_addr = to if name == "CALL" else call.address
+        sender = self.sdb.ensure(call.address)
+        ps = sender.balance
+        sender.balance -= xfer
+        ri.append(self.account(RW.WRITE, call.address, AccountField.BALANCE,
+                               sender.balance, ps, reversible=True))
+        recv = self.sdb.ensure(recv_addr)
+        pr = recv.balance
+        recv.balance += xfer
+        ri.append(self.account(RW.WRITE, recv_addr, AccountField.BALANCE,
+                               recv.balance, pr, reversible=True))
         for fld, v in [
             (CallContextField.CALLER_ID, call.call_id),
             (CallContextField.CALLER_ADDRESS, caddr),
             (CallContextField.CALLEE_ADDRESS, saddr),
             (CallContextField.CODE_ADDRESS, to),
+        ]:
+            ri.append(self.call_context(child.call_id, fld, v, rw=RW.WRITE))
+
+        # --- rows 3-4: remaining ctx + caller resume-state saves --------
+        resume_log = logs[j] if j < len(logs) else None
+        resume_gas = resume_log.gas if resume_log else 0
+        # child leftover L = the child's exit step's post-step gas
+        k_exit = j - 1
+        while k_exit > i and logs[k_exit].depth != call.depth + 1:
+            k_exit -= 1
+        leftover = logs[k_exit].gas - logs[k_exit].gas_cost
+        save_gas = resume_gas - leftover  # S': resume = S' + L in-circuit
+
+        ri = cont("CallC")
+        for fld, v in [
             (CallContextField.VALUE, cval),
             (CallContextField.CALL_DATA_LENGTH, len(calldata)),
             (CallContextField.IS_STATIC, int(child.is_static)),
             (CallContextField.IS_SUCCESS, int(success)),
             (CallContextField.DEPTH, child.depth),
+            (CallContextField.PROGRAM_COUNTER, step.pc + 1),
+            (CallContextField.STACK_POINTER, sp + nargs - 1),
         ]:
             ri.append(self.call_context(child.call_id, fld, v, rw=RW.WRITE))
 
+        ri = cont("CallD")
+        for fld, v in [
+            (CallContextField.GAS_LEFT, save_gas),
+            (CallContextField.CODE_HASH, call.code_hash),
+            (CallContextField.CALLER_SELF_ADDRESS, call.address),
+        ]:
+            ri.append(self.call_context(child.call_id, fld, v, rw=RW.WRITE))
+        ri.append(self.account(RW.READ, to, AccountField.CODE_HASH,
+                               child.code_hash, child.code_hash))
+
+        # --- child frame -------------------------------------------------
         end_i = self._walk(logs, i + 1, child)
         assert end_i == j, f"child frame mismatch: {end_i} != {j}"
         if not success:
             self._revert_to(cp)
-        # result push (a write on the parent's post-call stack top)
+
+        # --- restore row: pop back into the caller frame -----------------
+        rs = ExecStep(
+            pc=step.pc, op=step.op, gas_left=leftover, gas_cost=0,
+            rw_counter_start=self.rwc, stack_pointer=sp + nargs - 1,
+            call_id=child.call_id, depth=child.depth, exec_state="Restore",
+        )
+        self.steps.append(rs)
+        ri = rs.rw_indices
+        for fld, v in [
+            (CallContextField.CALLER_ID, call.call_id),
+            (CallContextField.IS_SUCCESS, int(success)),
+            (CallContextField.PROGRAM_COUNTER, step.pc + 1),
+            (CallContextField.STACK_POINTER, sp + nargs - 1),
+            (CallContextField.GAS_LEFT, save_gas),
+            (CallContextField.CODE_HASH, call.code_hash),
+            (CallContextField.CALLER_SELF_ADDRESS, call.address),
+        ]:
+            ri.append(self.call_context(child.call_id, fld, v))
+        # result push (the parent's post-call stack top)
         ri.append(self.stack_write(call.call_id, sp + nargs - 1, int(success)))
         return j
+
 
     # -- per-opcode dispatch ----------------------------------------------
     def _gen_step(self, step: GethExecStep, nxt, call: Call) -> None:

@@ -50,6 +50,8 @@ class CallContextField(IntEnum):
     STACK_POINTER = 14
     GAS_LEFT = 15
     DEPTH = 16
+    CODE_HASH = 17  # caller's code hash, saved for the frame restore
+    CALLER_SELF_ADDRESS = 18  # caller's self (storage) address, ditto
 
 
 class AccountField(IntEnum):
