@@ -109,9 +109,16 @@ def bench_msm(platform, rng):
     t0 = time.time()
     params = _setup_cached(k)
     if params.pippenger is None:
-        from zkevm_tpu.ec.pippenger import PippengerMSMT
+        if os.environ.get("ZKEVM_TPU_MSM", "") == "ps":
+            # sort+prefix-sum MSM (ec/psmsm.py): 8x fewer field muls at
+            # c=16; opt-in until its TPU compile/run profile is recorded
+            from zkevm_tpu.ec.psmsm import PsMSM
 
-        params.pippenger = PippengerMSMT(group_t.from_g1(params.g1_powers))
+            params.pippenger = PsMSM(group_t.from_g1(params.g1_powers))
+        else:
+            from zkevm_tpu.ec.pippenger import PippengerMSMT
+
+            params.pippenger = PippengerMSMT(group_t.from_g1(params.g1_powers))
     setup_s = time.time() - t0
 
     scalars = np.asarray(
