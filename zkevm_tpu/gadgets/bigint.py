@@ -208,3 +208,153 @@ class ForeignMul:
             pb = bi
         assert pb == 0
         return rv
+
+
+@dataclass
+class ForeignMulDyn:
+    """ForeignMul with the modulus read from ADVICE limb columns (the
+    ModExp precompile's per-event modulus; reference misc-precompile
+    modexp circuit). Same identity + canonicality, with q_i*m_j as
+    advice-times-advice terms and the r < m borrow chain against the
+    modulus cells (borrow-in 1 excludes r == m)."""
+
+    m: list  # NL modulus limb columns
+    a: list
+    b: list
+    q: list
+    r: list
+    carries: list
+    borrows: list
+    chunks: dict
+
+    @classmethod
+    def configure(cls, cs: ConstraintSystem, q_en: Expr,
+                  rt8: RangeTable, name: str = "fmuld") -> "ForeignMulDyn":
+        m = [cs.advice_column() for _ in range(NL)]
+        a = [cs.advice_column() for _ in range(NL)]
+        b = [cs.advice_column() for _ in range(NL)]
+        qq = [cs.advice_column() for _ in range(NL)]
+        r = [cs.advice_column() for _ in range(NL)]
+        carries = [cs.advice_column() for _ in range(2 * NL - 1)]
+        borrows = [cs.advice_column() for _ in range(NL)]
+        g = cls(m, a, b, qq, r, carries, borrows, {})
+
+        one = Const(1)
+        B2 = Const(1 << LB)
+
+        chunk_gates = []
+        for cols in (m, a, b, qq, r):
+            for col in cols:
+                nch = LB // 8
+                chs = [cs.advice_column() for _ in range(nch)]
+                g.chunks[col] = chs
+                acc = Const(0)
+                for i, ch in enumerate(reversed(chs)):
+                    acc = acc * Const(256) + ch.cur()
+                chunk_gates.append(q_en * (col.cur() - acc))
+                rt8.lookup(cs, f"{name}_u8_{col.index}",
+                           [q_en * ch.cur() for ch in chs])
+        cs.create_gate(f"{name}_limbs", chunk_gates)
+
+        SH = Const(1 << CB)
+        id_gates = []
+        prev_c = None
+        for k in range(2 * NL - 1):
+            t = Const(0)
+            for i in range(NL):
+                j = k - i
+                if 0 <= j < NL:
+                    t = t + a[i].cur() * b[j].cur()
+                    t = t - qq[i].cur() * m[j].cur()
+            if k < NL:
+                t = t - r[k].cur()
+            if prev_c is not None:
+                t = t + prev_c
+            ck = carries[k].cur() - SH
+            if k == 2 * NL - 2:
+                id_gates.append(q_en * t)
+                id_gates.append(q_en * (carries[k].cur() - SH))
+            else:
+                id_gates.append(q_en * (t - ck * B2))
+            prev_c = ck
+        cs.create_gate(f"{name}_identity", id_gates)
+        for col in carries[:-1]:
+            nch = (CB + 1 + 7) // 8
+            chs = [cs.advice_column() for _ in range(nch)]
+            g.chunks[col] = chs
+            acc = Const(0)
+            for i, ch in enumerate(reversed(chs)):
+                acc = acc * Const(256) + ch.cur()
+            cs.create_gate(f"{name}_carry_{col.index}",
+                           [q_en * (col.cur() - acc)])
+            rt8.lookup(cs, f"{name}_c8_{col.index}",
+                       [q_en * ch.cur() for ch in chs])
+
+        # r < m: m_i - r_i - b_in + b_out*2^LB is a valid limb, b_in0 = 1
+        sub_gates = []
+        prev_b = one
+        for i in range(NL):
+            bi = borrows[i].cur()
+            sub_gates.append(q_en * bi * (one - bi))
+            d = m[i].cur() - r[i].cur() - prev_b + bi * B2
+            nch = LB // 8
+            chs = [cs.advice_column() for _ in range(nch)]
+            g.chunks[borrows[i]] = chs
+            acc = Const(0)
+            for j, ch in enumerate(reversed(chs)):
+                acc = acc * Const(256) + ch.cur()
+            sub_gates.append(q_en * (d - acc))
+            rt8.lookup(cs, f"{name}_d8_{i}",
+                       [q_en * ch.cur() for ch in chs])
+            prev_b = bi
+        sub_gates.append(q_en * borrows[NL - 1].cur())
+        cs.create_gate(f"{name}_canon", sub_gates)
+        return g
+
+    def assign_row(self, asg: Assignment, row: int, av: int, bv: int,
+                   mv: int) -> int:
+        """Fill one row for a*b mod mv (mv >= 1); returns r."""
+        prod = av * bv
+        qv, rv = divmod(prod, mv)
+        vals = {tuple(self.m): mv, tuple(self.a): av, tuple(self.b): bv,
+                tuple(self.q): qv, tuple(self.r): rv}
+        for cols, v in vals.items():
+            for i, col in enumerate(cols):
+                limb = (v >> (LB * i)) & ((1 << LB) - 1)
+                asg.set_int(col, row, limb)
+                for j, ch in enumerate(self.chunks[col]):
+                    asg.set_int(ch, row, (limb >> (8 * j)) & 0xFF)
+        a_l, b_l = to_limbs(av), to_limbs(bv)
+        q_l, r_l = to_limbs(qv), to_limbs(rv)
+        m_l = to_limbs(mv)
+        c = 0
+        for k in range(2 * NL - 1):
+            t = c
+            for i in range(NL):
+                j = k - i
+                if 0 <= j < NL:
+                    t += a_l[i] * b_l[j] - q_l[i] * m_l[j]
+            if k < NL:
+                t -= r_l[k]
+            if k < 2 * NL - 2:
+                assert t % (1 << LB) == 0, (k, t)
+                c = t >> LB
+                cell = c + (1 << CB)
+                assert 0 <= cell < (1 << (CB + 1)), (k, c)
+                asg.set_int(self.carries[k], row, cell)
+                for j, ch in enumerate(self.chunks[self.carries[k]]):
+                    asg.set_int(ch, row, (cell >> (8 * j)) & 0xFF)
+            else:
+                assert t == 0, t
+                asg.set_int(self.carries[k], row, 1 << CB)
+        pb = 1
+        for i in range(NL):
+            d = m_l[i] - r_l[i] - pb
+            bi = 1 if d < 0 else 0
+            d += bi << LB
+            asg.set_int(self.borrows[i], row, bi)
+            for j, ch in enumerate(self.chunks[self.borrows[i]]):
+                asg.set_int(ch, row, (d >> (8 * j)) & 0xFF)
+            pb = bi
+        assert pb == 0, "r >= m"
+        return rv
