@@ -96,10 +96,16 @@ class StateConfig:
     q_slast: Column  # fixed: last region row
     cnt: Column  # running count of real (non-padding) rows
     count_surface: list  # (enabled, cnt) exprs for the EVM's end-rwc bind
+    init_lo: Column = None  # group-initial value (the MPT v_old)
+    init_hi: Column = None
+    root: Column = None  # running storage-trie root
+    gl: Column = None  # storage-group-last indicator (MPT lookup enable)
+    roots_surface: list = None  # [(qf, root), (q_slast, root)]
 
 
 def configure(
-    cs: ConstraintSystem, limb_bits: int = 12, range_table: RangeTable | None = None
+    cs: ConstraintSystem, limb_bits: int = 12,
+    range_table: RangeTable | None = None, mpt_table=None,
 ) -> StateConfig:
     B = limb_bits
     spans = {}
@@ -140,6 +146,10 @@ def configure(
     VLANES = _nlanes(128, B)
     val_limbs = cs.advice_group("st_val", 2 * VLANES)
     rt = range_table or RangeTable.configure(cs, B)
+    init_lo = init_hi = root = gl = None
+    if mpt_table is not None:
+        init_lo, init_hi = cs.advice_column(), cs.advice_column()
+        root, gl = cs.advice_column(), cs.advice_column()
 
     one = Const(1)
     qa, qo, qf = q_active.cur(), q_ord.cur(), q_first.cur()
@@ -227,6 +237,39 @@ def configure(
         ],
     )
 
+    # -- MptTable connection (state_circuit.rs mpt lookups / scroll's
+    # MptUpdates): each STORAGE group's last row proves the slot's
+    # (initial -> final) transition against one MPT update row, and the
+    # running `root` column chains update roots across the region so
+    # (root@first, root@last) are the block's storage state roots -------
+    roots_surface = None
+    if mpt_table is not None:
+        ind_sto = tag_bits.value_equals(int(Target.STORAGE))
+        nxt_new_group = pfx.columns[rwc_start - 1].rot(1)
+        cs.create_gate("state_mpt", [
+            # group-initial value threading
+            (qo * new_group + qf) * (init_lo.cur() - value_prev_lo.cur()),
+            (qo * new_group + qf) * (init_hi.cur() - value_prev_hi.cur()),
+            qo * same * (init_lo.cur() - init_lo.rot(-1)),
+            qo * same * (init_hi.cur() - init_hi.rot(-1)),
+            # gl = storage row whose successor opens a new group
+            qa * (gl.cur() - ind_sto * nxt_new_group),
+            # the root changes only across storage-group-last rows
+            qo * (one - gl.rot(-1)) * (root.cur() - root.rot(-1)),
+        ])
+        mpt_table.lookup(cs, "state_mpt_update", [
+            gl.cur(),
+            gl.cur() * address.cur(),
+            gl.cur() * storage_key.cur(),
+            gl.cur() * init_lo.cur(),
+            gl.cur() * init_hi.cur(),
+            gl.cur() * value_lo.cur(),
+            gl.cur() * value_hi.cur(),
+            gl.cur() * root.cur(),
+            gl.cur() * root.rot(1),
+        ])
+        roots_surface = [(qf, root.cur()), (q_slast.cur(), root.cur())]
+
     # -- rw-set completeness: count the real rows ------------------------
     # real rows are a PREFIX (padding sorts last); cnt accumulates them
     # and the last region row exposes the total so the EVM circuit can
@@ -245,6 +288,7 @@ def configure(
         field_tag, storage_key, value_lo, value_hi, value_prev_lo,
         value_prev_hi, tag_bits, key, pfx, lane_mask, val_limbs, rt,
         LANES, spans, q_slast, cnt, count_surface,
+        init_lo, init_hi, root, gl, roots_surface,
     )
 
 
@@ -275,9 +319,15 @@ def assign(
     n: int,
     rows: list[RwRow],
     asg: Assignment | None = None,
+    trie=None,
+    updates_out: list | None = None,
 ) -> Assignment:
     """rows: RW ops in ANY order; sorted + padded here (the circuit proves
-    the ordering). Region size = usable rows."""
+    the ordering). Region size = usable rows. With an MptTable connection
+    configured, pass the PRE-STATE storage ZkTrie: storage-group
+    transitions are applied to it in row order and the resulting
+    MptUpdate records are appended to `updates_out` (feed them to
+    mpt_circuit.assign)."""
     asg = asg if asg is not None else Assignment(cs, n)
     B = cfg.limb_bits
     cfg.range_table.load(asg)
@@ -336,10 +386,59 @@ def assign(
     for r in range(m):
         asg.set_int(cfg.value_lo, r, vlo[r])
         asg.set_int(cfg.value_hi, r, vhi[r])
-    for r in range(1, m):
-        # value_prev on same-group rows must equal the previous row's value
+    for r in range(m):
+        # value_prev on same-group rows must equal the previous row's
+        # value; row 0's cell is only read by the MPT init binding
         asg.set_int(cfg.value_prev_lo, r, int(vprevs[r]) & M128)
         asg.set_int(cfg.value_prev_hi, r, int(vprevs[r]) >> 128)
+    if cfg.gl is not None:
+        from zkevm_tpu.circuits.mpt_circuit import apply_update
+
+        assert trie is not None, "MPT-connected state circuit needs the trie"
+        # group boundaries: next row differs in (tag,id,addr,field,key)
+        def grp_key(r):
+            return RwRow.sort_key(r)[:5]
+
+        upds = []
+        i = 0
+        while i < len(srows):
+            j = i
+            while (j + 1 < len(srows)
+                   and grp_key(srows[j + 1]) == grp_key(srows[i])):
+                j += 1
+            if srows[i].tag == Target.STORAGE:
+                last = srows[j]
+                u = apply_update(trie, last.address, last.storage_key,
+                                 int(last.value) & ((1 << 128) - 1),
+                                 int(last.value) >> 128)
+                upds.append(u)
+                asg.set_int(cfg.gl, j, 1)
+            i = j + 1
+        if updates_out is not None:
+            updates_out.extend(upds)
+        # init columns: the group's first value_prev threaded down
+        gi = 0
+        cur_init = 0
+        for r in range(m):
+            if r == 0 or (r < len(srows)
+                          and grp_key(srows[r]) != grp_key(srows[r - 1])) \
+                    or (r >= len(srows) and r == len(srows)):
+                cur_init = int(vprevs[r])
+            asg.set_int(cfg.init_lo, r, cur_init & M128)
+            asg.set_int(cfg.init_hi, r, cur_init >> 128)
+        # root chain: starts at the pre-state root, advances after each
+        # storage-group-last row
+        rootv = upds[0].root_old if upds else trie.root
+        k = 0
+        for r in range(m):
+            asg.set_int(cfg.root, r, rootv)
+            if k < len(upds) and r < len(srows) \
+                    and srows[r].tag == Target.STORAGE:
+                # advance when this row is the group-last (gl set above)
+                if int(FR.decode(asg.cols[cfg.gl][r])) == 1:
+                    rootv = upds[k].root_new
+                    k += 1
+
     VLANES = _nlanes(128, B)
     vlimbs = np.zeros((m, 2 * VLANES), dtype=np.uint64)
     _limbs_of(None, 0, VLANES, B, vlimbs, objcol=vlo)
