@@ -346,6 +346,7 @@ CODE4 = bytes([
     0x61, 0xAA, 0xAA, 0x31,
     0x61, 0xBB, 0xBB, 0x3F,
     0x61, 0xCC, 0xCC, 0x31,
+    0x3D, 0x50,  # RETURNDATASIZE (0 before any call); POP
     0x00,
 ])
 

@@ -135,6 +135,7 @@ class ES(IntEnum):
     RESTORE = 42  # frame pop: 7 ctx reads + the result push
     RETURN = 43  # execution/return_revert.rs (frame exit side)
     REVERT = 44
+    RETURNDATASIZE = 45  # execution/returndatasize.rs
 
 
 NSTATES = len(ES)
@@ -184,6 +185,7 @@ OP_STATES = {
     ES.CALL4: (None, 0, 0, 4),
     ES.RETURN: (0xF3, 0, 2, 2),
     ES.REVERT: (0xFD, 0, 2, 2),
+    ES.RETURNDATASIZE: (0x3D, 2, -1, 2),
 }
 STATIC_GAS_STATES = [
     s for s in OP_STATES
@@ -1279,6 +1281,7 @@ def configure(
         (ES.CALLVALUE, CallContextField.VALUE),
         (ES.ADDRESS, CallContextField.CALLEE_ADDRESS),
         (ES.CALLDATASIZE, CallContextField.CALL_DATA_LENGTH),
+        (ES.RETURNDATASIZE, CallContextField.RETURN_DATA_LENGTH),
     ]:
         use(s_ctx, 0, [ZERO, Const(CC), cid.cur(), ZERO,
                        Const(int(fld)), ZERO, *wc(0), *wc(0)])
@@ -1385,7 +1388,8 @@ def _state_of(step: ExecStep) -> ES:
          0x08: ES.ADDMOD, 0x09: ES.MULMOD, 0x0A: ES.EXP,
          0x1A: ES.BYTE, 0x0B: ES.SIGNEXTEND, 0x1D: ES.SAR,
          0xF1: ES.CALL1, 0xF2: ES.CALL1, 0xF4: ES.CALL1, 0xFA: ES.CALL1,
-         0xF3: ES.RETURN, 0xFD: ES.REVERT}
+         0xF3: ES.RETURN, 0xFD: ES.REVERT,
+         0x3D: ES.RETURNDATASIZE}
     if op not in m:
         raise NotImplementedError(f"opcode {op:#x} not in EVM circuit scope")
     return m[op]
@@ -1580,7 +1584,8 @@ def assign(
                 asg.set_int(cfg.ltg.lt, r, lt)
                 for i, c in enumerate(cfg.ltg.limbs):
                     asg.set_int(c, r, (diff >> (8 * i)) & 0xFF)
-        elif st in (ES.CALLER, ES.CALLVALUE, ES.ADDRESS, ES.CALLDATASIZE):
+        elif st in (ES.CALLER, ES.CALLVALUE, ES.ADDRESS, ES.CALLDATASIZE,
+                    ES.RETURNDATASIZE):
             put_word(0, vals[0].value)
             put_pcell(1, _group_prev(rws, vals[1]))
         elif st == ES.MUL_DIV_MOD:

@@ -80,7 +80,8 @@ K_PT = secp.mul(secp.G, 0xDEADBEEF)
 K2_PT = secp.mul(secp.G, 0x5EED5EED)
 
 PRE = 10  # region rows before the ladder
-POST = 6  # rows after it
+POST = 9  # rows after it (incl. the qx/qy/Ry canonicalization rows)
+EXT = 65  # address-extension rows: 64 pubkey-byte RLC rows + 1 addr row
 BLK = 8
 SEGS = (88, 88, 80)  # ladder bits per limb segment, limbs 0,1,2 (LSB..)
 
@@ -91,8 +92,8 @@ def _corr(nbits: int):
     return (kx, P - ky)
 
 
-def region_rows(nbits: int) -> int:
-    return PRE + BLK * nbits + POST
+def region_rows(nbits: int, addr: bool = False) -> int:
+    return PRE + BLK * nbits + POST + (EXT if addr else 0)
 
 
 @dataclass
@@ -128,6 +129,16 @@ class SigConfig:
     sf: list  # 3 slot wrap columns
     sc: list  # 3 x (ca0, cb0, ca1, cb1) carry columns
     table: SigTable
+    # ecrecover address extension (present iff keccak_table was given)
+    q_rlc: Column = None  # the 64 pubkey-byte rows
+    q_rlc_first: Column = None
+    q_addr: Column = None  # the address/keccak-lookup row
+    pkb: Column = None  # pubkey byte stream (big-endian Qx || Qy)
+    acc: Column = None  # phase-1 keccak_input RLC accumulator
+    vbit: Column = None  # recovery parity (R.y mod 2), on the Ry row
+    hb: Column = None  # parity split witness (byte0 = 2*hb + v)
+    db: list = None  # 16 digest-hi byte cells + [16] = the digest-lo cell
+    addr_table: "SigTable" = None  # (en, z, r, s limbs, v, alo, ahi32)
 
 
 def _slot(polys, sel: Expr, terms, out, m_limbs, f: Column, cq: list,
@@ -174,7 +185,7 @@ CHAINED = ("zl", "rsl", "ssl", "qx", "qy", "tx2", "ty2", "u1l", "u2l")
 
 
 def configure(cs: ConstraintSystem, rt8: RangeTable, nbits: int = 256,
-              ) -> SigConfig:
+              challenges=None, keccak_table=None) -> SigConfig:
     assert nbits == sum(SEGS), "ladder segmentation assumes 256-bit scalars"
     q_start = cs.fixed_column()
     q_pos = [cs.fixed_column() for _ in range(PRE + POST)]
@@ -394,6 +405,9 @@ def configure(cs: ConstraintSystem, rt8: RangeTable, nbits: int = 256,
     _slot(polys, f3, [(1, _lim(fp.r, -1)), (-1, _lim(X, -3)), (-1, cx),
                       (2, plc)],
           _lim(x3c), pl, sf[1], sc[1], fmax=2)
+    # R.y = lam_f*(X - Rx) - Y, materialized for the parity row
+    _slot(polys, f3, [(1, _lim(fp.r)), (-1, _lim(Y, -3)), (1, plc)],
+          _lim(st["y3c"]), pl, sf[2], sc[2], fmax=1)
     # f4 (FP row): Rx * 1 = q*p + r — canonicalizes R.x below p
     # (the x3c value may carry a +p offset; a mod-n comparison on the
     # offset representative would be wrong)
@@ -410,6 +424,78 @@ def configure(cs: ConstraintSystem, rt8: RangeTable, nbits: int = 256,
         polys.append(f5 * (fn.b[i].cur() - o1))
         polys.append(f5 * (fn.r[i].cur() - st["rsl"][i].cur()))
 
+    # -- ecrecover address extension --------------------------------------
+    # canon rows f6/f7/f8: qx*1, qy*1, Ry*1 with r bound back (pins the
+    # pubkey coordinates and R.y canonical below p); 64 pubkey-byte RLC
+    # rows; the addr row carries the keccak lookup + digest split
+    f6, f7, f8 = (q_pos[PRE + i].cur() for i in (6, 7, 8))
+    for i in range(NL):
+        o1 = one if i == 0 else Const(0)
+        polys.append(f6 * (fp.a[i].cur() - st["qx"][i].cur()))
+        polys.append(f6 * (fp.b[i].cur() - o1))
+        polys.append(f6 * (fp.r[i].cur() - st["qx"][i].cur()))
+        polys.append(f7 * (fp.a[i].cur() - st["qy"][i].cur()))
+        polys.append(f7 * (fp.b[i].cur() - o1))
+        polys.append(f7 * (fp.r[i].cur() - st["qy"][i].cur()))
+        polys.append(f8 * (fp.a[i].cur() - st["y3c"][i].rot(-5)))
+        polys.append(f8 * (fp.b[i].cur() - o1))
+    q_rlc = cs.fixed_column()
+    q_rlc_first = cs.fixed_column()
+    q_addr = cs.fixed_column()
+    pkb = cs.advice_column()
+    acc_c = cs.advice_column(phase=1)
+    vbit = cs.advice_column()
+    hb = cs.advice_column()
+    db = [cs.advice_column() for _ in range(16)]
+    addr_table = None
+    # R.y parity: canonical Ry's low byte = 2*hb + v
+    ry_b0 = fp.chunks[fp.r[0]][0]
+    polys.append(f8 * vbit.cur() * (one - vbit.cur()))
+    polys.append(f8 * (ry_b0.cur() - Const(2) * hb.cur() - vbit.cur()))
+    rt8.lookup(cs, "sig_parity_rng", [f8 * Const(2) * hb.cur()])
+    if keccak_table is not None:
+        assert challenges is not None
+        rk = challenges.keccak_input.expr()
+        qr, qrf, qad = q_rlc.cur(), q_rlc_first.cur(), q_addr.cur()
+        polys.append(qrf * (acc_c.cur() - pkb.cur()))
+        polys.append((qr - qrf) * (acc_c.cur() - acc_c.rot(-1) * rk
+                                   - pkb.cur()))
+        rt8.lookup(cs, "sig_pkb_rng", [qr * pkb.cur()])
+        rt8.lookup(cs, "sig_db_rng", [qad * c.cur() for c in db])
+        # byte strip == the canonical pubkey coordinates (big-endian);
+        # single field equation per coordinate is exact: both sides are
+        # integers < 2^256 (bytes ranged, qx/qy canonicalized at f6/f7)
+        qx_sum = Const(0)
+        qy_sum = Const(0)
+        for j in range(32):
+            qx_sum = qx_sum + Const(1 << (8 * (31 - j))) * pkb.rot(j - 64)
+            qy_sum = qy_sum + Const(1 << (8 * (31 - j))) * pkb.rot(j - 32)
+        qx_full = Const(0)
+        qy_full = Const(0)
+        for i in range(NL):
+            qx_full = qx_full + Const(1 << (88 * i)) * st["qx"][i].cur()
+            qy_full = qy_full + Const(1 << (88 * i)) * st["qy"][i].cur()
+        polys.append(qad * (qx_sum - qx_full))
+        polys.append(qad * (qy_sum - qy_full))
+        # digest-hi split + the keccak lookup
+        dhi = Const(0)
+        for j, c in enumerate(db):
+            dhi = dhi + Const(1 << (8 * j)) * c.cur()
+        ahi32 = Const(0)
+        for j in range(4):
+            ahi32 = ahi32 + Const(1 << (8 * j)) * db[j].cur()
+        dlo = cs.advice_column()
+        db = db + [dlo]
+        keccak_table.lookup_word(
+            cs, "sig_pk_keccak", qad,
+            acc_c.rot(-1), Const(64), dlo.cur(), dhi,
+        )
+        addr_table = SigTable(
+            [qad]
+            + [qad * c.cur() for nm in ("zl", "rsl", "ssl")
+               for c in st[nm]]
+            + [qad * vbit.rot(-65), qad * dlo.cur(), qad * ahi32]
+        )
     cs.create_gate("sig_region", polys)
 
     table = SigTable(
@@ -420,6 +506,7 @@ def configure(cs: ConstraintSystem, rt8: RangeTable, nbits: int = 256,
     return SigConfig(
         nbits, q_start, q_pos, q_b, q_first_blk, q_seg, q_chain, q_fp,
         q_fn, fp, fn, st, bit1, bit2, acc1, acc2, sf, sc, table,
+        q_rlc, q_rlc_first, q_addr, pkb, acc_c, vbit, hb, db, addr_table,
     )
 
 
@@ -461,11 +548,15 @@ def assign(
     sigs: list,
     asg: Assignment | None = None,
     start: int = 0,
-) -> Assignment:
-    """sigs: list of (z, (qx, qy), r, s) VALID ECDSA tuples."""
+) -> "SigWitness":
+    """sigs: list of (z, (qx, qy), r, s) VALID ECDSA tuples. Returns a
+    SigWitness whose fill_phase1 computes the pubkey-byte RLC cells when
+    the ecrecover address extension is configured."""
     asg = asg if asg is not None else Assignment(cs, n)
     nbits = cfg.nbits
-    R = region_rows(nbits)
+    with_addr = cfg.addr_table is not None
+    R = region_rows(nbits, with_addr)
+    regions = []
     pinv = lambda v: pow(v, P - 2, P)
     pl7 = [7, 0, 0]
     plc = to_limbs(P)
@@ -494,7 +585,7 @@ def assign(
         asg.set_int(cfg.q_start, base, 1)
         for i in range(PRE):
             asg.set_int(cfg.q_pos[i], base + i, 1)
-        for i in range(POST):
+        for i in range(POST if with_addr else 6):
             asg.set_int(cfg.q_pos[PRE + i], base + PRE + BLK * nbits + i, 1)
         for j in range(nbits):
             for k_ in range(BLK):
@@ -506,11 +597,19 @@ def assign(
         # q_fp / q_fn coverage
         for i in range(3):
             asg.set_int(cfg.q_fn, base + i, 1)
+        post0 = base + PRE + BLK * nbits
         for i in range(3, PRE):
             asg.set_int(cfg.q_fp, base + i, 1)
-        for rr in range(PRE, PRE + BLK * nbits + POST - 1):
-            asg.set_int(cfg.q_fp, base + rr, 1)
-        asg.set_int(cfg.q_fn, base + R - 1, 1)
+        for rr in range(base + PRE, post0 + 5):
+            asg.set_int(cfg.q_fp, rr, 1)
+        asg.set_int(cfg.q_fn, post0 + 5, 1)
+        if with_addr:
+            for i in (6, 7, 8):
+                asg.set_int(cfg.q_fp, post0 + i, 1)
+            for j in range(64):
+                asg.set_int(cfg.q_rlc, post0 + 9 + j, 1)
+            asg.set_int(cfg.q_rlc_first, post0 + 9, 1)
+            asg.set_int(cfg.q_addr, post0 + 73, 1)
 
         # -- scalar rows --------------------------------------------------
         cfg.fn.assign_row(asg, base + 0, sv, w)
@@ -653,18 +752,62 @@ def assign(
         cfg.fp.assign_row(asg, f0 + 1, dxf, pinv(dxf))
         lam2f = cfg.fp.assign_row(asg, f0 + 2, lam_f, lam_f)
         bvf = (2 * Xv + cxv - lam2f) % P
-        cfg.fp.assign_row(asg, f0 + 3, lam_f, bvf)
+        uf = cfg.fp.assign_row(asg, f0 + 3, lam_f, bvf)
         Rx = (lam2f - Xv - cxv) % P
+        Ry = (uf - Yv) % P
         _slot_assign(asg, cfg, 0, f0 + 3,
                      [(2, to_limbs(Xv)), (1, to_limbs(cxv)),
                       (-1, to_limbs(lam2f)), (1, plc)], to_limbs(bvf), P)
         _slot_assign(asg, cfg, 1, f0 + 3,
                      [(1, to_limbs(lam2f)), (-1, to_limbs(Xv)),
                       (-1, to_limbs(cxv)), (2, plc)], to_limbs(Rx), P)
+        _slot_assign(asg, cfg, 2, f0 + 3,
+                     [(1, to_limbs(uf)), (-1, to_limbs(Yv)), (1, plc)],
+                     to_limbs(Ry), P)
         _setl(asg, cfg.st["x3c"], f0 + 3, to_limbs(Rx))
+        _setl(asg, cfg.st["y3c"], f0 + 3, to_limbs(Ry))
         rxc = cfg.fp.assign_row(asg, f0 + 4, Rx, 1)
         rr_ = cfg.fn.assign_row(asg, f0 + 5, rxc, 1)
         assert rr_ == rv, "R.x mod n != r (signature should be valid)"
+        if with_addr:
+            from zkevm_tpu.hash import keccak256
+
+            cfg.fp.assign_row(asg, f0 + 6, qxv, 1)
+            cfg.fp.assign_row(asg, f0 + 7, qyv, 1)
+            cfg.fp.assign_row(asg, f0 + 8, Ry, 1)
+            b0_ = Ry & 0xFF
+            asg.set_int(cfg.vbit, f0 + 8, b0_ & 1)
+            asg.set_int(cfg.hb, f0 + 8, b0_ >> 1)
+            pk = qxv.to_bytes(32, "big") + qyv.to_bytes(32, "big")
+            for j, bch in enumerate(pk):
+                asg.set_int(cfg.pkb, f0 + 9 + j, bch)
+            digest = int.from_bytes(keccak256(pk), "big")
+            arow = f0 + 73
+            dhi = digest >> 128
+            for j in range(16):
+                asg.set_int(cfg.db[j], arow, (dhi >> (8 * j)) & 0xFF)
+            asg.set_int(cfg.db[16], arow, digest & ((1 << 128) - 1))
+            regions.append((base, pk))
         base += R
     assert base - start <= cs.usable_rows(n) - 1
-    return asg
+    return SigWitness(asg, cfg, regions)
+
+
+@dataclass
+class SigWitness:
+    """Phase split: the pubkey-byte RLC cells depend on the
+    keccak_input challenge (same convention as BytecodeWitness)."""
+
+    asg: Assignment
+    cfg: SigConfig
+    regions: list  # (region base row, 64 pubkey bytes)
+
+    def fill_phase1(self, r_keccak: int) -> None:
+        cfg = self.cfg
+        nb = cfg.nbits
+        for base, pk in self.regions:
+            row = base + PRE + BLK * nb + 9
+            acc = 0
+            for j, bch in enumerate(pk):
+                acc = (acc * r_keccak + bch) % FR_MOD
+                self.asg.set_int(cfg.acc, row + j, acc)
