@@ -36,8 +36,16 @@ Known v1 gaps (documented scope, mirrors the reference's split):
   (rlp_circuit_fsm.rs) — the streams here are witness bytes whose hashes
   are proven; the cross-check lands with that circuit;
 - ECDSA (v, r, s) verification belongs to the Sig circuit
-  (sig_circuit/ecdsa.rs) — r/s are carried as field rows, host-verified
-  by the witness builder.
+  (sig_circuit/ecdsa.rs). When a Sig circuit AddrTable is passed to
+  configure(), the bridge below binds every real tx slot to one proven
+  ecrecover row: a 128-byte strip (sign-hash / z / r / s, big-endian,
+  u8-ranged) composes BOTH the 128-bit field-row halves and the
+  88-bit-limb lookup tuple from the same byte cells (exact, no mod-p
+  wrap), an in-circuit mod-n reduction ties z = sign_hash mod n
+  (quotient/borrow booleans), the recovery parity is derived from
+  SIG_V = 2*chain_id + 35 + parity (EIP-155), and CALLER_ADDRESS is
+  equated with the keccak(pubkey) address halves through the lookup —
+  the reference's tx_circuit.rs sig-table link (tx_circuit.rs:332 area).
 """
 
 from __future__ import annotations
@@ -57,6 +65,10 @@ from zkevm_tpu.plonk.expr import Expr  # noqa: F401 (type refs in docs)
 
 FR = fr_spec()
 M128 = (1 << 128) - 1
+
+# secp256k1 group order (the Sig circuit's scalar modulus), half-split
+SECP_N = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
+N_LO, N_HI = SECP_N & M128, SECP_N >> 128
 
 
 class TxFieldTag(IntEnum):
@@ -141,6 +153,11 @@ class TxConfig:
     rt8: RangeTable
     challenges: Challenges
     table: TxTable
+    # ecrecover bridge (present iff an AddrTable was given)
+    addr_table: object = None
+    q_sig: Column = None  # block-base row: the AddrTable lookup row
+    q_sb: Column = None  # rows 0..127 of each block: the sig byte strip
+    sb: Column = None  # hash(32) | z(32) | r(32) | s(32), big-endian
 
     @property
     def block(self) -> int:
@@ -155,6 +172,7 @@ def configure(
     cd_cap: int = 64,
     rlp_cap: int = 160,
     rt8: RangeTable | None = None,
+    addr_table=None,
 ) -> TxConfig:
     q_blk = cs.fixed_column()
     q_blk_gt0 = cs.fixed_column()
@@ -271,6 +289,72 @@ def configure(
         q_cd0.cur() * icr * callee_lo,
     ])
 
+    # -- ecrecover bridge: TxTable <-> Sig circuit AddrTable --------------
+    # (reference: the SigTable lookup wiring in tx_circuit.rs; here the
+    # full statement is: CALLER_ADDRESS = ecrecover(sign_hash, v, r, s))
+    q_sig = q_sb = sb = None
+    if addr_table is not None:
+        block_rows = NFIELDS + cd_cap + 2 * rlp_cap
+        assert block_rows >= 128, "tx block too small for the sig strip"
+        q_sig = cs.fixed_column()
+        q_sb = cs.fixed_column()
+        sb = cs.advice_column()
+        rt8.lookup(cs, "tx_sb_u8", [q_sb.cur() * sb.cur()])
+        g = q_sig.cur() * real
+
+        def half_sums(start: int):
+            lo, hi = Const(0), Const(0)
+            for j in range(16, 32):
+                lo = lo + Const(1 << (8 * (31 - j))) * sb.rot(start + j)
+            for j in range(16):
+                hi = hi + Const(1 << (8 * (15 - j))) * sb.rot(start + j)
+            return lo, hi
+
+        def limb_sums(start: int):
+            out = []
+            for lob, hib, sh in ((21, 32, 0), (10, 21, 88), (0, 10, 176)):
+                acc = Const(0)
+                for j in range(lob, hib):
+                    acc = acc + Const(1 << (8 * (31 - j) - sh)) * sb.rot(start + j)
+                out.append(acc)
+            return out
+
+        hlo, hhi = half_sums(0)
+        zlo, zhi = half_sums(32)
+        rlo, rhi = half_sums(64)
+        slo, shi = half_sums(96)
+        fv = lambda t: value_lo.rot(ROW[t])
+        fvh = lambda t: value_hi.rot(ROW[t])
+        qb, bb, vp = inv.cur(), inv.rot(1), inv.rot(2)
+        cs.create_gate("tx_sig_bridge", [
+            # byte strip == the field-row halves (exact: bytes are u8)
+            g * (hlo - fv(TxFieldTag.TX_SIGN_HASH)),
+            g * (hhi - fvh(TxFieldTag.TX_SIGN_HASH)),
+            g * (rlo - fv(TxFieldTag.SIG_R)),
+            g * (rhi - fvh(TxFieldTag.SIG_R)),
+            g * (slo - fv(TxFieldTag.SIG_S)),
+            g * (shi - fvh(TxFieldTag.SIG_S)),
+            # z = sign_hash mod n: hash = q*n + z with borrow chaining
+            # (q, b boolean; hash < 2^256 < 2n so q is a single bit)
+            g * qb * (one - qb),
+            g * bb * (one - bb),
+            g * (zlo - hlo + qb * Const(N_LO) - bb * Const(1 << 128)),
+            g * (zhi - hhi + qb * Const(N_HI) + bb),
+            # EIP-155 recovery parity: v = 2*chain_id + 35 + parity
+            g * vp * (one - vp),
+            g * (fv(TxFieldTag.SIG_V) - Const(2) * fv(TxFieldTag.CHAIN_ID)
+                 - Const(35) - vp),
+            g * fvh(TxFieldTag.SIG_V),
+            g * fvh(TxFieldTag.CHAIN_ID),
+        ])
+        addr_table.lookup(cs, "tx_sig_addr", [g]
+            + [g * e for e in limb_sums(32)]
+            + [g * e for e in limb_sums(64)]
+            + [g * e for e in limb_sums(96)]
+            + [g * vp,
+               g * fv(TxFieldTag.CALLER_ADDRESS),
+               g * fvh(TxFieldTag.CALLER_ADDRESS)])
+
     table = TxTable([
         q_tt.cur() * real,
         q_tt.cur() * real * tx_id.cur(),
@@ -285,6 +369,7 @@ def configure(
         q_cd0, q_cd_gt0, q_cd_last, q_cd, q_rlp0, q_rlp_gt0, q_rlp,
         q_rlpu_last, q_rlps_last, is_real, value_lo, value_hi, is_act,
         aux, gc_acc, inv, rlc, rt8, challenges, table,
+        addr_table, q_sig, q_sb, sb,
     )
 
 
@@ -320,6 +405,19 @@ class TxWitness:
             }
 
         return cb
+
+
+def sig_inputs(txs: list[Transaction]) -> list:
+    """(z, pubkey, r, s) tuples for the Sig circuit regions, one per tx
+    (the Sig side reduces z mod n itself; pubkey via host ecrecover)."""
+    from zkevm_tpu.ec import secp256k1 as s256
+
+    out = []
+    for tx in txs:
+        h = int.from_bytes(tx.sign_hash(), "big")
+        pub = s256.ecrecover(h, tx.sig_parity, tx.r, tx.s)
+        out.append((h, pub, tx.r, tx.s))
+    return out
 
 
 def keccak_messages(txs: list[Transaction]) -> list[bytes]:
@@ -376,6 +474,9 @@ def assign(
                 asg.set_int(cfg.tx_id, base + r0 + i, tid)
         asg.set_int(cfg.q_rlpu_last, base + NFIELDS + cfg.cd_cap + cfg.rlp_cap - 1, 1)
         asg.set_int(cfg.q_rlps_last, base + B - 1, 1)
+        if cfg.addr_table is not None:
+            asg.set_int(cfg.q_sig, base, 1)
+            asg.cols[cfg.q_sb][base : base + 128] = one
 
         if slot >= len(txs):
             continue  # unused slot: is_real = 0, all advice zero
@@ -417,6 +518,21 @@ def assign(
                     asg.set_int(cfg.inv, row, pow(b, FR_MOD - 2, FR_MOD))
             asg.set_int(cfg.aux, row, len(tx.data))
             asg.set_int(cfg.gc_acc, row, gacc)
+
+        # ecrecover bridge strip + mod-n reduction witnesses
+        if cfg.addr_table is not None:
+            h = int.from_bytes(tx.sign_hash(), "big")
+            q = h // SECP_N
+            z = h % SECP_N
+            assert q in (0, 1)
+            b = (((z & M128) - (h & M128) + q * N_LO) >> 128) & 1
+            strip = (h.to_bytes(32, "big") + z.to_bytes(32, "big")
+                     + tx.r.to_bytes(32, "big") + tx.s.to_bytes(32, "big"))
+            for i, bt in enumerate(strip):
+                asg.set_int(cfg.sb, base + i, bt)
+            asg.set_int(cfg.inv, base, q)
+            asg.set_int(cfg.inv, base + 1, b)
+            asg.set_int(cfg.inv, base + 2, tx.sig_parity)
 
         # rlp streams
         for si, data in enumerate([tx.rlp_unsigned(), tx.rlp_signed()]):
