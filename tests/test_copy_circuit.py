@@ -134,3 +134,94 @@ def test_copy_pad_tamper_rejected(circuit, builder):
     asg.set_int(cp_cfg.byte, row, (cur + 3) % 256)
     fails = MockProver(cs, asg).verify()
     assert fails, "pad-byte tamper accepted"
+
+
+def test_copy_forged_is_pad_rejected(circuit, builder):
+    """v2 soundness: marking an in-range row as padding (skipping its
+    source binding) must break the pad-edge/maddr structure."""
+    cs, _, _, cp_cfg = circuit
+    asg = _assign(circuit, builder)
+    pad = asg.cols[cp_cfg.is_pad]
+    ev = asg.cols[cp_cfg.is_ev]
+    row = next(r for r in range(N) if ev[r].any() and not pad[r].any())
+    asg.set_int(cp_cfg.is_pad, row, 1)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged is_pad accepted"
+
+
+def test_copy_forged_length_rejected(circuit, builder):
+    """The event-end binding pins the surfaced length to the non-pad
+    row count."""
+    cs, _, _, cp_cfg = circuit
+    asg = _assign(circuit, builder)
+    lst = asg.cols[cp_cfg.lst]
+    row = next(r for r in range(N) if lst[r].any())
+    cur = FR.decode(asg.cols[cp_cfg.alen][row])
+    for r in range(row + 1):  # alen is event-constant; shift the event's
+        if asg.cols[cp_cfg.is_ev][r].any():
+            asg.set_int(cp_cfg.alen, r, cur + 1)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged copy length accepted"
+
+
+# -- SHA3 digest binding through the KeccakTable --------------------------
+R_WORD, R_KECCAK = 0x100, 0x107
+CHALLENGES = [R_WORD, R_KECCAK, 0x10E]
+
+
+@pytest.fixture(scope="module")
+def sha3_circuit():
+    from zkevm_tpu.circuits import keccak_table as kt
+    from zkevm_tpu.circuits.tables import Challenges
+
+    cs = ConstraintSystem()
+    ch = Challenges.configure(cs)
+    ktcfg = kt.configure(cs, ch)
+    st_cfg = st.configure(cs, limb_bits=10)
+    bc_cfg = bc.configure(cs)
+    cp_cfg = cp.configure(
+        cs, RwTable.from_state(st_cfg), BytecodeTable.from_config(bc_cfg),
+        challenges=ch, keccak_table=ktcfg.table,
+    )
+    return cs, ch, ktcfg, st_cfg, bc_cfg, cp_cfg
+
+
+def _sha3_assign(sha3_circuit, builder, tamper=None):
+    from zkevm_tpu.circuits import keccak_table as kt
+    from zkevm_tpu.hash import keccak256
+
+    cs, ch, ktcfg, st_cfg, bc_cfg, cp_cfg = sha3_circuit
+    sha3_ev = next(e for e in builder.copy_events
+                   if e.dst_type == CopyDataType.RLC_ACC)
+    data = bytes(b for b, _ in sha3_ev.bytes_)
+    asg = Assignment(cs, N)
+    st.assign(cs, st_cfg, N, st.fix_value_prev(builder.rws.rows), asg)
+    bc.assign(cs, bc_cfg, N, [CODE], asg)
+    kwit = kt.assign(cs, ktcfg, N, [data], asg)
+    cwit = cp.assign(cs, cp_cfg, N, builder.copy_events, builder.rws, asg)
+    if tamper:
+        tamper(asg, cp_cfg)
+    kwit.fill_phase1(R_KECCAK, R_WORD)
+    cwit.fill_phase1(R_KECCAK)
+    return asg
+
+
+def test_sha3_digest_proven(sha3_circuit, builder):
+    cs = sha3_circuit[0]
+    asg = _sha3_assign(sha3_circuit, builder)
+    MockProver(cs, asg, challenges=CHALLENGES).assert_satisfied()
+
+
+def test_sha3_forged_digest_rejected(sha3_circuit, builder):
+    cs = sha3_circuit[0]
+
+    def tamper(asg, cp_cfg):
+        ev = asg.cols[cp_cfg.d_rlc]
+        for r in range(N):
+            if ev[r].any():
+                cur = FR.decode(asg.cols[cp_cfg.dlo][r])
+                asg.set_int(cp_cfg.dlo, r, (int(cur) + 1) % (1 << 128))
+
+    asg = _sha3_assign(sha3_circuit, builder, tamper)
+    fails = MockProver(cs, asg, challenges=CHALLENGES).verify()
+    assert fails, "forged sha3 digest accepted"

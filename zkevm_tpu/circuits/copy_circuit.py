@@ -28,9 +28,23 @@ Per supported flow:
 - MEMORY -> RLC_ACC (SHA3) and MEMORY -> RETURN_DATA (RETURN/REVERT):
   word READ lookups; the keccak link lands with the EVM SHA3 state.
 
-Known v1 gaps (documented scope): memory->memory copies (non-root
-CALLDATACOPY), out-of-range CODECOPY zero-fill (assigner rejects), and
-the RLC accumulator column for SHA3.
+v2 (this file): the event structure is fully pinned and exposed as a
+CopyTable for the EVM circuit (reference table.rs:1724 CopyTable):
+- a per-row memory byte-address chain (maddr = 32*wa + j) makes is_pad
+  SOUND: pad can fall only at maddr == src/dst start (a0) and rise only
+  at a0 + len — both transitions are unique because maddr strictly
+  increases — and the event-end row binds the non-pad count to len;
+- event-level cells (start addr, other-side addr, length, word count,
+  first rw counter) are event-constant and surfaced on is_first rows;
+- TX_CALLDATA sources are bound per byte to the TxTable (root
+  CALLDATACOPY), when a TxTable is provided;
+- RLC_ACC destinations (SHA3) accumulate a phase-1 keccak_input RLC
+  over the non-pad bytes and bind (rlc, len) -> digest halves through
+  the KeccakTable, when one is provided.
+
+Remaining gaps: memory->memory copies (non-root CALLDATACOPY),
+RETURN_DATA as a source (returndatacopy src binding), out-of-range
+CODECOPY zero-fill (assigner rejects).
 """
 
 from __future__ import annotations
@@ -48,6 +62,20 @@ from zkevm_tpu.witness.rw import RW, RwMap, Target
 FR = fr_spec()
 WORD = 32
 M128 = (1 << 128) - 1
+
+
+@dataclass
+class CopyTable:
+    """Event surface on is_first rows: (enabled, t_src, t_dst, src_id_lo,
+    src_id_hi, dst_id, aux_id, mem_addr, other_addr, length, rwc_first,
+    n_words, digest_lo, digest_hi). mem_addr is the memory-side start;
+    other_addr the non-memory side's (reference table.rs:1724)."""
+
+    exprs: list
+
+    def lookup(self, cs: ConstraintSystem, name: str, inputs: list) -> None:
+        assert len(inputs) == len(self.exprs)
+        cs.lookup(name, list(zip(inputs, self.exprs)))
 
 
 @dataclass
@@ -77,15 +105,37 @@ class CopyConfig:
     pbyte: Column  # previous memory content (write events)
     is_code: Column  # bytecode-source is_code flag
     is_pad: Column
+    # v2 event structure
+    q_gend: Column = None  # fixed: last row of each word group
+    maddr: Column = None  # memory byte address chain (32*wa + j)
+    a0c: Column = None  # event-constant: memory-side start address
+    alen: Column = None  # event-constant: copy length
+    w0c: Column = None  # event-constant: first word address
+    nwc: Column = None  # event-constant: number of word groups
+    lst: Column = None  # materialized event-last-row flag
+    s_cd: Column = None  # src is TX_CALLDATA (TxTable-bound)
+    d_rlc: Column = None  # dst is RLC_ACC (keccak-bound)
+    crlc: Column = None  # phase-1 keccak_input RLC over non-pad bytes
+    dlo: Column = None  # event-constant keccak digest halves (RLC events)
+    dhi: Column = None
+    table: CopyTable = None
+    iz_cd: object = None  # IsZero(t_src - TX_CALLDATA) under s_free
+    iz_rlc: object = None  # IsZero(t_dst - RLC_ACC) under d_free
 
 
-def configure(cs: ConstraintSystem, rw_table, bytecode_table=None) -> CopyConfig:
+def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
+              tx_table=None, challenges=None,
+              keccak_table=None) -> CopyConfig:
     q_act = cs.fixed_column()
     q_word = cs.fixed_column()
+    q_gend = cs.fixed_column()
     cols = [cs.advice_column() for _ in range(23)]
     (is_ev, is_first, s_mem, s_code, s_free, d_mem, d_log, d_free,
      t_src, t_dst, src_id, src_id_hi, dst_id, aux_id, wa, oaddr,
      rwc_w, rwc_d, didx, byte, pbyte, is_code, is_pad) = cols
+    (maddr, a0c, alen, w0c, nwc, lst, s_cd, d_rlc, dlo, dhi) = (
+        cs.advice_column() for _ in range(10))
+    crlc = cs.advice_column(phase=1)
 
     one = Const(1)
     qa, qw = q_act.cur(), q_word.cur()
@@ -114,7 +164,8 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None) -> CopyConfig
     # -- per-event constancy ---------------------------------------------
     # within a word group (rows 1..31), and across continuation anchors
     per_event = [is_ev, s_mem, s_code, s_free, d_mem, d_log, d_free,
-                 t_src, t_dst, src_id, src_id_hi, dst_id, aux_id]
+                 t_src, t_dst, src_id, src_id_hi, dst_id, aux_id,
+                 a0c, alen, w0c, nwc, s_cd, d_rlc, dlo, dhi]
     inner = qa - qw  # non-anchor region rows
     cont = qw * ev * (one - first)  # continuation anchors
     cs.create_gate("cp_const", [
@@ -134,6 +185,83 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None) -> CopyConfig
     ])
     # write events leave surrounding bytes unchanged
     cs.create_gate("cp_pad", [qa * d_mem.cur() * is_pad.cur() * (byte.cur() - pbyte.cur())])
+
+    # -- v2: event structure pinned (sound is_pad + surfaced cells) -------
+    # maddr = 32*wa + row-in-group: anchor equation + inner chain
+    cs.create_gate("cp_maddr", [
+        qw * ev * (maddr.cur() - Const(WORD) * wa.cur()),
+        inner * ev * (maddr.cur() - maddr.rot(-1) - one),
+    ])
+    # first-row structure: w0c anchor; a non-pad first row starts the copy
+    # exactly at a0; didx starts at (1 - is_pad) - 1
+    cs.create_gate("cp_event_start", [
+        first * (w0c.cur() - wa.cur()),
+        first * (one - is_pad.cur()) * (maddr.cur() - a0c.cur()),
+        first * (didx.cur() + is_pad.cur()),
+    ])
+    # pad transitions are UNIQUE (maddr strictly increases): the fall can
+    # only land on a0, the rise only on a0 + len
+    fall = is_pad.rot(-1) * (one - is_pad.cur())
+    rise = (one - is_pad.rot(-1)) * is_pad.cur()
+    cs.create_gate("cp_pad_edges", [
+        step1 * fall * (maddr.cur() - a0c.cur()),
+        step1 * rise * (maddr.cur() - a0c.cur() - alen.cur()),
+    ])
+    # word rw counters are consecutive across anchors (builder emits the
+    # event's word reads/writes back-to-back from rw_counter_start)
+    cs.create_gate("cp_rwc_chain", [
+        cont * (rwc_w.cur() - rwc_w.rot(-1) - one),
+    ])
+    # event-last marker: the group-end row whose next anchor starts a new
+    # event or is unused; binds non-pad count = len and word count = nwc
+    last_expr = q_gend.cur() * ev * (is_first.rot(1) + one - is_ev.rot(1))
+    cs.create_gate("cp_last", [
+        qa * (lst.cur() - last_expr),
+        lst.cur() * (didx.cur() + one - alen.cur()),
+        lst.cur() * (nwc.cur() - wa.cur() + w0c.cur() - one),
+    ])
+
+    # -- TX_CALLDATA source: per-byte TxTable binding ----------------------
+    from zkevm_tpu.gadgets import IsZero
+
+    iz_cd = iz_rlc = None
+    if tx_table is not None:
+        from zkevm_tpu.circuits.tx_circuit import TxFieldTag
+
+        iz_cd = IsZero.configure(
+            cs, qa * s_free.cur(),
+            t_src.cur() - Const(CopyDataType.TX_CALLDATA), "cp_iz_cd")
+        cs.create_gate("cp_cd_flag", [
+            qa * (s_cd.cur() - s_free.cur() * iz_cd.expr()),
+        ])
+        en_cd = qa * s_cd.cur() * np_
+        tx_table.lookup(cs, "cp_calldata_byte", [
+            en_cd, en_cd * src_id.cur(),
+            en_cd * Const(int(TxFieldTag.CALL_DATA)),
+            en_cd * oaddr.cur(), en_cd * byte.cur(), Const(0),
+        ])
+    else:
+        cs.create_gate("cp_no_tx_table", [qa * s_cd.cur()])
+
+    # -- RLC_ACC destination (SHA3): phase-1 RLC + keccak digest binding --
+    if keccak_table is not None:
+        assert challenges is not None
+        iz_rlc = IsZero.configure(
+            cs, qa * d_free.cur(),
+            t_dst.cur() - Const(CopyDataType.RLC_ACC), "cp_iz_rlc")
+        rk = challenges.keccak_input.expr()
+        cs.create_gate("cp_rlc", [
+            qa * (d_rlc.cur() - d_free.cur() * iz_rlc.expr()),
+            first * (crlc.cur() - np_ * byte.cur()),
+            step1 * (crlc.cur() - crlc.rot(-1)
+                     - np_ * (crlc.rot(-1) * (rk - one) + byte.cur())),
+        ])
+        en_k = lst.cur() * d_rlc.cur()
+        keccak_table.lookup_word(cs, "cp_sha3_digest", en_k,
+                                 crlc.cur(), alen.cur(),
+                                 dlo.cur(), dhi.cur())
+    else:
+        cs.create_gate("cp_no_keccak_table", [qa * d_rlc.cur()])
 
     # -- word-anchor RwTable lookups -------------------------------------
     def word_half(col: Column, j0: int) -> Expr:
@@ -177,15 +305,43 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None) -> CopyConfig
             is_code.cur(),
         )
 
+    fc = is_first.cur()
+    table = CopyTable([
+        fc, fc * t_src.cur(), fc * t_dst.cur(),
+        fc * src_id.cur(), fc * src_id_hi.cur(), fc * dst_id.cur(),
+        fc * aux_id.cur(), fc * a0c.cur(),
+        fc * (oaddr.cur() - maddr.cur() + a0c.cur()),
+        fc * alen.cur(), fc * rwc_w.cur(), fc * nwc.cur(),
+        fc * dlo.cur(), fc * dhi.cur(),
+    ])
     return CopyConfig(
         q_act, q_word, is_ev, is_first, s_mem, s_code, s_free, d_mem,
         d_log, d_free, t_src, t_dst, src_id, src_id_hi, dst_id, aux_id,
         wa, oaddr, rwc_w, rwc_d, didx, byte, pbyte, is_code, is_pad,
+        q_gend, maddr, a0c, alen, w0c, nwc, lst, s_cd, d_rlc, crlc,
+        dlo, dhi, table, iz_cd, iz_rlc,
     )
 
 
 def capacity_groups(cs: ConstraintSystem, n: int) -> int:
     return (cs.usable_rows(n) - 1) // WORD
+
+
+@dataclass
+class CopyWitness:
+    """Phase-0 assignment + the phase-1 RLC filler for SHA3 events."""
+
+    asg: Assignment
+    cfg: CopyConfig
+    rlc_plan: list  # (rows, pads, bytes) per event
+
+    def fill_phase1(self, r_keccak: int) -> None:
+        for row0, pads, bts in self.rlc_plan:
+            acc = 0
+            for i, (pad, b) in enumerate(zip(pads, bts)):
+                if not pad:
+                    acc = (acc * r_keccak + b) % FR_MOD
+                self.asg.set_int(self.cfg.crlc, row0 + i, acc)
 
 
 def assign(
@@ -195,7 +351,7 @@ def assign(
     events: list[CopyEvent],
     rws: RwMap,
     asg: Assignment | None = None,
-) -> Assignment:
+) -> CopyWitness:
     asg = asg if asg is not None else Assignment(cs, n)
     ngroups = capacity_groups(cs, n)
     m = ngroups * WORD
@@ -203,8 +359,15 @@ def assign(
     asg.cols[cfg.q_act][:m] = one
     for g in range(ngroups):
         asg.cols[cfg.q_word][g * WORD] = one
+        asg.cols[cfg.q_gend][g * WORD + WORD - 1] = one
+
+    def _inv(v: int) -> int:
+        return pow(v % FR_MOD, FR_MOD - 2, FR_MOD)
+
+    from zkevm_tpu.hash import keccak256
 
     by_rwc = {r.rw_counter: r for r in rws.rows}
+    rlc_plan = []
     g = 0  # next free group
     for ev in events:
         src_is_mem = ev.src_type == CopyDataType.MEMORY
@@ -217,7 +380,20 @@ def assign(
         other0 = ev.dst_addr if src_is_mem else ev.src_addr
         w0, w1 = off // WORD, -(-end // WORD) if end > off else off // WORD
         nw = w1 - w0
+        if nw == 0:
+            continue  # zero-length event: no rows (consumers gate len=0)
         assert g + nw <= ngroups, "copy region overflow"
+        ln_ = end - off
+        # feature flags only light up when the consumer tables are wired
+        is_rlc = (ev.dst_type == CopyDataType.RLC_ACC
+                  and cfg.iz_rlc is not None)
+        is_cd = (ev.src_type == CopyDataType.TX_CALLDATA
+                 and cfg.iz_cd is not None)
+        dlo_v = dhi_v = 0
+        if is_rlc:
+            data = bytes(b for b, _ in ev.bytes_)
+            dg = int.from_bytes(keccak256(data), "big")
+            dlo_v, dhi_v = dg & M128, dg >> 128
 
         mem_id = ev.src_id if src_is_mem else ev.dst_id
         # word rows by rw counter (builder: consecutive from rw_counter_start)
@@ -243,6 +419,7 @@ def assign(
         sid_lo, sid_hi = ev.src_id & M128, ev.src_id >> 128
         cur_d = -1  # running non-pad counters (didx / rwc_d chains)
         cur_rwc = rwc_d0 - 1
+        pads_ev, bytes_ev = [], []
         for gi in range(nw):
             word = words[gi]
             vb = int(word.value).to_bytes(32, "big")
@@ -279,5 +456,27 @@ def assign(
                 if not pad and ev.src_type == CopyDataType.BYTECODE:
                     asg.set_int(cfg.is_code, r, int(ev.bytes_[mb - off][1]))
                 asg.set_int(cfg.is_pad, r, int(pad))
+                # v2 event structure
+                asg.set_int(cfg.maddr, r, mb)
+                asg.set_int(cfg.a0c, r, off)
+                asg.set_int(cfg.alen, r, ln_)
+                asg.set_int(cfg.w0c, r, w0)
+                asg.set_int(cfg.nwc, r, nw)
+                asg.set_int(cfg.s_cd, r, int(is_cd))
+                asg.set_int(cfg.d_rlc, r, int(is_rlc))
+                asg.set_int(cfg.dlo, r, dlo_v)
+                asg.set_int(cfg.dhi, r, dhi_v)
+                if cfg.iz_cd is not None and not src_is_mem \
+                        and ev.src_type != CopyDataType.BYTECODE:
+                    asg.set_int(cfg.iz_cd.inv, r,
+                                _inv(t_src - CopyDataType.TX_CALLDATA))
+                if cfg.iz_rlc is not None and src_is_mem \
+                        and ev.dst_type != CopyDataType.TX_LOG:
+                    asg.set_int(cfg.iz_rlc.inv, r,
+                                _inv(t_dst - CopyDataType.RLC_ACC))
+                pads_ev.append(pad)
+                bytes_ev.append(vb[j])
+        asg.set_int(cfg.lst, (g + nw) * WORD - 1, 1)
+        rlc_plan.append((g * WORD, pads_ev, bytes_ev))
         g += nw
-    return asg
+    return CopyWitness(asg, cfg, rlc_plan)
