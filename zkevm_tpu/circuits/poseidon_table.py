@@ -50,6 +50,25 @@ class PoseidonTable:
 
 
 @dataclass
+class PoseidonPermTable:
+    """Full-state permutation surface: (s0,s1,s2) -> (s0',s1',s2').
+
+    The chained-sponge interface the in-circuit Poseidon TRANSCRIPT needs
+    (snark-verifier's PoseidonTranscript role): a multi-block absorb must
+    thread ALL t=3 output elements into the next permutation's input, not
+    just out[0] — so this second surface over the same permutation slots
+    exposes both full states."""
+
+    exprs: list
+
+    def lookup(self, cs: ConstraintSystem, name: str, q: Expr,
+               s_in: list, s_out: list) -> None:
+        """`permute([s_in]) == s_out` (element-wise), gated by boolean q."""
+        ins = [q * e for e in list(s_in) + list(s_out)]
+        cs.lookup(name, [(q, self.exprs[0])] + list(zip(ins, self.exprs[1:])))
+
+
+@dataclass
 class PoseidonTableConfig:
     state: list
     rc: list
@@ -57,6 +76,7 @@ class PoseidonTableConfig:
     q_partial: Column
     q_tbl: Column
     table: PoseidonTable
+    perm_table: "PoseidonPermTable" = None
 
 
 def configure(cs: ConstraintSystem) -> PoseidonTableConfig:
@@ -100,7 +120,17 @@ def configure(cs: ConstraintSystem) -> PoseidonTableConfig:
         qt * state[2].rot(-ROUNDS),
         qt * state[0].cur(),
     ])
-    return PoseidonTableConfig(state, rc, q_full, q_partial, q_tbl, table)
+    perm_table = PoseidonPermTable([
+        qt,
+        qt * state[0].rot(-ROUNDS),
+        qt * state[1].rot(-ROUNDS),
+        qt * state[2].rot(-ROUNDS),
+        qt * state[0].cur(),
+        qt * state[1].cur(),
+        qt * state[2].cur(),
+    ])
+    return PoseidonTableConfig(state, rc, q_full, q_partial, q_tbl, table,
+                               perm_table)
 
 
 def capacity(cs: ConstraintSystem, n: int) -> int:

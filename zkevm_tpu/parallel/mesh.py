@@ -138,7 +138,7 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 
 
 def sharded_ntt_t(mesh: Mesh, a_t: jnp.ndarray, k: int,
-                  inverse: bool = False) -> jnp.ndarray:
+                  inverse: bool = False, unroll: bool = True) -> jnp.ndarray:
     """Single GIANT four-step NTT with the transpose as an ICI all_to_all
     — the in-transform butterfly-exchange item of SURVEY §2.5 (reference:
     rayon recursive best_fft).
@@ -174,13 +174,13 @@ def sharded_ntt_t(mesh: Mesh, a_t: jnp.ndarray, k: int,
     spec_c = P(None, None, "chips")
 
     def sub1(a):  # (16, n1, n2/C)
-        return _ntt_axis2(a, k1, inverse)
+        return _ntt_axis2(a, k1, inverse, unroll=unroll)
 
     def sub2(a):  # (16, n2, n1/C)
-        return _ntt_axis2(a, k2, inverse)
+        return _ntt_axis2(a, k2, inverse, unroll=unroll)
 
     def xpose(b, twl):  # (16, n1, n2/C) -> (16, n2, n1/C)
-        b = mont_mul_t(nttmod.FR, b, twl)
+        b = mont_mul_t(nttmod.FR, b, twl, unroll=unroll)
         b = jax.lax.all_to_all(b, "chips", split_axis=1, concat_axis=2,
                                tiled=True)  # (16, n1/C, n2)
         return jnp.swapaxes(b, 1, 2)
@@ -192,7 +192,7 @@ def sharded_ntt_t(mesh: Mesh, a_t: jnp.ndarray, k: int,
     out = jnp.reshape(out, (ff.L, n))
     if inverse:
         n_inv = jnp.asarray(nttmod.FR.encode(pow(n, FR_MOD - 2, FR_MOD)))[:, None]
-        out = mont_mul_t(nttmod.FR, out, n_inv)
+        out = mont_mul_t(nttmod.FR, out, n_inv, unroll=unroll)
     return out
 
 

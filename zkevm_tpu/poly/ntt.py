@@ -126,8 +126,16 @@ def coset_intt(a: jnp.ndarray, shift: int) -> jnp.ndarray:
 # its early stages on tiny trailing dims and runs ~100x slower on TPU.
 # ---------------------------------------------------------------------------
 
-def _ntt_axis2(a: jnp.ndarray, k: int, inverse: bool) -> jnp.ndarray:
-    """Radix-2 DIT NTT along axis -2 of a (16, n1, T) limbs-first array."""
+def _ntt_axis2(a: jnp.ndarray, k: int, inverse: bool,
+               unroll: bool = True) -> jnp.ndarray:
+    """Radix-2 DIT NTT along axis -2 of a (16, n1, T) limbs-first array.
+
+    unroll=False switches every butterfly multiply to the lax.scan CIOS
+    kernel: ~25x cheaper to COMPILE (one unrolled mont_mul_t measures 14s
+    under the forced-host-device XLA:CPU mode the driver's multichip
+    dryrun runs in; the scan form 0.6s) at some run-time cost — use it
+    for compile-bound validation paths, keep unroll=True on the chip.
+    """
     from zkevm_tpu.ff.limbs import add_t, mont_mul_t, sub_t
 
     n = 1 << k
@@ -143,7 +151,7 @@ def _ntt_axis2(a: jnp.ndarray, k: int, inverse: bool) -> jnp.ndarray:
         tw = pows_t[:, :: n // m][:, :half]  # (16, half)
         x = a.reshape(ff.L, n // m, 2, half, trail)
         even = x[:, :, 0]
-        odd = mont_mul_t(FR, x[:, :, 1], tw[:, None, :, None])
+        odd = mont_mul_t(FR, x[:, :, 1], tw[:, None, :, None], unroll=unroll)
         a = jnp.concatenate(
             [add_t(FR, even, odd), sub_t(FR, even, odd)], axis=2
         ).reshape(ff.L, n, trail)

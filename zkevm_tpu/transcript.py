@@ -76,12 +76,18 @@ class PoseidonTranscript:
         if isinstance(pt, group.G1):
             pt = group.to_affine_ints(pt)[0]
         if pt is None:
-            self._pending += [0, 0]
+            self._pending += [0, 0, 0, 0, 0, 0]
         else:
-            # Fq coordinates split into two Fr-sized halves each (Fq > Fr)
+            # Fq coordinates (Fq > Fr) absorb as three 88-bit limbs each —
+            # the SAME representation the in-circuit EC gadgets carry
+            # (gadgets/bigint.py LB=88, NL=3), so the recursion verifier's
+            # transcript reuses the EC lookup limb cells with no
+            # re-decomposition (snark-verifier absorbs loader-native limbs
+            # for the same reason).
             for c in pt:
                 c = int(c)
-                self._pending += [c & ((1 << 128) - 1), c >> 128]
+                m = (1 << 88) - 1
+                self._pending += [c & m, (c >> 88) & m, c >> 176]
 
     def common_bytes(self, raw: bytes) -> None:
         for i in range(0, len(raw), 31):
