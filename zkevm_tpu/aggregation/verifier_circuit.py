@@ -1,0 +1,595 @@
+"""The in-circuit PLONK verifier: one snark verified inside a circuit.
+
+Reference counterpart: scroll-tech/snark-verifier's `PlonkVerifier` +
+halo2-loader (consumed by the reference's CompressionCircuit,
+/root/reference/aggregator/src/compression/circuit.rs:39, and the
+BatchCircuit aggregation core, aggregator/src/core.rs:111). This module
+arithmetizes zkevm_tpu.plonk.verifier.verify_proof for a FIXED inner
+verifying key:
+
+- transcript challenges  -> TranscriptChip (PoseidonPermTable lookups);
+- scalar verification math (instance/Lagrange evals, gate-constraint
+  evaluation at x, SHPLONK scalar combination) -> FlexGate rows walking
+  the SAME Protocol expression trees the host verifier evaluates, with
+  theta/beta/gamma as ChallengeExpr placeholders resolved to cells;
+- group math -> the ECC circuit's EcMul/EcAdd regions, consumed through
+  EccTable lookups from dedicated call-site rows;
+- the final pairing is DEFERRED: the circuit exposes the KZG accumulator
+  (lhs, rhs) as 4x3 88-bit limbs; `finalize_accumulator` (or the next
+  aggregation layer) runs the two-pairing check
+  e(lhs, G2) * e(-rhs, tau G2) == 1 (snark-verifier KzgAccumulator).
+
+Soundness caveats (documented, same class as halo2-ecc's incomplete
+formulas / the ECC circuit header): identity commitments inside the
+proof and degenerate add chains (partial sum == +-next term) have no
+witness; scalars are transcript outputs, so honest provers hit them with
+negligible probability. Identity FIXED commitments (known at circuit
+build time) are constant-folded out of the MSM. Proof points are
+curve-checked (in the EcMul region) but coordinate canonicity (< q) is
+not enforced; a malicious prover gains only an alternative transcript
+encoding of the same point (challenge-grinding freedom, not a forgery
+vector).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from zkevm_tpu.circuits import ecc_circuit as ecc
+from zkevm_tpu.circuits import poseidon_table as pt
+from zkevm_tpu.aggregation.sponge import SpongeConfig, TranscriptChip
+from zkevm_tpu.ec import goldens as bn
+from zkevm_tpu.ff.goldens import FR_MOD
+from zkevm_tpu.gadgets.bigint import LB, NL, to_limbs
+from zkevm_tpu.gadgets.flex import Cell, FlexCtx, FlexGate
+from zkevm_tpu.gadgets.ranges import RangeTable
+from zkevm_tpu.plonk.assign import Assignment
+from zkevm_tpu.plonk.cs import Column, ConstraintSystem
+from zkevm_tpu.plonk.expr import (
+    ChallengeExpr, Const, DomainX, GroupQuery, Neg, Prod, Query, Sum,
+)
+from zkevm_tpu.plonk.keygen import VerifyingKey
+from zkevm_tpu.plonk.protocol import build_protocol
+from zkevm_tpu.plonk.prover import Proof
+
+
+# ---------------------------------------------------------------------------
+# accumulator
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Accumulator:
+    """Deferred KZG pairing operands (snark-verifier KzgAccumulator)."""
+
+    lhs: tuple  # affine (x, y)
+    rhs: tuple  # affine (x, y) — the SHPLONK W commitment
+
+    def limbs(self) -> list[int]:
+        out = []
+        for x in (self.lhs[0], self.lhs[1], self.rhs[0], self.rhs[1]):
+            out += to_limbs(x)
+        return out
+
+    @classmethod
+    def from_limbs(cls, limbs) -> "Accumulator":
+        from zkevm_tpu.gadgets.bigint import from_limbs
+        vals = [from_limbs(limbs[i * NL:(i + 1) * NL]) for i in range(4)]
+        return cls((vals[0], vals[1]), (vals[2], vals[3]))
+
+
+def finalize_accumulator(params, acc: Accumulator) -> bool:
+    """The host/L1 pairing check every aggregation chain ends with
+    (reference: aggregator/src/core.rs pairing check on the extracted
+    accumulator)."""
+    from zkevm_tpu.ec import pairing as pr
+
+    return pr.pairing_check(
+        [(acc.lhs, pr.G2_GEN), (bn.neg(acc.rhs), params.s_g2)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# config
+# ---------------------------------------------------------------------------
+
+@dataclass
+class VerifierConfig:
+    rt8: RangeTable
+    pt: pt.PoseidonTableConfig
+    flex: FlexGate
+    sponge: SpongeConfig
+    ecc: ecc.EccConfig
+    # EC call sites: one row per MSM term / chain add, looked up in the
+    # ECC region tables
+    q_mul: Column
+    mc: dict  # name -> 3 advice columns (px, py, kl, rx, ry)
+    q_add: Column
+    ac: dict  # name -> 3 advice columns (x1, y1, x2, y2, x3, y3)
+    inst: Column
+
+
+MC_NAMES = ("px", "py", "kl", "rx", "ry")
+AC_NAMES = ("x1", "y1", "x2", "y2", "x3", "y3")
+
+
+def configure(cs: ConstraintSystem) -> VerifierConfig:
+    rt8 = RangeTable.configure(cs, 8)
+    ptcfg = pt.configure(cs)
+    flex = FlexGate.configure(cs)
+    sponge = SpongeConfig.configure(cs, ptcfg.perm_table)
+    ecfg = ecc.configure(cs, rt8)
+
+    q_mul = cs.fixed_column()
+    mc = {nm: [cs.advice_column() for _ in range(NL)] for nm in MC_NAMES}
+    q_add = cs.fixed_column()
+    ac = {nm: [cs.advice_column() for _ in range(NL)] for nm in AC_NAMES}
+    for cols in list(mc.values()) + list(ac.values()):
+        for c in cols:
+            cs.enable_equality(c)
+    ecfg.mul_table.lookup(
+        cs, "vfy_ecmul",
+        [q_mul.cur()]
+        + [q_mul.cur() * c.cur() for nm in MC_NAMES for c in mc[nm]],
+    )
+    ecfg.add_table.lookup(
+        cs, "vfy_ecadd",
+        [q_add.cur()]
+        + [q_add.cur() * c.cur() for nm in AC_NAMES for c in ac[nm]],
+    )
+    inst = cs.instance_column()
+    cs.enable_equality(inst)
+    return VerifierConfig(rt8, ptcfg, flex, sponge, ecfg, q_mul, mc,
+                          q_add, ac, inst)
+
+
+# ---------------------------------------------------------------------------
+# in-circuit expression evaluation
+# ---------------------------------------------------------------------------
+
+class CellEnv:
+    """Evaluates Protocol expression trees to FlexGate cells — the
+    in-circuit twin of plonk.expr.HostEvalContext."""
+
+    def __init__(self, fx: FlexCtx, evals: dict, challenges: dict,
+                 x_cell: Cell):
+        self.fx = fx
+        self.evals = evals  # (column, rot) -> Cell
+        self.challenges = challenges  # index -> Cell
+        self.x = x_cell
+        self.lane = 0
+        self._memo: dict = {}
+
+    def eval(self, e) -> Cell:
+        key = (id(e), self.lane)
+        hit = self._memo.get(key)
+        if hit is not None:
+            return hit
+        fx = self.fx
+        if isinstance(e, Const):
+            out = fx.constant(e.value % FR_MOD)
+        elif isinstance(e, Query):
+            out = self.evals[(e.column, e.rotation)]
+        elif isinstance(e, GroupQuery):
+            w = len(e.group.columns)
+            col = e.group.columns[(self.lane - e.roll) % w]
+            out = self.evals[(col, e.rotation)]
+        elif isinstance(e, ChallengeExpr):
+            out = self.challenges[e.index]
+        elif isinstance(e, DomainX):
+            out = self.x
+        elif isinstance(e, Neg):
+            out = fx.neg(self.eval(e.inner))
+        elif isinstance(e, Sum):
+            out = fx.add(self.eval(e.a), self.eval(e.b))
+        elif isinstance(e, Prod):
+            out = fx.mul(self.eval(e.a), self.eval(e.b))
+        else:
+            raise TypeError(type(e))
+        self._memo[key] = out
+        return out
+
+
+# ---------------------------------------------------------------------------
+# the verifier chip
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PointCells:
+    xl: list  # NL cells
+    yl: list
+    x: int
+    y: int
+
+    @property
+    def affine(self):
+        return (self.x, self.y)
+
+
+class VerifierChip:
+    """Assigns the full verification statement of one inner proof.
+
+    The row/copy layout is a pure function of the inner vk (all loops run
+    over vk-static structure), so keygen over any witness is reusable for
+    every proof of that inner circuit."""
+
+    def __init__(self, cs: ConstraintSystem, cfg: VerifierConfig,
+                 inner_vk: VerifyingKey, inner_instance_lens: list[int]):
+        self.cs = cs
+        self.cfg = cfg
+        self.vk = inner_vk
+        self.inner_lens = list(inner_instance_lens)
+        ics = inner_vk.cs
+        nch = len(ics.challenges)
+        self.TH, self.BE, self.GA = nch, nch + 1, nch + 2
+        self.protocol = build_protocol(
+            ics, inner_vk.domain.n,
+            ChallengeExpr(self.TH, 0),
+            ChallengeExpr(self.BE, 0),
+            ChallengeExpr(self.GA, 0),
+        )
+        self.num_h = inner_vk.domain.extended_n // inner_vk.domain.n
+
+    # -- point loading ------------------------------------------------------
+    def _load_point(self, fx: FlexCtx, pt_aff, constant: bool) -> PointCells:
+        assert pt_aff is not None, (
+            "identity proof commitment has no witness (see module caveats)"
+        )
+        x, y = pt_aff
+        mk = fx.constant if constant else fx.witness
+        return PointCells([mk(v) for v in to_limbs(x)],
+                          [mk(v) for v in to_limbs(y)], x, y)
+
+    # -- EC call sites --------------------------------------------------------
+    def _bind_scalar_limbs(self, fx: FlexCtx, s: Cell, row: int) -> list:
+        """kl cells at a mul call-site row == the canonical 88-bit limbs
+        of s, bound natively: s == kl0 + kl1*2^88 + kl2*2^176."""
+        asg, cfg = fx.asg, self.cfg
+        limbs = to_limbs(s.val)
+        cells = []
+        for i in range(NL):
+            asg.set_int(cfg.mc["kl"][i], row, limbs[i])
+            cells.append(Cell(cfg.mc["kl"][i], row, limbs[i]))
+        comb = fx.raw(1, 1 << LB, 0, 0, 0, 1, a=cells[0], b=cells[1])
+        comb = fx.raw(1, pow(2, 2 * LB, FR_MOD), 0, 0, 0, 1,
+                      a=comb, b=cells[2])
+        fx.assert_eq(comb, s)
+        return cells
+
+    def _set_point(self, asg, cols_x, cols_y, row, pc: PointCells):
+        for i in range(NL):
+            asg.set_int(cols_x[i], row, pc.xl[i].val)
+            self.cs.copy(cols_x[i], row, pc.xl[i].col, pc.xl[i].row)
+            asg.set_int(cols_y[i], row, pc.yl[i].val)
+            self.cs.copy(cols_y[i], row, pc.yl[i].col, pc.yl[i].row)
+
+    def _fresh_point_cells(self, asg, cols_x, cols_y, row, x, y) -> PointCells:
+        xl, yl = to_limbs(x), to_limbs(y)
+        for i in range(NL):
+            asg.set_int(cols_x[i], row, xl[i])
+            asg.set_int(cols_y[i], row, yl[i])
+        return PointCells(
+            [Cell(cols_x[i], row, xl[i]) for i in range(NL)],
+            [Cell(cols_y[i], row, yl[i]) for i in range(NL)], x, y)
+
+    def ec_mul(self, fx: FlexCtx, state, s: Cell, p: PointCells) -> PointCells:
+        """One MSM term: s * p via an EcMulTable lookup row."""
+        asg, cfg = fx.asg, self.cfg
+        row = state["mc_row"]
+        state["mc_row"] += 1
+        asg.set_int(cfg.q_mul, row, 1)
+        self._set_point(asg, cfg.mc["px"], cfg.mc["py"], row, p)
+        self._bind_scalar_limbs(fx, s, row)
+        res = bn.scalar_mul(p.affine, s.val)
+        assert res is not None, "MSM term hit the identity (no witness)"
+        state["mul_events"].append(ecc.EcMulEvent(p.affine, s.val))
+        return self._fresh_point_cells(
+            asg, cfg.mc["rx"], cfg.mc["ry"], row, res[0], res[1])
+
+    def ec_add(self, fx: FlexCtx, state, a: PointCells,
+               b: PointCells) -> PointCells:
+        asg, cfg = fx.asg, self.cfg
+        row = state["ac_row"]
+        state["ac_row"] += 1
+        asg.set_int(cfg.q_add, row, 1)
+        self._set_point(asg, cfg.ac["x1"], cfg.ac["y1"], row, a)
+        self._set_point(asg, cfg.ac["x2"], cfg.ac["y2"], row, b)
+        res = bn.add(a.affine, b.affine)
+        assert res is not None, "add chain hit the identity (no witness)"
+        state["add_events"].append(ecc.EcAddEvent(a.affine, b.affine))
+        return self._fresh_point_cells(
+            asg, cfg.ac["x3"], cfg.ac["y3"], row, res[0], res[1])
+
+    # -- scalar helpers -------------------------------------------------------
+    def _instance_eval_cells(self, fx: FlexCtx, values: list, pt_cell: Cell,
+                             ptn: Cell, n: int, omega: int) -> Cell:
+        """Interpolation of `values` (rows 0..len-1) evaluated at pt.
+        ptn = pt^n cell. l_i(pt) = w^i (pt^n - 1) / (n (pt - w^i))."""
+        if not values:
+            return fx.constant(0)
+        n_inv = pow(n, FR_MOD - 2, FR_MOD)
+        common = fx.mul_const(fx.add_const(ptn, -1), n_inv)
+        acc = None
+        wi = 1
+        for v in values:
+            den = fx.inv(fx.add_const(pt_cell, -wi))
+            term = fx.mul(v, fx.mul_const(den, wi))
+            acc = term if acc is None else fx.add(acc, term)
+            wi = wi * omega % FR_MOD
+        return fx.mul(acc, common)
+
+    def _lagrange_cell(self, fx: FlexCtx, x: Cell, xn: Cell, row: int,
+                       n: int, omega: int) -> Cell:
+        wr = pow(omega, row % n, FR_MOD)
+        n_inv = pow(n, FR_MOD - 2, FR_MOD)
+        num = fx.mul_const(fx.add_const(xn, -1), wr * n_inv % FR_MOD)
+        return fx.mul(num, fx.inv(fx.add_const(x, -wr)))
+
+    # -- the main assignment ---------------------------------------------------
+    def assign(self, fx: FlexCtx, chip: TranscriptChip,
+               instances: list, proof: Proof, state: dict) -> dict:
+        """state: dict with mc_row/ac_row cursors (call-site regions) and
+        mul_events/add_events lists. Returns dict with accumulator cells +
+        values and the instance cells."""
+        vk, cs_i = self.vk, self.vk.cs
+        domain = vk.domain
+        k, n = domain.k, domain.n
+        omega = domain.omega
+        usable = cs_i.usable_rows(n)
+        u_row = usable - 1
+        protocol = self.protocol
+
+        # ---- load proof points ------------------------------------------
+        P = lambda aff: self._load_point(fx, aff, constant=False)
+        C = lambda aff: self._load_point(fx, aff, constant=True)
+        adv_pts = [P(c) for c in proof.advice_commitments]
+        lk_perm_pts = [(P(a), P(b)) for a, b in proof.lookup_permuted]
+        permz_pts = [P(c) for c in proof.perm_z_commitments]
+        lkz_pts = [P(c) for c in proof.lookup_z_commitments]
+        rand_pt = P(proof.random_commitment)
+        assert len(proof.h_commitments) == self.num_h
+        h_pts = [P(c) for c in proof.h_commitments]
+        sh_h = P(proof.shplonk_h)
+        sh_w = P(proof.shplonk_w)
+        fixed_pts = [None if c is None else C(c)
+                     for c in vk.fixed_commitments]
+        sigma_pts = [C(c) for c in vk.sigma_commitments]
+
+        # ---- transcript replay ------------------------------------------
+        chip.absorb(fx.constant(k))
+        inst_cells = [[fx.witness(v) for v in col] for col in instances]
+        for col in inst_cells:
+            for c in col:
+                chip.absorb(c)
+        for pc in fixed_pts + sigma_pts:
+            if pc is None:
+                for _ in range(6):
+                    chip.absorb(fx.constant(0))
+            else:
+                chip.absorb_point_limbs(pc.xl, pc.yl)
+        challenge_cells: dict[int, Cell] = {}
+        for phase in range(cs_i.num_phases):
+            for ci, col in enumerate(cs_i.advice_columns):
+                if col.phase != phase:
+                    continue
+                pc = adv_pts[ci]
+                chip.absorb_point_limbs(pc.xl, pc.yl)
+            for ch in cs_i.challenges:
+                if ch.phase == phase + 1:
+                    challenge_cells[ch.index] = chip.challenge()
+        theta = chip.challenge()
+        for pa, pb in lk_perm_pts:
+            chip.absorb_point_limbs(pa.xl, pa.yl)
+            chip.absorb_point_limbs(pb.xl, pb.yl)
+        beta = chip.challenge()
+        gamma = chip.challenge()
+        for pc in permz_pts + lkz_pts:
+            chip.absorb_point_limbs(pc.xl, pc.yl)
+        chip.absorb_point_limbs(rand_pt.xl, rand_pt.yl)
+        y = chip.challenge()
+        for pc in h_pts:
+            chip.absorb_point_limbs(pc.xl, pc.yl)
+        x = chip.challenge()
+        challenge_cells[self.TH] = theta
+        challenge_cells[self.BE] = beta
+        challenge_cells[self.GA] = gamma
+
+        expected_n_evals = len(protocol.queries) + 1
+        assert len(proof.evals) == expected_n_evals
+        eval_cells = [fx.witness(v) for v in proof.evals]
+        for c in eval_cells:
+            chip.absorb(c)
+        evals_map = dict(zip(protocol.queries, eval_cells[:-1]))
+        random_eval = eval_cells[-1]
+
+        # ---- expected quotient eval --------------------------------------
+        xn = fx.pow2k(x, k)  # x^n
+        full_evals = dict(evals_map)
+        inst_queries = set()
+        for con, _w in protocol.constraints:
+            for col, rot in con.queries():
+                if col.kind == "instance":
+                    inst_queries.add((col, rot))
+        inst_by_col = {c: cells for c, cells in
+                       zip(cs_i.instance_columns, inst_cells)}
+        # per-rotation point cells pt = w^rot * x (shared with shplonk)
+        pt_cell_of: dict[int, Cell] = {0: x}
+
+        def pt_of(rot: int) -> Cell:
+            if rot not in pt_cell_of:
+                pt_cell_of[rot] = fx.mul_const(x, pow(omega, rot % n, FR_MOD))
+            return pt_cell_of[rot]
+
+        ptn_of: dict[int, Cell] = {}
+
+        def ptn_at(rot: int) -> Cell:
+            # (w^rot x)^n == x^n (w^n = 1)
+            return xn
+
+        for col, rot in sorted(inst_queries,
+                               key=lambda q: (str(q[0].index), q[1])):
+            full_evals[(col, rot)] = self._instance_eval_cells(
+                fx, inst_by_col[col], pt_of(rot), ptn_at(rot), n, omega)
+        l0c, llastc, lblindc = protocol.virtual_cols
+        full_evals[(l0c, 0)] = self._lagrange_cell(fx, x, xn, 0, n, omega)
+        full_evals[(llastc, 0)] = self._lagrange_cell(fx, x, xn, u_row, n,
+                                                      omega)
+        blind_sum = None
+        for r in range(usable, n):
+            lr = self._lagrange_cell(fx, x, xn, r, n, omega)
+            blind_sum = lr if blind_sum is None else fx.add(blind_sum, lr)
+        full_evals[(lblindc, 0)] = blind_sum
+
+        env = CellEnv(fx, full_evals, challenge_cells, x)
+        acc = None
+        for con, width in protocol.constraints:
+            if width:
+                for lane in range(width):
+                    env.lane = lane
+                    v = env.eval(con)
+                    acc = v if acc is None else fx.mul_add(acc, y, v)
+                env.lane = 0
+            else:
+                v = env.eval(con)
+                acc = v if acc is None else fx.mul_add(acc, y, v)
+        zh = fx.add_const(xn, -1)
+        expected_h = fx.mul(acc, fx.inv(zh))
+
+        # ---- SHPLONK scalar side -----------------------------------------
+        # query schedule mirrors verifier.verify_proof: protocol queries,
+        # then ("random", x), then ("h_collapsed", x)
+        sched: list[tuple[str, int]] = []  # (label, rot)
+        for col, rot in protocol.queries:
+            sched.append((f"{col.kind}:{col.index}", rot))
+        sched.append(("random", 0))
+        sched.append(("h_collapsed", 0))
+        eval_of: dict[tuple[str, int], Cell] = {}
+        for (col, rot), cell in evals_map.items():
+            eval_of[(f"{col.kind}:{col.index}", rot)] = cell
+        eval_of[("random", 0)] = random_eval
+        eval_of[("h_collapsed", 0)] = expected_h
+
+        # label -> (gidx, [rots]); groups keyed by rotation tuple
+        by_label: dict[str, dict] = {}
+        order: list[str] = []
+        for label, rot in sched:
+            if label not in by_label:
+                by_label[label] = {"rots": [], "gidx": len(order)}
+                order.append(label)
+            if rot not in by_label[label]["rots"]:
+                by_label[label]["rots"].append(rot)
+        groups: dict[tuple, list[str]] = {}
+        for label in order:
+            key = tuple(sorted(by_label[label]["rots"]))
+            groups.setdefault(key, []).append(label)
+
+        v = chip.challenge()
+        chip.absorb_point_limbs(sh_h.xl, sh_h.yl)
+        u = chip.challenge()
+
+        # v^gidx cells
+        v_pows = [fx.constant(1)]
+        for _ in range(len(order) - 1):
+            v_pows.append(fx.mul(v_pows[-1], v))
+
+        all_rots = sorted({r for rots in groups for r in rots})
+        # Z over a rot list, evaluated at u
+        def z_at_u(rots) -> Cell:
+            accz = None
+            for r in rots:
+                d = fx.sub(u, pt_of(r))
+                accz = d if accz is None else fx.mul(accz, d)
+            return accz if accz is not None else fx.constant(1)
+
+        zt_u = z_at_u(all_rots)
+        coeff: dict[str, Cell] = {}  # label -> scalar coefficient on C_label
+        scalar_acc = None  # sum_i w_u_i * r_u_i
+        for rots, labels in groups.items():
+            others = [r for r in all_rots if r not in rots]
+            w_u = z_at_u(others)
+            # combined evals per point: sum_label v^gidx * eval(label, rot)
+            comb = []
+            for r in rots:
+                a = None
+                for lb in labels:
+                    g = by_label[lb]["gidx"]
+                    term = fx.mul(v_pows[g], eval_of[(lb, r)])
+                    a = term if a is None else fx.add(a, term)
+                comb.append(a)
+            # r_u: Lagrange interpolation over (pt(rot), comb) at u
+            r_u = None
+            for i, ri in enumerate(rots):
+                num, den = None, None
+                for j, rj in enumerate(rots):
+                    if i == j:
+                        continue
+                    dn = fx.sub(u, pt_of(rj))
+                    num = dn if num is None else fx.mul(num, dn)
+                    dd = fx.sub(pt_of(ri), pt_of(rj))
+                    den = dd if den is None else fx.mul(den, dd)
+                term = comb[i]
+                if num is not None:
+                    term = fx.mul(term, fx.mul(num, fx.inv(den)))
+                r_u = term if r_u is None else fx.add(r_u, term)
+            for lb in labels:
+                coeff[lb] = fx.mul(w_u, v_pows[by_label[lb]["gidx"]])
+            wr = fx.mul(w_u, r_u)
+            scalar_acc = wr if scalar_acc is None else fx.add(scalar_acc, wr)
+
+        # ---- flatten the MSM ----------------------------------------------
+        terms: list[tuple[Cell, PointCells]] = []
+
+        def handle_point(label: str):
+            kind, _, idx = label.partition(":")
+            if kind == "advice":
+                return adv_pts[int(idx)]
+            if kind == "fixed":
+                return fixed_pts[int(idx)]
+            if kind == "aux":
+                if idx.startswith("sigma"):
+                    return sigma_pts[int(idx[5:])]
+                if idx.startswith("lookup_a_perm"):
+                    return lk_perm_pts[int(idx[13:])][0]
+                if idx.startswith("lookup_s_perm"):
+                    return lk_perm_pts[int(idx[13:])][1]
+                if idx.startswith("lookup_z"):
+                    return lkz_pts[int(idx[8:])]
+                if idx.startswith("perm_z"):
+                    return permz_pts[int(idx[6:])]
+            if label == "random":
+                return rand_pt
+            raise KeyError(label)
+
+        for label in order:
+            if label == "h_collapsed":
+                # sum_i x^{n i} C_{h,i}, coefficient distributes over pieces
+                xni = None
+                for i, hp in enumerate(h_pts):
+                    c = coeff[label] if i == 0 else fx.mul(coeff[label], xni)
+                    terms.append((c, hp))
+                    if i + 1 < len(h_pts):
+                        xni = xn if xni is None else fx.mul(xni, xn)
+                continue
+            pc = handle_point(label)
+            if pc is None:
+                continue  # identity fixed commitment: constant-folded out
+            terms.append((coeff[label], pc))
+        # - scalar_acc * G1 - zt_u * H + u * W
+        g1 = self._load_point(fx, bn.G1_GEN, constant=True)
+        terms.append((fx.neg(scalar_acc), g1))
+        terms.append((fx.neg(zt_u), sh_h))
+        terms.append((u, sh_w))
+
+        running = None
+        for s, pc in terms:
+            t = self.ec_mul(fx, state, s, pc)
+            running = t if running is None else self.ec_add(fx, state,
+                                                            running, t)
+        lhs = running
+
+        return {
+            "lhs": lhs,
+            "rhs": sh_w,
+            "accumulator": Accumulator(lhs.affine, sh_w.affine),
+            "instance_cells": inst_cells,
+            "challenges": challenge_cells,
+        }

@@ -62,22 +62,12 @@ def sharded_msm(mesh: Mesh, points: G1, scalars) -> G1:
 
     spec = P("chips", None)
     out_spec = P(None, None)
-    try:
-        fn = shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(spec, spec, spec, spec),
-            out_specs=(out_spec, out_spec, out_spec),
-            check_vma=False,
-        )
-    except TypeError:  # older jax spells it check_rep
-        fn = shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(spec, spec, spec, spec),
-            out_specs=(out_spec, out_spec, out_spec),
-            check_rep=False,
-        )
+    fn = jax.jit(_shard_map(  # jit: eager shard_map dispatches per-primitive
+        local,
+        mesh,
+        (spec, spec, spec, spec),
+        (out_spec, out_spec, out_spec),
+    ))
     x, y, z = fn(points.x, points.y, points.z, jnp.asarray(scalars, jnp.uint32))
     return G1(x[0], y[0], z[0])
 
@@ -185,9 +175,14 @@ def sharded_ntt_t(mesh: Mesh, a_t: jnp.ndarray, k: int,
                                tiled=True)  # (16, n1/C, n2)
         return jnp.swapaxes(b, 1, 2)
 
-    B = _shard_map(sub1, mesh, (spec_c,), spec_c)(A)
-    Bt = _shard_map(xpose, mesh, (spec_c, spec_c), spec_c)(B, tw)
-    out = _shard_map(sub2 if k2 != k1 else sub1, mesh, (spec_c,), spec_c)(Bt)
+    # jit each staged module: an UNJITTED shard_map runs op-by-op (one XLA
+    # compile per primitive dispatch — minutes of compile under the
+    # forced-host-device mode the driver validates with)
+    B = jax.jit(_shard_map(sub1, mesh, (spec_c,), spec_c))(A)
+    Bt = jax.jit(_shard_map(xpose, mesh, (spec_c, spec_c), spec_c))(B, tw)
+    out = jax.jit(
+        _shard_map(sub2 if k2 != k1 else sub1, mesh, (spec_c,), spec_c)
+    )(Bt)
     # C[k2, k1] holds X[k1 + n1*k2]: flattening (n2, n1) IS natural order
     out = jnp.reshape(out, (ff.L, n))
     if inverse:
@@ -226,9 +221,9 @@ def sharded_msm_t(mesh: Mesh, points_t, scalars, *, c: int = 4,
     pspec = P(None, "chips")
     sspec = P("chips", None)
     rep = P(None, None)
-    x, y, z = _shard_map(
+    x, y, z = jax.jit(_shard_map(
         local, mesh, (pspec, pspec, pspec, sspec), (rep, rep, rep)
-    )(points_t.x, points_t.y, points_t.z, scalars)
+    ))(points_t.x, points_t.y, points_t.z, scalars)
     from zkevm_tpu.ec.group_t import G1T as _G1T
 
     return _G1T(x, y, z)

@@ -47,14 +47,21 @@ class Protocol:
 def build_protocol(
     cs: ConstraintSystem,
     n: int,
-    theta: int,
-    beta: int,
-    gamma: int,
+    theta,
+    beta,
+    gamma,
 ) -> Protocol:
     """Assemble argument constraints. Gate constraints come first (in cs
     order), then lookups, then the permutation argument — the y-power
-    ordering both sides use."""
+    ordering both sides use.
+
+    theta/beta/gamma may be ints (prover/verifier) or Expr placeholders
+    (the in-circuit verifier builds the SAME trees with the challenges as
+    ChallengeExpr nodes resolved to witness cells)."""
     one = Const(1)
+
+    def _c(v):
+        return v if isinstance(v, Expr) else Const(v)
     l0 = aux("l0")
     llast = aux("llast")
     lblind = aux("lblind")
@@ -97,7 +104,7 @@ def build_protocol(
     def compress(exprs):
         acc = None
         for e in exprs:
-            acc = e if acc is None else Sum(Prod(acc, Const(theta)), e)
+            acc = e if acc is None else Sum(Prod(acc, _c(theta)), e)
         return acc if acc is not None else Const(0)
 
     for i, lk in enumerate(cs.lookups):
@@ -107,7 +114,7 @@ def build_protocol(
         sp = aux(f"lookup_s_perm{i}")
         z = aux(f"lookup_z{i}")
         aux_columns += [ap, sp, z]
-        b, g = Const(beta), Const(gamma)
+        b, g = _c(beta), _c(gamma)
         _scalar(Prod(Query(l0), Sum(one, Neg(Query(z)))))
         _scalar(
             Prod(Query(llast), Sum(Prod(Query(z), Query(z)), Neg(Query(z))))
@@ -151,7 +158,7 @@ def build_protocol(
         z = aux(f"perm_z{ci}")
         zs.append(z)
         aux_columns.append(z)
-        b, g = Const(beta), Const(gamma)
+        b, g = _c(beta), _c(gamma)
         if ci == 0:
             _scalar(Prod(Query(l0), Sum(one, Neg(Query(z)))))
         else:
@@ -169,8 +176,9 @@ def build_protocol(
             sig = sigma_cols[jg]
             lhs = Prod(lhs, Sum(Query(col), Sum(Prod(b, Query(sig)), g)))
             delta_j = pow(DELTA, jg, FR_MOD)
-            rhs = Prod(rhs, Sum(Query(col), Sum(Prod(Const(beta * delta_j % FR_MOD)
-                                                     , DomainX()), g)))
+            rhs = Prod(rhs, Sum(Query(col),
+                                Sum(Prod(Prod(b, Const(delta_j)), DomainX()),
+                                    g)))
         _scalar(Prod(active, Sum(lhs, Neg(rhs))))
         queries.append((z, 0))
         queries.append((z, 1))
