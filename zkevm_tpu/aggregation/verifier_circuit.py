@@ -227,7 +227,9 @@ class VerifierChip:
             ChallengeExpr(self.BE, 0),
             ChallengeExpr(self.GA, 0),
         )
-        self.num_h = inner_vk.domain.extended_n // inner_vk.domain.n
+        # prover commits exactly gate_degree-1 quotient pieces (halo2's
+        # quotient_poly_degree; see plonk/prover.py)
+        self.num_h = max(inner_vk.cs.gate_degree() - 1, 1)
 
     # -- point loading ------------------------------------------------------
     def _load_point(self, fx: FlexCtx, pt_aff, constant: bool) -> PointCells:

@@ -462,8 +462,14 @@ def create_proof(
             h_ext = ff.add(FR, ff.mont_mul(FR, h_ext, y_m), v)
     h_ext = domain.divide_by_vanishing_poly(h_ext)
     h_coeff_full = domain.extended_to_coeff(h_ext)
-    # quotient degree < (gate_degree - 1) * n; split into n-chunks
-    num_pieces = domain.extended_n // n
+    # deg(h) <= d(n-1) - n < (d-1)n for gate degree d, so exactly d-1
+    # n-chunks carry coefficients (halo2's quotient_poly_degree = cs
+    # degree - 1); committing the zero tail chunks would put identity
+    # points in the proof, which the in-circuit verifier cannot witness.
+    num_pieces = max(cs.gate_degree() - 1, 1)
+    assert num_pieces <= domain.extended_n // n
+    tail = np.asarray(h_coeff_full[num_pieces * n :])
+    assert not tail.any(), "quotient tail pieces must be zero"
     h_pieces = [h_coeff_full[i * n : (i + 1) * n] for i in range(num_pieces)]
     h_comms = []
     for hp in h_pieces:
