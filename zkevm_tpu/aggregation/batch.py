@@ -1,0 +1,165 @@
+"""BatchCircuit: aggregate N chunk snarks into one accumulator + batch PI.
+
+Reference counterpart: aggregator/src/aggregation/circuit.rs:40-132
+(BatchCircuit / layer3) + core.rs:48-111 (`extract_accumulators_and_proof`
+and the random-linear-combination KZG accumulation snark-verifier
+performs). Per chunk snark the circuit:
+
+1. verifies the snark in-circuit (VerifierChip) -> accumulator A_i;
+2. extracts the EMBEDDED accumulator E_i from the chunk's instance
+   (rows 0..11 — every compression-layer instance leads with its own
+   deferred-pairing operands, compression.py ACC_ROWS);
+3. folds all 2N accumulators with a transcript challenge r:
+       lhs = sum_j r^j lhs_j,   rhs = sum_j r^j rhs_j
+   (pairing bilinearity: the fold passes the final check iff every
+   component does, up to negligible r-collision probability);
+4. hashes the chunk public inputs into one batch digest.
+
+Deviation (documented): the batch digest is a Poseidon hash chain, not
+the reference's keccak batch hash (aggregator/src/batch.rs BatchHash) —
+the EVM-facing keccak form is pending the keccak-table wiring into this
+CS. The chunk-chaining checks (prev/post state-root continuity,
+batch.rs:42) are applied on the chunk PI cells when `chain_checks` gives
+index pairs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from zkevm_tpu.aggregation.compression import ACC_ROWS
+from zkevm_tpu.aggregation.sponge import TranscriptChip
+from zkevm_tpu.aggregation.verifier_circuit import (
+    Accumulator, PointCells, VerifierChip, VerifierConfig, configure,
+)
+from zkevm_tpu.circuits import ecc_circuit as ecc
+from zkevm_tpu.circuits import poseidon_table as pt
+from zkevm_tpu.ec import goldens as bn
+from zkevm_tpu.gadgets.bigint import NL, from_limbs
+from zkevm_tpu.gadgets.flex import FlexCtx
+from zkevm_tpu.plonk.assign import Assignment
+from zkevm_tpu.plonk.cs import ConstraintSystem
+from zkevm_tpu.plonk.keygen import VerifyingKey
+from zkevm_tpu.plonk.prover import Proof
+
+
+@dataclass
+class BatchCircuit:
+    cs: ConstraintSystem
+    cfg: VerifierConfig
+    chip: VerifierChip
+    n_chunks: int
+    k: int
+
+    @classmethod
+    def build(cls, chunk_vk: VerifyingKey, chunk_instance_lens: list[int],
+              n_chunks: int, k: int) -> "BatchCircuit":
+        cs = ConstraintSystem()
+        cfg = configure(cs)
+        chip = VerifierChip(cs, cfg, chunk_vk, chunk_instance_lens)
+        return cls(cs, cfg, chip, n_chunks, k)
+
+    def _acc_points(self, fx: FlexCtx, cells: list) -> tuple:
+        """instance cells rows 0..11 -> (lhs PointCells, rhs PointCells)."""
+        def point(limbs):
+            x = from_limbs([c.val for c in limbs[:NL]])
+            y = from_limbs([c.val for c in limbs[NL:]])
+            return PointCells(list(limbs[:NL]), list(limbs[NL:]), x, y)
+
+        return point(cells[:2 * NL]), point(cells[2 * NL:4 * NL])
+
+    def assign(self, chunk_instances: list, proofs: list[Proof],
+               n: int | None = None, chain_checks: list | None = None):
+        """chunk_instances: per chunk, the full instance column lists (the
+        compression convention: first column leads with 12 accumulator
+        limbs). chain_checks: optional [(i_prev_idx, i_next_idx)] pairs of
+        flat PI indices that must be equal across consecutive chunks
+        (state-root continuity). Returns (asg, instance values,
+        folded Accumulator)."""
+        assert len(proofs) == self.n_chunks
+        n = n if n is not None else (1 << self.k)
+        cs, cfg, chip = self.cs, self.cfg, self.chip
+        asg = Assignment(cs, n)
+        cfg.rt8.load(asg)
+        fx = FlexCtx(cs, cfg.flex, asg, 0)
+        state = {"mc_row": 0, "ac_row": 0, "mul_events": [],
+                 "add_events": []}
+
+        # each chunk proof was generated against a FRESH transcript, so
+        # each verification gets a fresh sponge chip (sharing the row
+        # cursor); the fold/digest sponge is a fourth fresh instance
+        sponge_row = 0
+        perm_states: list = []
+
+        def fresh_chip() -> TranscriptChip:
+            c = TranscriptChip(cs, cfg.sponge, fx, asg, sponge_row)
+            return c
+
+        accums = []  # (lhs PointCells, rhs PointCells)
+        all_pi_cells = []
+        for ci in range(self.n_chunks):
+            tchip = fresh_chip()
+            res = chip.assign(fx, tchip, chunk_instances[ci], proofs[ci],
+                              state)
+            sponge_row = tchip.row
+            perm_states += tchip.perm_states
+            accums.append((res["lhs"], res["rhs"]))
+            inst_cells = res["instance_cells"]
+            flat = [c for col in inst_cells for c in col]
+            emb_lhs, emb_rhs = self._acc_points(fx, flat[:ACC_ROWS])
+            accums.append((emb_lhs, emb_rhs))
+            all_pi_cells.append(flat[ACC_ROWS:])
+
+        # chunk-continuity checks on the PI cells
+        if chain_checks:
+            for ci in range(1, self.n_chunks):
+                for prev_idx, next_idx in chain_checks:
+                    fx.assert_eq(all_pi_cells[ci - 1][prev_idx],
+                                 all_pi_cells[ci][next_idx])
+
+        # fold: r from a fresh transcript over every accumulator encoding
+        tchip = fresh_chip()
+        for lhs, rhs in accums:
+            tchip.absorb_point_limbs(lhs.xl, lhs.yl)
+            tchip.absorb_point_limbs(rhs.xl, rhs.yl)
+        r = tchip.challenge()
+
+        def fold(points):
+            total = None
+            rp = None  # r^j cell (j >= 1)
+            for j, pc in enumerate(points):
+                if j == 0:
+                    total = pc
+                    continue
+                rp = r if rp is None else fx.mul(rp, r)
+                term = chip.ec_mul(fx, state, rp, pc)
+                total = chip.ec_add(fx, state, total, term)
+            return total
+
+        lhs_total = fold([a[0] for a in accums])
+        rhs_total = fold([a[1] for a in accums])
+
+        # batch digest: hash chain over all chunk PIs
+        for pis in all_pi_cells:
+            for c in pis:
+                tchip.absorb(c)
+        batch_digest = tchip.challenge()
+        perm_states += tchip.perm_states
+
+        pt.assign(cs, cfg.pt, n, perm_states, asg)
+        ecc.assign(cs, cfg.ecc, n, state["add_events"], state["mul_events"],
+                   asg)
+
+        acc = Accumulator(lhs_total.affine, rhs_total.affine)
+        inst_vals = []
+        row = 0
+        for cell in (lhs_total.xl + lhs_total.yl
+                     + rhs_total.xl + rhs_total.yl):
+            asg.set_int(cfg.inst, row, cell.val)
+            cs.copy(cfg.inst, row, cell.col, cell.row)
+            inst_vals.append(cell.val)
+            row += 1
+        asg.set_int(cfg.inst, row, batch_digest.val)
+        cs.copy(cfg.inst, row, batch_digest.col, batch_digest.row)
+        inst_vals.append(batch_digest.val)
+        return asg, inst_vals, acc
