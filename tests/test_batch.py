@@ -143,3 +143,26 @@ def test_batch_chain_check(chunks, monkeypatch):
     # chunk i-1 + nothing — use a pair that FAILS to prove checks bind
     with pytest.raises(AssertionError):
         bc.assign(insts, proofs, chain_checks=[(0, 0)])  # 111 != 112
+
+
+def test_batch_with_blob(chunks, monkeypatch):
+    """Blob-enabled batch: in-circuit barycentric y = blob(z) with z bound
+    to the batch transcript; (z, y) exposed in the instance for the
+    L1-side KZG point-eval check."""
+    from zkevm_tpu.aggregation.blob import (
+        BLS_R, barycentric_eval, batch_bytes_to_coeffs,
+    )
+    from zkevm_tpu.gadgets.bigint import from_limbs
+
+    params, pk, insts, proofs = chunks
+    _stub_ec(monkeypatch)
+    n_blob = 16
+    coeffs = batch_bytes_to_coeffs(b"batch payload bytes", n_blob)
+    bc = batch_mod.BatchCircuit.build(pk.vk, [ACC_ROWS + NPI], 2, 14,
+                                      n_blob=n_blob)
+    asg, inst_vals, acc = bc.assign(insts, proofs, blob_coeffs=coeffs)
+    assert vc.finalize_accumulator(params, acc)
+    z = from_limbs(inst_vals[13:16])
+    y = from_limbs(inst_vals[16:19])
+    assert y == barycentric_eval(coeffs, z, n_blob), "instance (z,y) wrong"
+    MockProver(bc.cs, asg).assert_satisfied()

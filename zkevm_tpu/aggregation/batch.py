@@ -50,14 +50,25 @@ class BatchCircuit:
     chip: VerifierChip
     n_chunks: int
     k: int
+    bary: object = None  # BarycentricConfig when blob consistency is on
 
     @classmethod
     def build(cls, chunk_vk: VerifyingKey, chunk_instance_lens: list[int],
-              n_chunks: int, k: int) -> "BatchCircuit":
+              n_chunks: int, k: int, n_blob: int = 0) -> "BatchCircuit":
+        """n_blob > 0 enables the EIP-4844 blob section: an in-circuit
+        barycentric evaluation y = blob(z) over n_blob coefficients, with
+        z squeezed from the batch transcript (bound to the coefficients)
+        and (z, y) limbs appended to the instance for the L1-side KZG
+        point-evaluation check (reference: aggregation/barycentric.rs +
+        blob_data.rs)."""
+        from zkevm_tpu.aggregation.barycentric import BarycentricConfig
+
         cs = ConstraintSystem()
         cfg = configure(cs)
         chip = VerifierChip(cs, cfg, chunk_vk, chunk_instance_lens)
-        return cls(cs, cfg, chip, n_chunks, k)
+        bary = (BarycentricConfig.configure(cs, cfg.rt8, n_blob)
+                if n_blob else None)
+        return cls(cs, cfg, chip, n_chunks, k, bary)
 
     def _acc_points(self, fx: FlexCtx, cells: list) -> tuple:
         """instance cells rows 0..11 -> (lhs PointCells, rhs PointCells)."""
@@ -69,7 +80,8 @@ class BatchCircuit:
         return point(cells[:2 * NL]), point(cells[2 * NL:4 * NL])
 
     def assign(self, chunk_instances: list, proofs: list[Proof],
-               n: int | None = None, chain_checks: list | None = None):
+               n: int | None = None, chain_checks: list | None = None,
+               blob_coeffs: list | None = None):
         """chunk_instances: per chunk, the full instance column lists (the
         compression convention: first column leads with 12 accumulator
         limbs). chain_checks: optional [(i_prev_idx, i_next_idx)] pairs of
@@ -144,6 +156,34 @@ class BatchCircuit:
             for c in pis:
                 tchip.absorb(c)
         batch_digest = tchip.challenge()
+
+        # ---- EIP-4844 blob section ------------------------------------
+        blob_zy_vals = []
+        if self.bary is not None:
+            assert blob_coeffs is not None and len(blob_coeffs) == \
+                self.bary.n_coeffs
+            from zkevm_tpu.aggregation.blob import BLS_R
+            from zkevm_tpu.gadgets.bigint import LB, to_limbs
+            from zkevm_tpu.ff.goldens import FR_MOD
+            # z bound to the coefficients through the transcript
+            for cv in blob_coeffs:
+                for l in to_limbs(cv % BLS_R):
+                    tchip.absorb(fx.constant(l))
+            z_cell = tchip.challenge()
+            res = self.bary.assign(asg, [c % BLS_R for c in blob_coeffs],
+                                   z_cell.val)
+            # bind the challenge to the region's z limbs natively
+            from zkevm_tpu.gadgets.flex import Cell
+            zl_cells = [Cell(col, row, asg.get_int(col, row))
+                        for col, row in res["z_cells"]]
+            comb = fx.raw(1, 1 << LB, 0, 0, 0, 1, a=zl_cells[0],
+                          b=zl_cells[1])
+            comb = fx.raw(1, pow(2, 2 * LB, FR_MOD), 0, 0, 0, 1,
+                          a=comb, b=zl_cells[2])
+            fx.assert_eq(comb, z_cell)
+            blob_zy_vals = ([asg.get_int(c, r) for c, r in res["z_cells"]]
+                            + [asg.get_int(c, r) for c, r in res["y_cells"]])
+            self.blob_y = res["y"]
         perm_states += tchip.perm_states
 
         pt.assign(cs, cfg.pt, n, perm_states, asg)
@@ -162,4 +202,13 @@ class BatchCircuit:
         asg.set_int(cfg.inst, row, batch_digest.val)
         cs.copy(cfg.inst, row, batch_digest.col, batch_digest.row)
         inst_vals.append(batch_digest.val)
+        row += 1
+        if blob_zy_vals:
+            # expose (z, y) limbs for the L1-side KZG point-eval check
+            for j, v in enumerate(blob_zy_vals):
+                col = (self.bary.z + self.bary.y)[j]
+                asg.set_int(cfg.inst, row, v)
+                cs.copy(cfg.inst, row, col, 0)
+                inst_vals.append(v)
+                row += 1
         return asg, inst_vals, acc

@@ -54,8 +54,10 @@ def from_limbs(limbs) -> int:
 
 @dataclass
 class ForeignMul:
-    """One mul-mod instance: on rows where q_en is 1, the row's
-    (a, b, q, r) limb cells satisfy a*b = q*m + r with r canonical."""
+    """One mul-add-mod instance: on rows where q_en is 1, the row's
+    (a, b, e, q, r) limb cells satisfy a*b + e = q*m + r with r canonical
+    (e is an optional addend, allocated when with_addend=True — it makes
+    modular ADDITION free: a=x, b=1, e=y gives r = x + y mod m)."""
 
     modulus: int
     a: list  # NL limb columns
@@ -65,10 +67,12 @@ class ForeignMul:
     carries: list  # 2NL-1 shifted carry columns
     borrows: list  # NL borrow bools of the r < m comparison
     chunks: dict  # column -> list of u8 chunk columns (range decomposition)
+    e: list | None = None  # NL addend limb columns (with_addend only)
 
     @classmethod
     def configure(cls, cs: ConstraintSystem, q_en: Expr, modulus: int,
-                  rt8: RangeTable, name: str = "fmul") -> "ForeignMul":
+                  rt8: RangeTable, name: str = "fmul",
+                  with_addend: bool = False) -> "ForeignMul":
         m_limbs = to_limbs(modulus)
         a = [cs.advice_column() for _ in range(NL)]
         b = [cs.advice_column() for _ in range(NL)]
@@ -76,14 +80,15 @@ class ForeignMul:
         r = [cs.advice_column() for _ in range(NL)]
         carries = [cs.advice_column() for _ in range(2 * NL - 1)]
         borrows = [cs.advice_column() for _ in range(NL)]
-        g = cls(modulus, a, b, qq, r, carries, borrows, {})
+        e = [cs.advice_column() for _ in range(NL)] if with_addend else None
+        g = cls(modulus, a, b, qq, r, carries, borrows, {}, e)
 
         one = Const(1)
         B2 = Const(1 << LB)
 
         # -- limb range checks via u8 chunk decomposition -----------------
         chunk_gates = []
-        for cols in (a, b, qq, r):
+        for cols in (a, b, qq, r) + ((e,) if e else ()):
             for col in cols:
                 nch = LB // 8
                 chs = [cs.advice_column() for _ in range(nch)]
@@ -109,6 +114,8 @@ class ForeignMul:
                     t = t - qq[i].cur() * Const(m_limbs[j])
             if k < NL:
                 t = t - r[k].cur()
+                if e is not None:
+                    t = t + e[k].cur()
             if prev_c is not None:
                 t = t + prev_c
             ck = carries[k].cur() - SH  # shifted storage: c = cell - 2^CB
@@ -158,13 +165,17 @@ class ForeignMul:
         cs.create_gate(f"{name}_canon", sub_gates)
         return g
 
-    def assign_row(self, asg: Assignment, row: int, av: int, bv: int) -> int:
-        """Fill one row's cells for a*b mod m; returns r."""
+    def assign_row(self, asg: Assignment, row: int, av: int, bv: int,
+                   ev: int = 0) -> int:
+        """Fill one row's cells for a*b + e mod m; returns r."""
         m = self.modulus
-        prod = av * bv
+        assert ev == 0 or self.e is not None
+        prod = av * bv + ev
         qv, rv = divmod(prod, m)
         vals = {tuple(self.a): av, tuple(self.b): bv,
                 tuple(self.q): qv, tuple(self.r): rv}
+        if self.e is not None:
+            vals[tuple(self.e)] = ev
         for cols, v in vals.items():
             for i, col in enumerate(cols):
                 limb = (v >> (LB * i)) & ((1 << LB) - 1)
@@ -174,6 +185,7 @@ class ForeignMul:
         # carries
         a_l, b_l = to_limbs(av), to_limbs(bv)
         q_l, r_l = to_limbs(qv), to_limbs(rv)
+        e_l = to_limbs(ev)
         m_l = to_limbs(m)
         c = 0
         for k in range(2 * NL - 1):
@@ -184,6 +196,7 @@ class ForeignMul:
                     t += a_l[i] * b_l[j] - q_l[i] * m_l[j]
             if k < NL:
                 t -= r_l[k]
+                t += e_l[k]
             if k < 2 * NL - 2:
                 assert t % (1 << LB) == 0, (k, t)
                 c = t >> (LB)  # exact (floor == exact when divisible)
