@@ -26,3 +26,13 @@ def test_pippenger_vs_golden(rng):
     out = msm_t(pt, limbs.limbs_from_ints([s % g.R for s in scalars]), c=4)
     got = group.to_affine_ints(group_t.to_g1(out))
     assert got == [g.msm(pts, scalars)]
+
+
+def test_pippenger_unsigned_vs_golden(rng):
+    n = 16
+    pts = [g.random_point(rng) for _ in range(n)]
+    scalars = [int(rng.integers(1, 1 << 60)) for _ in range(n)]
+    pt = group_t.from_g1(group.from_affine_ints(pts))
+    out = msm_t(pt, limbs.limbs_from_ints(scalars), c=4, signed=False)
+    got = group.to_affine_ints(group_t.to_g1(out))
+    assert got == [g.msm(pts, scalars)]

@@ -600,6 +600,25 @@ class Interpreter:
             return None
 
         snap = self._snapshot()
+        code_addr = to
+        from zkevm_tpu.etypes import precompiles as pc
+
+        if pc.is_precompile(code_addr):
+            # native precompile execution (revm-precompile role,
+            # bus-mapping/src/precompile.rs:9-42)
+            if name == "CALL" and value:
+                self.sdb.ensure(f.address).balance -= value
+                self.sdb.ensure(to).balance += value
+            ok, ret, cost = pc.execute(code_addr, args, child_gas)
+            left = child_gas - cost if ok else 0
+            if not ok:
+                self._rollback(snap)
+            f.returndata = ret
+            ncopy = min(out_ln, len(ret))
+            f.memory[out_off : out_off + ncopy] = ret[:ncopy]
+            log.gas_cost += forwarded - left
+            f.stack.append(1 if ok else 0)
+            return None
         if name == "CALL":
             if value:
                 self.sdb.ensure(f.address).balance -= value
