@@ -54,7 +54,8 @@ class BatchCircuit:
 
     @classmethod
     def build(cls, chunk_vk: VerifyingKey, chunk_instance_lens: list[int],
-              n_chunks: int, k: int, n_blob: int = 0) -> "BatchCircuit":
+              n_chunks: int, k: int, n_blob: int = 0,
+              ec_mode: str = "table") -> "BatchCircuit":
         """n_blob > 0 enables the EIP-4844 blob section: an in-circuit
         barycentric evaluation y = blob(z) over n_blob coefficients, with
         z squeezed from the batch transcript (bound to the coefficients)
@@ -65,7 +66,8 @@ class BatchCircuit:
 
         cs = ConstraintSystem()
         cfg = configure(cs)
-        chip = VerifierChip(cs, cfg, chunk_vk, chunk_instance_lens)
+        chip = VerifierChip(cs, cfg, chunk_vk, chunk_instance_lens,
+                            ec_mode=ec_mode)
         bary = (BarycentricConfig.configure(cs, cfg.rt8, n_blob)
                 if n_blob else None)
         return cls(cs, cfg, chip, n_chunks, k, bary)

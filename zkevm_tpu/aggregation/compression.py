@@ -44,10 +44,11 @@ class CompressionCircuit:
 
     @classmethod
     def build(cls, inner_vk: VerifyingKey, inner_instance_lens: list[int],
-              k: int) -> "CompressionCircuit":
+              k: int, ec_mode: str = "table") -> "CompressionCircuit":
         cs = ConstraintSystem()
         cfg = configure(cs)
-        chip = VerifierChip(cs, cfg, inner_vk, inner_instance_lens)
+        chip = VerifierChip(cs, cfg, inner_vk, inner_instance_lens,
+                            ec_mode=ec_mode)
         return cls(cs, cfg, chip, k)
 
     def min_rows(self) -> int:

@@ -46,12 +46,14 @@ class RecursionCircuit:
     k: int
 
     @classmethod
-    def build(cls, child_vk: VerifyingKey, k: int) -> "RecursionCircuit":
+    def build(cls, child_vk: VerifyingKey, k: int,
+              ec_mode: str = "table") -> "RecursionCircuit":
         """child_vk: the vk of the two snarks verified by this node — the
         batch vk at the leaves, the recursion vk itself above."""
         cs = ConstraintSystem()
         cfg = configure(cs)
-        chip = VerifierChip(cs, cfg, child_vk, [ACC_ROWS + STATE_LEN])
+        chip = VerifierChip(cs, cfg, child_vk, [ACC_ROWS + STATE_LEN],
+                            ec_mode=ec_mode)
         return cls(cs, cfg, chip, k)
 
     def _acc_points(self, cells: list) -> tuple:

@@ -213,7 +213,17 @@ class VerifierChip:
     every proof of that inner circuit."""
 
     def __init__(self, cs: ConstraintSystem, cfg: VerifierConfig,
-                 inner_vk: VerifyingKey, inner_instance_lens: list[int]):
+                 inner_vk: VerifyingKey, inner_instance_lens: list[int],
+                 ec_mode: str = "table"):
+        """ec_mode: "table" = full EC soundness through EcMul/EcAdd table
+        lookups (the production circuit); "host" = EC results entered as
+        unconstrained witness cells — the scalar/transcript statement
+        stays fully constrained and the ACCUMULATOR VALUES are identical,
+        so the fast tier still detects any proof/challenge/eval tamper
+        through the final pairing check (the MockProver-vs-real split of
+        the reference's test strategy, SURVEY §4)."""
+        assert ec_mode in ("table", "host")
+        self.ec_mode = ec_mode
         self.cs = cs
         self.cfg = cfg
         self.vk = inner_vk
@@ -275,6 +285,12 @@ class VerifierChip:
 
     def ec_mul(self, fx: FlexCtx, state, s: Cell, p: PointCells) -> PointCells:
         """One MSM term: s * p via an EcMulTable lookup row."""
+        if self.ec_mode == "host":
+            res = bn.scalar_mul(p.affine, s.val)
+            assert res is not None
+            return PointCells(
+                [fx.witness(v) for v in to_limbs(res[0])],
+                [fx.witness(v) for v in to_limbs(res[1])], res[0], res[1])
         asg, cfg = fx.asg, self.cfg
         row = state["mc_row"]
         state["mc_row"] += 1
@@ -289,6 +305,12 @@ class VerifierChip:
 
     def ec_add(self, fx: FlexCtx, state, a: PointCells,
                b: PointCells) -> PointCells:
+        if self.ec_mode == "host":
+            res = bn.add(a.affine, b.affine)
+            assert res is not None
+            return PointCells(
+                [fx.witness(v) for v in to_limbs(res[0])],
+                [fx.witness(v) for v in to_limbs(res[1])], res[0], res[1])
         asg, cfg = fx.asg, self.cfg
         row = state["ac_row"]
         state["ac_row"] += 1

@@ -123,3 +123,128 @@ class ChunkProver:
         if vk_fingerprint(pk.vk) != cp.vk_fingerprint:
             return False
         return verify_proof(self._params(cp.k), pk.vk, cp.instances, cp.proof)
+
+
+# ---------------------------------------------------------------------------
+# aggregation layers (reference: prover/src/lib.rs inner -> layer6,
+# prover/src/aggregator/prover.rs gen_batch_proof / gen_bundle_proof)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LayerSnark:
+    """One layer's output: the circuit instance (accumulator-first) plus
+    the proof (None in mock mode) and its host-side accumulator."""
+
+    instances: list  # instance column lists
+    proof: object
+    accumulator: object
+    vk: object = None
+    k: int = 0
+
+
+@dataclass
+class BundlePipeline:
+    """inner snark -> compression (layer1/2) -> batch (layer3 + blob) ->
+    recursion tree (layer5) with per-layer key caching.
+
+    mock=True replaces create_proof with MockProver satisfaction for the
+    CURRENT layer — the reference's MockProver-tier aggregation tests
+    (SURVEY §4 tier 2). A layer's CHILDREN must always be real snarks
+    (the in-circuit verifier replays their transcripts), so mock mode
+    composes one layer at a time over real child proofs; end-to-end
+    multi-layer proving uses mock=False (real Poseidon-transcript snark
+    per layer — the TPU-scale path). ec_mode is forwarded to the
+    in-circuit verifier ("host" = fast witness tier, "table" = full EC
+    soundness)."""
+
+    mock: bool = True
+    ec_mode: str = "table"
+    k_compress: int = 16
+    k_batch: int = 17
+    k_recursion: int = 17
+    params_db: dict = field(default_factory=dict)
+
+    def _params(self, k: int) -> ParamsKZG:
+        if k not in self.params_db:
+            log.warning("using unsafe test SRS for k=%d", k)
+            self.params_db[k] = ParamsKZG.unsafe_setup(k, tau=777,
+                                                       windowed=False)
+        return self.params_db[k]
+
+    def _prove(self, cc, asg, inst_vals, acc, name: str) -> LayerSnark:
+        from zkevm_tpu.plonk.mock import MockProver as MP
+        from zkevm_tpu.transcript import PoseidonTranscript
+
+        if self.mock:
+            MP(cc.cs, asg).assert_satisfied()
+            return LayerSnark([inst_vals], None, acc, None, cc.k)
+        params = self._params(cc.k)
+        fixed_only = Assignment(cc.cs, 1 << cc.k)
+        for col in cc.cs.fixed_columns:
+            fixed_only.cols[col][:] = asg.cols[col]
+        pk = keygen(params, cc.cs, fixed_only)
+        proof = create_proof(params, pk, [inst_vals], asg,
+                             transcript=PoseidonTranscript())
+        assert verify_proof(params, pk.vk, [inst_vals], proof,
+                            transcript=PoseidonTranscript())
+        log.info("layer %s proved (k=%d)", name, cc.k)
+        return LayerSnark([inst_vals], proof, acc, pk.vk, cc.k)
+
+    def compress(self, inner_vk, inner_params, instances, proof,
+                 name: str = "layer2") -> LayerSnark:
+        """One snark -> compression snark (reference layer1/layer2)."""
+        from zkevm_tpu.aggregation.compression import CompressionCircuit
+
+        cc = CompressionCircuit.build(
+            inner_vk, [len(i) for i in instances], self.k_compress,
+            ec_mode=self.ec_mode)
+        asg, inst_vals, acc = cc.assign(instances, proof)
+        self._compress_vk_src = cc
+        return self._prove(cc, asg, inst_vals, acc, name)
+
+    def batch(self, chunk_vk, chunk_snarks: list, *, n_blob: int = 0,
+              blob_coeffs=None, chain_checks=None) -> LayerSnark:
+        """N chunk-layer snarks -> batch snark (reference layer3)."""
+        from zkevm_tpu.aggregation.batch import BatchCircuit
+
+        lens = [[len(c) for c in s.instances] for s in chunk_snarks]
+        bc = BatchCircuit.build(chunk_vk, lens[0], len(chunk_snarks),
+                                self.k_batch, n_blob=n_blob,
+                                ec_mode=self.ec_mode)
+        asg, inst_vals, acc = bc.assign(
+            [s.instances for s in chunk_snarks],
+            [s.proof for s in chunk_snarks],
+            chain_checks=chain_checks, blob_coeffs=blob_coeffs)
+        return self._prove(bc, asg, inst_vals, acc, "layer3")
+
+    def bundle(self, batch_vk, batch_snarks: list) -> LayerSnark:
+        """Binary recursion tree over batch snarks (reference
+        layer5/bundle); odd leftovers promote unchanged."""
+        from zkevm_tpu.aggregation.recursion import RecursionCircuit
+
+        level = list(batch_snarks)
+        vk = batch_vk
+        while len(level) > 1:
+            nxt = []
+            for i in range(0, len(level) - 1, 2):
+                rc = RecursionCircuit.build(vk, self.k_recursion,
+                                            ec_mode=self.ec_mode)
+                asg, inst_vals, acc = rc.assign(
+                    [level[i].instances, level[i + 1].instances],
+                    [level[i].proof, level[i + 1].proof])
+                nxt.append(self._prove(rc, asg, inst_vals, acc, "layer5"))
+            if len(level) % 2:
+                nxt.append(level[-1])
+            level = nxt
+            # above the first tree level, nodes verify the recursion vk
+            vk = level[0].vk if level[0].vk is not None else vk
+        return level[0]
+
+    def finalize(self, params, snark: LayerSnark) -> bool:
+        """The terminal pairing check on the final accumulator (the role
+        of the reference's EVM/YUL verifier, prover/src/evm.rs)."""
+        from zkevm_tpu.aggregation.verifier_circuit import (
+            finalize_accumulator,
+        )
+
+        return finalize_accumulator(params, snark.accumulator)
