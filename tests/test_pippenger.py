@@ -23,7 +23,7 @@ def test_pippenger_vs_golden(rng):
     scalars[1] = g.R - 1  # max scalar: all-ones-ish digits
     scalars[2] = scalars[3]  # duplicate: same bucket twice -> doubling path
     pt = group_t.from_g1(group.from_affine_ints(pts))
-    out = msm_t(pt, limbs.limbs_from_ints([s % g.R for s in scalars]), c=4)
+    out = msm_t(pt, limbs.limbs_from_ints([s % g.R for s in scalars]), c=4, signed=True)
     got = group.to_affine_ints(group_t.to_g1(out))
     assert got == [g.msm(pts, scalars)]
 

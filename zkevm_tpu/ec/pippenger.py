@@ -216,7 +216,7 @@ def msm_t(
     c: int = 4,
     num_bits: int = 256,
     sublanes: int = 1024,
-    signed: bool = True,
+    signed: bool = False,
 ) -> G1T:
     """Variable-base MSM: sum_i scalars[i] * points[i].
 
@@ -224,9 +224,12 @@ def msm_t(
     rows are handled by the complete add). scalars: (N, 16) uint32
     standard-form (NOT Montgomery) limbs. Returns G1T batch shape (1,).
 
-    signed=True (default) uses signed digits: bucket count drops from
-    2^c to 2^(c-1)+1, ~halving the accumulate scan's bucket-state HBM
-    traffic (the measured bound on TPU) for one extra Horner window.
+    signed=True uses signed digits: bucket count drops from 2^c to
+    2^(c-1)+1, halving the accumulate scan's bucket-state footprint.
+    MEASURED SLOWER on TPU v5e at k=18 (0.99e5 vs 1.43e5 pts/s unsigned
+    c=4): the per-step conditional y-negation + the extra Horner window
+    outweigh the state reduction, so unsigned stays the default; kept
+    for the memory-constrained large-k regime.
     """
     scalars = jnp.asarray(scalars, jnp.uint32)
     n = points.x.shape[1]
