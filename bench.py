@@ -109,12 +109,14 @@ def bench_msm(platform, rng):
     t0 = time.time()
     params = _setup_cached(k)
     if params.pippenger is None:
-        if os.environ.get("ZKEVM_TPU_MSM", "") == "ps":
-            # sort+prefix-sum MSM (ec/psmsm.py): 8x fewer field muls at
-            # c=16; opt-in until its TPU compile/run profile is recorded
+        if os.environ.get("ZKEVM_TPU_MSM", "ps") == "ps":
+            # sort+prefix-sum MSM (ec/psmsm.py) — the k=18 TPU sweep
+            # (round 3) measured it fastest at c=16/lanes=512/wgroup=16:
+            # 2.03e5 pts/s vs the one-hot pippenger's 1.43e5
             from zkevm_tpu.ec.psmsm import PsMSM
 
-            params.pippenger = PsMSM(group_t.from_g1(params.g1_powers))
+            params.pippenger = PsMSM(group_t.from_g1(params.g1_powers),
+                                     c=16, lanes=512, wgroup=16)
         else:
             from zkevm_tpu.ec.pippenger import PippengerMSMT
 

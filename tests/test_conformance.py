@@ -168,3 +168,11 @@ def test_failure_is_reported():
 def test_circuit_tier_one_spec():
     r = run_state_test(SUITE[0], tier=CIRCUIT)
     assert r.status == "pass", r.detail
+
+
+def test_circuit_tier_copy_sha3_log():
+    """CODECOPY + SHA3 + LOG0 through the full super circuit — the
+    EVM->CopyTable->KeccakTable link for the copy-backed states."""
+    spec = next(s for s in SUITE if s["name"] == "calldata_logs_and_sha3")
+    r = run_state_test(spec, tier=CIRCUIT)
+    assert r.status == "pass", r.detail

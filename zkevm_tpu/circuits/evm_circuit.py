@@ -136,6 +136,9 @@ class ES(IntEnum):
     RETURN = 43  # execution/return_revert.rs (frame exit side)
     REVERT = 44
     RETURNDATASIZE = 45  # execution/returndatasize.rs
+    SHA3 = 46  # execution/sha3.rs (CopyTable RLC_ACC event + KeccakTable)
+    COPY = 47  # CALLDATACOPY/CODECOPY/RETURNDATACOPY (CopyTable event)
+    LOG = 48  # execution/logs.rs (v1: LOG0; TX_LOG rows + CopyTable)
 
 
 NSTATES = len(ES)
@@ -186,12 +189,15 @@ OP_STATES = {
     ES.RETURN: (0xF3, 0, 2, 2),
     ES.REVERT: (0xFD, 0, 2, 2),
     ES.RETURNDATASIZE: (0x3D, 2, -1, 2),
+    ES.SHA3: (0x20, 30, 1, 3),  # + dynamic word/memexp terms
+    ES.COPY: (None, 3, 3, 3),
+    ES.LOG: (None, 375, 2, 3),
 }
 STATIC_GAS_STATES = [
     s for s in OP_STATES
     if s not in (ES.MLOAD, ES.MSTORE, ES.SLOAD, ES.SSTORE, ES.ACCT_INFO,
                  ES.EXP, ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4,
-                 ES.RETURN, ES.REVERT)
+                 ES.RETURN, ES.REVERT, ES.SHA3, ES.COPY, ES.LOG)
 ]
 NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0, ES.RESTORE: 8}
 NRW.update({s: spec[3] for s, spec in OP_STATES.items()})
@@ -270,6 +276,7 @@ def configure(
     bitwise_table=None,
     block_table=None,
     exp_table=None,
+    copy_table=None,
 ) -> EvmConfig:
     q_step = cs.fixed_column()
     q_first = cs.fixed_column()
@@ -952,6 +959,65 @@ def configure(
         qs * istc.cur() * S[ES.SSTORE],
     ])
 
+    # -- SHA3 / COPY / LOG (CopyTable-backed states) -----------------------
+    # Shared discipline: 32-byte-aligned memory-side offset (the copy
+    # circuit's word-anchored layout; same restriction as MLOAD/MSTORE),
+    # len < 2^128, word count opn = ceil(len/32) pinned by a [0,32) slack
+    # (rt4 nibble bb0 + the carries[0] bit), memexp gas term in aux[0].
+    ZERO2 = Const(0)
+    S3, CP, LG = S[ES.SHA3], S[ES.COPY], S[ES.LOG]
+    cpl = S3 + CP + LG
+    slack = bb0.cur() + Const(16) * carries[0].cur()
+    c_cd, c_cc = carries[1].cur(), carries[2].cur()
+    rdc = one - c_cd - c_cc
+    cs.create_gate("ev_copy_ops", [
+        cpl * (w[0][0].cur() - Const(32) * w[3][0].cur()),
+        cpl * w[0][1].cur(),
+        cpl * w[1][1].cur(),
+        cpl * (Const(32) * opn.cur() - slack - w[1][0].cur()),
+        S3 * (gc.cur() - Const(30) - Const(6) * opn.cur() - aux[0].cur()),
+        CP * (gc.cur() - Const(3) - Const(3) * opn.cur() - aux[0].cur()),
+        LG * (gc.cur() - Const(375) - Const(8) * w[1][0].cur()
+              - aux[0].cur()),
+        # COPY opcode selection bits (CALLDATACOPY/CODECOPY/RETURNDATACOPY)
+        CP * c_cd * c_cc,
+        CP * (opcode.cur() - Const(0x37) * c_cd - Const(0x39) * c_cc
+              - Const(0x3E) * rdc),
+        CP * w[2][1].cur(),  # src offset < 2^128
+        # LOG v1 scope: LOG0 only; forbidden in static frames
+        LG * (opcode.cur() - Const(0xA0)),
+        qs * istc.cur() * LG,
+        # LOG: the emitting account address split into halves for TX_LOG
+        LG * (callee.cur() - w[2][0].cur() - TWO128 * w[2][1].cur()),
+    ])
+    rt4.lookup(cs, "ev_copy_slack", [cpl * bb0.cur()])
+
+    if copy_table is not None:
+        MEMC, RLCC, TXLC, CDC, BCC, RDC_ = (Const(1), Const(5), Const(4),
+                                            Const(3), Const(2), Const(6))
+        copy_table.lookup(cs, "ev_sha3_copy", [
+            S3, S3 * MEMC, S3 * RLCC, S3 * cid.cur(), ZERO2,
+            S3 * cid.cur(), ZERO2, S3 * w[0][0].cur(), ZERO2,
+            S3 * w[1][0].cur(), S3 * (rwc.cur() + Const(2)),
+            S3 * opn.cur(), S3 * w[2][0].cur(), S3 * w[2][1].cur(),
+        ])
+        t_src_cp = Const(6) - Const(3) * c_cd - Const(4) * c_cc
+        sid_lo = (c_cd * tx_id.cur() + c_cc * code_hash.cur()
+                  + rdc * cid.cur())
+        sid_hi = c_cc * code_hash_hi.cur()
+        copy_table.lookup(cs, "ev_copy_copy", [
+            CP, CP * t_src_cp, CP * MEMC, CP * sid_lo, CP * sid_hi,
+            CP * cid.cur(), ZERO2, CP * w[0][0].cur(),
+            CP * w[2][0].cur(), CP * w[1][0].cur(),
+            CP * (rwc.cur() + Const(3)), CP * opn.cur(), ZERO2, ZERO2,
+        ])
+        copy_table.lookup(cs, "ev_log_copy", [
+            LG, LG * MEMC, LG * TXLC, LG * cid.cur(), ZERO2,
+            LG * tx_id.cur(), LG * aux[1].cur(), LG * w[0][0].cur(),
+            LG * aux[1].cur(), LG * w[1][0].cur(),
+            LG * (rwc.cur() + Const(2)), LG * opn.cur(), ZERO2, ZERO2,
+        ])
+
     # -- per-state step transitions --------------------------------------
     def trans(cell, nxt_exprs: dict, default):
         """cell(+1) = sum_s sel_s * expr_s."""
@@ -1008,6 +1074,10 @@ def configure(
             ES.RESTORE: gas_left.cur() + w[5][0].cur(),
         }), lambda s: gas_left.cur() - gc.cur()),
         trans(rwc, {ES.CALL1: rwc.cur() + Const(6) + hv.cur(),
+                    ES.SHA3: rwc.cur() + Const(3) + opn.cur(),
+                    ES.COPY: rwc.cur() + Const(3) + opn.cur(),
+                    ES.LOG: rwc.cur() + Const(3) + opn.cur()
+                    + w[1][0].cur(),
                     # REVERT: the journal's compensating writes are
                     # emitted right after the frame's rows (builder
                     # _revert_to); opn carries their count. Bounded by
@@ -1287,6 +1357,25 @@ def configure(
                        Const(int(fld)), ZERO, *wc(0), *wc(0)])
         use(s_ctx, 1, stack_wr(spc - one, wc(0), pc_(1)))
 
+    # SHA3: off/len reads + the digest write AFTER the nw memory reads
+    use(ES.SHA3, 0, stack_rd(spc, wc(0)))
+    use(ES.SHA3, 1, stack_rd(spc + one, wc(1)))
+    slots[2].append((ES.SHA3,
+                     [one, rwc.cur() + Const(2) + opn.cur()]
+                     + stack_wr(spc + one, wc(2), pc_(2))))
+    # COPY: dst_off / src_off / len reads (builder top(0..2) order)
+    use(ES.COPY, 0, stack_rd(spc, wc(0)))
+    use(ES.COPY, 1, stack_rd(spc + one, wc(2)))
+    use(ES.COPY, 2, stack_rd(spc + Const(2), wc(1)))
+    # LOG0: off/len reads + the TX_LOG address row after the word reads
+    TXL = int(Target.TX_LOG)
+    use(ES.LOG, 0, stack_rd(spc, wc(0)))
+    use(ES.LOG, 1, stack_rd(spc + one, wc(1)))
+    slots[2].append((ES.LOG,
+                     [one, rwc.cur() + Const(2) + opn.cur(),
+                      one, Const(TXL), tx_id.cur(), aux[1].cur(), ZERO,
+                      ZERO, w[2][0].cur(), w[2][1].cur(), ZERO, ZERO]))
+
     for i in range(NSLOTS):
         inputs = [Const(0)] * len(RwTable.FIELDS)
         for state, fields in slots[i]:
@@ -1389,7 +1478,10 @@ def _state_of(step: ExecStep) -> ES:
          0x1A: ES.BYTE, 0x0B: ES.SIGNEXTEND, 0x1D: ES.SAR,
          0xF1: ES.CALL1, 0xF2: ES.CALL1, 0xF4: ES.CALL1, 0xFA: ES.CALL1,
          0xF3: ES.RETURN, 0xFD: ES.REVERT,
-         0x3D: ES.RETURNDATASIZE}
+         0x3D: ES.RETURNDATASIZE,
+         0x20: ES.SHA3,
+         0x37: ES.COPY, 0x39: ES.COPY, 0x3E: ES.COPY,
+         0xA0: ES.LOG}
     if op not in m:
         raise NotImplementedError(f"opcode {op:#x} not in EVM circuit scope")
     return m[op]
@@ -1652,6 +1744,48 @@ def assign(
             put_word(2, vals[0].value)  # callee address
             put_word(0, vals[1].value)  # balance
             put_pcell(1, _group_prev(rws, vals[2]))
+        elif st == ES.SHA3:
+            off, ln = vals[0].value, vals[1].value
+            dg = vals[-1].value
+            nw = len(vals) - 3
+            put_word(0, off)
+            put_word(1, ln)
+            put_word(2, dg)
+            put_word(3, off // 32)
+            put_pcell(2, _group_prev(rws, vals[-1]))
+            asg.set_int(cfg.opn, r, nw)
+            slack_v = 32 * nw - ln
+            asg.set_int(cfg.bb0, r, slack_v & 15)
+            asg.set_int(cfg.carries[0], r, slack_v >> 4)
+            asg.set_int(cfg.aux[0], r, step.gas_cost - 30 - 6 * nw)
+        elif st == ES.COPY:
+            doff, soff, ln = (vals[0].value, vals[1].value, vals[2].value)
+            nw = len(vals) - 3
+            put_word(0, doff)
+            put_word(1, ln)
+            put_word(2, soff)
+            put_word(3, doff // 32)
+            asg.set_int(cfg.opn, r, nw)
+            slack_v = 32 * nw - ln
+            asg.set_int(cfg.bb0, r, slack_v & 15)
+            asg.set_int(cfg.carries[0], r, slack_v >> 4)
+            asg.set_int(cfg.carries[1], r, 1 if step.op == 0x37 else 0)
+            asg.set_int(cfg.carries[2], r, 1 if step.op == 0x39 else 0)
+            asg.set_int(cfg.aux[0], r, step.gas_cost - 3 - 3 * nw)
+        elif st == ES.LOG:
+            off, ln = vals[0].value, vals[1].value
+            nw = len(vals) - 3 - ln
+            log_row = vals[2 + nw]
+            put_word(0, off)
+            put_word(1, ln)
+            put_word(2, callee)
+            put_word(3, off // 32)
+            asg.set_int(cfg.opn, r, nw)
+            slack_v = 32 * nw - ln
+            asg.set_int(cfg.bb0, r, slack_v & 15)
+            asg.set_int(cfg.carries[0], r, slack_v >> 4)
+            asg.set_int(cfg.aux[0], r, step.gas_cost - 375 - 8 * ln)
+            asg.set_int(cfg.aux[1], r, log_row.address)
         elif st in (ES.ADDMOD, ES.MULMOD):
             a, b_, N = vals[0].value, vals[1].value, vals[2].value
             res = vals[3].value

@@ -83,19 +83,26 @@ def configure(
     picfg = pic.configure(cs, ch, ktcfg.table, txcfg, ntx=params.max_txs,
                           rt8=txcfg.rt8)
     excfg = ec.configure(cs, wacfg.table)
+    cpcfg = cp.configure(cs, rw_table, bt, tx_table=txcfg.table,
+                         challenges=ch, keccak_table=ktcfg.table)
     evcfg = evm.configure(cs, rw_table, bt, tx_table=txcfg.table,
                           rt8=txcfg.rt8, rw_count=stcfg.count_surface,
                           word_table=wacfg.table, bitwise_table=bwcfg.table,
-                          block_table=picfg.table, exp_table=excfg.table)
-    cpcfg = cp.configure(cs, rw_table, bt)
+                          block_table=picfg.table, exp_table=excfg.table,
+                          copy_table=cpcfg.table)
     return SuperConfig(params, ch, ktcfg, bccfg, stcfg, txcfg, rlpcfg,
                        evcfg, cpcfg, picfg, wacfg, bwcfg, excfg)
 
 
 def keccak_messages(block: Block) -> list[bytes]:
+    from zkevm_tpu.witness.builder import CopyDataType
+
     codes = [c for c in block.codes if len(c)]
+    sha3_inputs = [bytes(b for b, _ in e.bytes_) for e in block.copy_events
+                   if e.dst_type == CopyDataType.RLC_ACC]
     return (codes + txc.keccak_messages(block.txs)
-            + pic.keccak_messages(block.context, block.tx_hashes))
+            + pic.keccak_messages(block.context, block.tx_hashes)
+            + sha3_inputs)
 
 
 def row_usage(cfg: SuperConfig, block: Block) -> dict:
@@ -152,12 +159,15 @@ class SuperWitness:
     bwit: bc.BytecodeWitness
     twit: txc.TxWitness
     pwit: pic.PiWitness
+    cwit: cp.CopyWitness = None
 
     def fill_phase1(self, r_keccak: int, r_word: int) -> None:
         self.kwit.fill_phase1(r_keccak, r_word)
         self.bwit.fill_phase1(r_keccak, r_word)
         self.twit.fill_phase1(r_keccak)
         self.pwit.fill_phase1(r_keccak)
+        if self.cwit is not None:
+            self.cwit.fill_phase1(r_keccak)
 
     def instance(self) -> list[list[int]]:
         """Public inputs: the PI hash halves (pi circuit instance)."""
@@ -212,8 +222,8 @@ def assign(
                evm.word_arith_ops(block.steps, block.rws)
                + ec.word_arith_ops(xevents), asg)
     bwc.assign(cs, cfg.bw, n, evm.bitwise_events(block.steps, block.rws), asg)
-    cp.assign(cs, cfg.cp, n, block.copy_events, block.rws, asg)
+    cwit = cp.assign(cs, cfg.cp, n, block.copy_events, block.rws, asg)
     twit = txc.assign(cs, cfg.tx, n, block.txs, asg)
     rlp.assign(cs, cfg.rlp, n, block.txs, asg)
     pwit = pic.assign(cs, cfg.pi, n, block.context, block.tx_hashes, asg)
-    return SuperWitness(asg, cfg, kwit, bwit, twit, pwit)
+    return SuperWitness(asg, cfg, kwit, bwit, twit, pwit, cwit)
