@@ -57,7 +57,7 @@ def _assign(cs, rt8, cfg, frame):
 def test_decoder_circuit_satisfied(circuit):
     cs, rt8, cfg = circuit
     payload = PAYLOADS[3]
-    frame = zstd_encode(payload)
+    frame = zstd_encode(payload, sequences=False)
     rows, out = zc.decode_events(frame)
     assert out == payload
     asg = _assign(cs, rt8, cfg, frame)
@@ -66,7 +66,7 @@ def test_decoder_circuit_satisfied(circuit):
 
 def test_decoder_circuit_empty_payload(circuit):
     cs, rt8, cfg = circuit
-    frame = zstd_encode(b"")
+    frame = zstd_encode(b"", sequences=False)
     asg = _assign(cs, rt8, cfg, frame)
     MockProver(cs, asg).assert_satisfied()
 
@@ -74,7 +74,7 @@ def test_decoder_circuit_empty_payload(circuit):
 def test_decoder_rejects_tampered_output(circuit):
     cs, rt8, cfg = circuit
     payload = b"tamper me" + b"\x11" * 20
-    frame = zstd_encode(payload)
+    frame = zstd_encode(payload, sequences=False)
     asg = _assign(cs, rt8, cfg, frame)
     # claim a different output byte at index 2 (both FSM row + table row,
     # else the lookup itself trivially fails)
@@ -89,10 +89,93 @@ def test_decoder_rejects_tampered_output(circuit):
 def test_decoder_rejects_truncated_stream(circuit):
     cs, rt8, cfg = circuit
     payload = b"abcdefgh" * 4
-    frame = zstd_encode(payload)
+    frame = zstd_encode(payload, sequences=False)
     asg = _assign(cs, rt8, cfg, frame)
     rows, out = zc.decode_events(frame)
     # flip the declared block size down: the register chain must break
     bh2 = next(j for j, r in enumerate(rows) if r["state"] == zc.ZS.BH2)
     asg.set_int(cfg.rep, bh2 + 1, 1)
     assert MockProver(cs, asg).verify()
+
+
+# ---- v2: compressed blocks (LZ77 + predefined-FSE sequences) ----------
+
+def test_v2_fse_table_duality():
+    """Every (state, read-bits) decode transition is inverted exactly by
+    the encode table (RFC 8878 predefined distributions)."""
+    from zkevm_tpu.aggregation import fse
+
+    for dt, ct in ((fse.LL_DT, fse.LL_CT), (fse.ML_DT, fse.ML_CT),
+                   (fse.OF_DT, fse.OF_CT)):
+        size = 1 << dt.acc
+        for u0 in range(size):
+            s0 = dt.symbol[u0]
+            for b in range(1 << dt.nbits[u0]):
+                v1 = size + dt.base[u0] + b
+                nb = (v1 + ct.delta_nbbits[s0]) >> 16
+                assert nb == dt.nbits[u0]
+                assert (v1 & ((1 << nb) - 1)) == b
+                assert ct.state_table[(v1 >> nb) + ct.delta_find[s0]] \
+                    == size + u0
+
+
+def test_v2_ll_decode_table_matches_rfc():
+    """RFC 8878 predefined literals-length table spot rows."""
+    from zkevm_tpu.aggregation.fse import LL_DT
+
+    assert (LL_DT.symbol[0], LL_DT.nbits[0], LL_DT.base[0]) == (0, 4, 0)
+    assert (LL_DT.symbol[1], LL_DT.nbits[1], LL_DT.base[1]) == (0, 4, 16)
+    assert (LL_DT.symbol[2], LL_DT.nbits[2], LL_DT.base[2]) == (1, 5, 32)
+    assert (LL_DT.symbol[63], LL_DT.nbits[63], LL_DT.base[63]) == (32, 6, 0)
+
+
+def test_v2_roundtrip_compressible():
+    import random
+
+    rng = random.Random(0)
+    cases = [
+        b"hello world hello world hello world!",
+        b"0123456789abcdef" * 300,
+        bytes(rng.choice(b"ab") for _ in range(5000)),
+        open(__file__, "rb").read() * 2,
+    ]
+    for d in cases:
+        frame = zstd_encode(d)
+        assert zstd_decode(frame) == d
+    # real compression on repetitive data (not just RLE)
+    d = open(__file__, "rb").read()
+    assert len(zstd_encode(d)) < 0.8 * len(d)
+
+
+def test_v2_roundtrip_fuzz():
+    import random
+
+    rng = random.Random(7)
+    for trial in range(12):
+        n = rng.randrange(0, 8000)
+        alpha = b"abcdefgh" if trial % 2 else bytes(range(256))
+        d = bytes(rng.choice(alpha) for _ in range(n))
+        assert zstd_decode(zstd_encode(d)) == d
+
+
+def test_v2_repeat_offsets():
+    """Decoder-side RFC 8878 repeat-offset semantics (all four cases)."""
+    from zkevm_tpu.aggregation.zstd import (
+        decode_sequences, encode_sequences, execute_sequences)
+
+    seqs = [(4, 5, 7), (0, 4, 1), (2, 4, 1), (1, 6, 2), (0, 6, 3),
+            (3, 4, 17)]
+    lits = b"abcdXYzw*Q"
+    bs = encode_sequences(seqs)
+    assert decode_sequences(bs, len(seqs)) == seqs
+    out = execute_sequences(seqs, lits)
+    # golden replay: initial reps [1,4,8]; ofv>3 -> dist=ofv-3
+    assert out.startswith(b"abcdabcda")
+
+
+def test_v2_matches_reference_decoder():
+    zstd_mod = pytest.importorskip("zstandard")
+    d = zstd_mod.ZstdDecompressor()
+    payload = open(__file__, "rb").read()
+    frame = zstd_encode(payload)
+    assert d.decompress(frame, max_output_size=len(payload) + 1) == payload
