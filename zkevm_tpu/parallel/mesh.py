@@ -191,6 +191,55 @@ def sharded_ntt_t(mesh: Mesh, a_t: jnp.ndarray, k: int,
     return out
 
 
+def sharded_msm_t_scan(mesh: Mesh, points_t, scalars, *,
+                       num_bits: int = 256):
+    """Point-sharded double-and-add MSM in the TRANSPOSED limb layout —
+    the compile-lean shard_map validation path. Same sharded structure as
+    sharded_msm (point axis over chips, all_gather partial reduce) but
+    every field mul is the scan-CIOS mont_mul_t (~20x cheaper to compile
+    under the forced-host XLA:CPU mode the driver dryrun runs in than
+    the limbs-last group.py ops). points_t: G1T (16, N); scalars (N, 16)
+    standard-form limbs < 2^num_bits. Returns G1T (16, 1) replicated."""
+    from zkevm_tpu.ec.group_t import (G1T, add_pt, double_t, identity_t,
+                                      select_t)
+
+    scalars = jnp.asarray(scalars, jnp.uint32)
+
+    def fold(acc, blk):
+        return add_pt(acc, G1T(blk[0][:, None], blk[1][:, None],
+                               blk[2][:, None])), None
+
+    def local(px, py, pz, s):
+        bits_t = jnp.moveaxis(ff.scalar_bits(s, num_bits), -1, 0)
+        base = G1T(px, py, pz)
+        acc = identity_t(base.batch_shape, like=px)
+
+        def body(carry, bit):
+            a, b = carry
+            a = select_t(bit != 0, add_pt(a, b), a)
+            return (a, double_t(b)), None
+
+        (acc, _), _ = jax.lax.scan(body, (acc, base), bits_t)
+        xs = tuple(jnp.moveaxis(v, 1, 0) for v in (acc.x, acc.y, acc.z))
+        part, _ = jax.lax.scan(fold, identity_t((1,), like=px), xs)
+        gx = jax.lax.all_gather(part.x, "chips", axis=1, tiled=True)
+        gy = jax.lax.all_gather(part.y, "chips", axis=1, tiled=True)
+        gz = jax.lax.all_gather(part.z, "chips", axis=1, tiled=True)
+        xs = tuple(jnp.moveaxis(v, 1, 0) for v in (gx, gy, gz))
+        tot, _ = jax.lax.scan(fold, identity_t((1,), like=px), xs)
+        return tot.x, tot.y, tot.z
+
+    pspec = P(None, "chips")
+    sspec = P("chips", None)
+    rep = P(None, None)
+    x, y, z = jax.jit(_shard_map(
+        local, mesh, (pspec, pspec, pspec, sspec), (rep, rep, rep)
+    ))(points_t.x, points_t.y, points_t.z, scalars)
+    from zkevm_tpu.ec.group_t import G1T as _G1T
+
+    return _G1T(x, y, z)
+
+
 def sharded_msm_t(mesh: Mesh, points_t, scalars, *, c: int = 4,
                   num_bits: int = 256, sublanes: int = 128):
     """Point-sharded bucketed Pippenger MSM (the commit hot path,

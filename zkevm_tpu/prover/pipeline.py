@@ -140,6 +140,7 @@ class LayerSnark:
     accumulator: object
     vk: object = None
     k: int = 0
+    batch_header: object = None  # BatchHeader (layer3 snarks only)
 
 
 @dataclass
@@ -203,9 +204,38 @@ class BundlePipeline:
         return self._prove(cc, asg, inst_vals, acc, name)
 
     def batch(self, chunk_vk, chunk_snarks: list, *, n_blob: int = 0,
-              blob_coeffs=None, chain_checks=None) -> LayerSnark:
-        """N chunk-layer snarks -> batch snark (reference layer3)."""
+              blob_coeffs=None, chain_checks=None, chunk_infos=None,
+              batch_payload: bytes | None = None, blob_params=None,
+              header_fields: dict | None = None) -> LayerSnark:
+        """N chunk-layer snarks -> batch snark (reference layer3).
+
+        When `chunk_infos` (aggregation.header.ChunkInfo list) is given,
+        the L1-facing BatchHeader is constructed with the reference's
+        keccak byte layouts (batch.rs:42-131) and attached to the
+        returned snark; `batch_payload` additionally enforces the
+        blob-decode round-trip sanity gate (aggregator/prover.rs:211-218):
+        zstd_decode(blob bytes) == batch payload."""
         from zkevm_tpu.aggregation.batch import BatchCircuit
+
+        header = None
+        if chunk_infos is not None:
+            from zkevm_tpu.aggregation.header import BatchHeader
+            from zkevm_tpu.aggregation.zstd import zstd_decode, zstd_encode
+
+            blob_bytes = (zstd_encode(batch_payload)
+                          if batch_payload is not None else b"")
+            if batch_payload is not None:
+                assert zstd_decode(blob_bytes) == batch_payload, \
+                    "blob decode round-trip failed"
+            hf = dict(version=3, batch_index=0, l1_message_popped=0,
+                      total_l1_message_popped=0,
+                      parent_batch_hash=b"\x00" * 32,
+                      last_block_timestamp=0)
+            hf.update(header_fields or {})
+            header = BatchHeader.construct_from_chunks(
+                chunks=chunk_infos, blob_bytes=blob_bytes,
+                n_snarks=len(chunk_snarks), blob_params=blob_params,
+                n_blob=n_blob or None, **hf)
 
         lens = [[len(c) for c in s.instances] for s in chunk_snarks]
         bc = BatchCircuit.build(chunk_vk, lens[0], len(chunk_snarks),
@@ -215,7 +245,9 @@ class BundlePipeline:
             [s.instances for s in chunk_snarks],
             [s.proof for s in chunk_snarks],
             chain_checks=chain_checks, blob_coeffs=blob_coeffs)
-        return self._prove(bc, asg, inst_vals, acc, "layer3")
+        out = self._prove(bc, asg, inst_vals, acc, "layer3")
+        out.batch_header = header
+        return out
 
     def bundle(self, batch_vk, batch_snarks: list) -> LayerSnark:
         """Binary recursion tree over batch snarks (reference
