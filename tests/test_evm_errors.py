@@ -1,0 +1,160 @@
+"""EVM circuit error states (reference: evm_circuit/step.rs:39 error
+variants + execution/error_{invalid_jump,stack,invalid_opcode,
+oog_constant}.rs): failing root-frame txs proven end-to-end from the
+mini-tracer trace, plus adversarial tampers."""
+
+import pytest
+
+from zkevm_tpu.circuits import bytecode_circuit as bc
+from zkevm_tpu.circuits import evm_circuit as evm
+from zkevm_tpu.circuits import state_circuit as st
+from zkevm_tpu.circuits.tables import BytecodeLenTable, BytecodeTable, RwTable
+from zkevm_tpu.etypes import CodeDB, StateDB
+from zkevm_tpu.etypes.trace import trace_call
+from zkevm_tpu.plonk import ConstraintSystem, MockProver
+from zkevm_tpu.plonk.assign import Assignment
+from zkevm_tpu.witness import CircuitInputBuilder
+
+K = 11
+N = 1 << K
+CALLER = 0xAAAA
+CALLEE = 0xBBBB
+
+
+@pytest.fixture(scope="module")
+def circuit():
+    cs = ConstraintSystem()
+    st_cfg = st.configure(cs, limb_bits=10)
+    bc_cfg = bc.configure(cs)
+    from zkevm_tpu.gadgets import RangeTable
+
+    rt8 = RangeTable.configure(cs, 8)
+    ev_cfg = evm.configure(
+        cs, RwTable.from_state(st_cfg), BytecodeTable.from_config(bc_cfg),
+        rw_count=st_cfg.count_surface, rt8=rt8,
+        bytecode_len_table=BytecodeLenTable.from_config(bc_cfg),
+    )
+    return cs, st_cfg, bc_cfg, ev_cfg
+
+
+def build(code, gas=1_000_000):
+    sdb, cdb = StateDB(), CodeDB()
+    h = cdb.insert(code)
+    sdb.ensure(CALLEE).code_hash = h
+    sdb.ensure(CALLER).balance = 10**18
+    pre = sdb.clone()
+    tr = trace_call(sdb, cdb, caller=CALLER, callee=CALLEE, value=0,
+                    gas=gas)
+    assert tr.failed, "the trace must fail for an error-state test"
+    builder = CircuitInputBuilder(pre, cdb)
+    builder.handle_tx(tr, caller=CALLER, callee=CALLEE, value=0)
+    return builder
+
+
+def witness(circuit, builder, code):
+    cs, st_cfg, bc_cfg, ev_cfg = circuit
+    asg = Assignment(cs, N)
+    st.assign(cs, st_cfg, N, st.fix_value_prev(builder.rws.rows), asg)
+    bc.assign(cs, bc_cfg, N, [code], asg)
+    evm.assign(cs, ev_cfg, N, builder.steps, builder.rws, asg=asg,
+               calls=builder.calls, codes=[code])
+    return asg
+
+
+def _states(builder):
+    return [s.exec_state for s in builder.steps]
+
+
+def test_invalid_jump_oob_proven(circuit):
+    cs = circuit[0]
+    code = bytes([0x60, 0xFF, 0x56])  # PUSH1 0xFF; JUMP (dest >= len)
+    builder = build(code)
+    assert "ErrorInvalidJump" in _states(builder)
+    MockProver(cs, witness(circuit, builder, code)).assert_satisfied()
+
+
+def test_invalid_jump_not_jumpdest_proven(circuit):
+    cs = circuit[0]
+    code = bytes([0x60, 0x00, 0x56, 0x5B])  # JUMP to index 0 (PUSH1)
+    builder = build(code)
+    assert "ErrorInvalidJump" in _states(builder)
+    MockProver(cs, witness(circuit, builder, code)).assert_satisfied()
+
+
+def test_invalid_jumpi_taken_proven(circuit):
+    cs = circuit[0]
+    # PUSH1 1 (cond); PUSH1 9 (dest, into push-data); JUMPI
+    code = bytes([0x60, 1, 0x60, 9, 0x57, 0x60, 0x5B, 0x60, 0x00, 0x00])
+    builder = build(code)
+    assert "ErrorInvalidJump" in _states(builder)
+    MockProver(cs, witness(circuit, builder, code)).assert_satisfied()
+
+
+def test_stack_underflow_proven(circuit):
+    cs = circuit[0]
+    code = bytes([0x01])  # ADD on an empty stack
+    builder = build(code)
+    assert "ErrorStack" in _states(builder)
+    MockProver(cs, witness(circuit, builder, code)).assert_satisfied()
+
+
+def test_invalid_opcode_proven(circuit):
+    cs = circuit[0]
+    code = bytes([0x60, 1, 0xFE])  # INVALID
+    builder = build(code)
+    assert "ErrorInvalidOpcode" in _states(builder)
+    MockProver(cs, witness(circuit, builder, code)).assert_satisfied()
+
+
+def test_oog_constant_proven(circuit):
+    cs = circuit[0]
+    code = bytes([0x60, 1, 0x60, 1, 0x01, 0x00])
+    builder = build(code, gas=7)  # PUSH(3)+PUSH(3) leaves 1 < 3 for ADD
+    assert "ErrorOutOfGasConstant" in _states(builder)
+    MockProver(cs, witness(circuit, builder, code)).assert_satisfied()
+
+
+def test_valid_jump_claimed_invalid_rejected(circuit):
+    """Repaint a VALID jump's row as ErrorInvalidJump: the bytecode-table
+    byte lookup / jd constraint must fail."""
+    cs, _, _, ev_cfg = circuit
+    code = bytes([0x60, 0x00, 0x56, 0x5B])  # jump to 0 = PUSH1, invalid
+    builder = build(code)
+    asg = witness(circuit, builder, code)
+    # find the error row and lie about the fetched byte (claim 0x00)
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.exec_state == "ErrorInvalidJump")
+    from zkevm_tpu.ff import FR
+
+    asg.set_int(ev_cfg.ej_byte, row, 0x5B)  # pretend dest IS a jumpdest
+    asg.set_int(ev_cfg.ej_isc, row, 1)
+    assert MockProver(cs, asg).verify(), \
+        "error claim over a jumpdest byte must be rejected"
+
+
+def test_fake_stack_error_rejected(circuit):
+    """ErrorStack painted onto a step whose stack was fine must fail the
+    bound comparison."""
+    cs, _, _, ev_cfg = circuit
+    code = bytes([0x01])
+    builder = build(code)
+    # tamper the witness: claim the underflowing ADD had 2 items (sp)
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.exec_state == "ErrorStack")
+    asg = witness(circuit, builder, code)
+    asg.set_int(ev_cfg.sp, row, 1022)  # 2 items: no underflow
+    assert MockProver(cs, asg).verify(), \
+        "a non-violating stack pointer must be rejected"
+
+
+def test_fake_oog_rejected(circuit):
+    cs, _, _, ev_cfg = circuit
+    code = bytes([0x60, 1, 0x60, 1, 0x01, 0x00])
+    builder = build(code, gas=7)
+    asg = witness(circuit, builder, code)
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.exec_state == "ErrorOutOfGasConstant")
+    # claim plenty of gas: the shortfall comparison must fail
+    asg.set_int(ev_cfg.gas_left, row, 100)
+    assert MockProver(cs, asg).verify(), \
+        "OOG with sufficient gas must be rejected"

@@ -139,6 +139,12 @@ class ES(IntEnum):
     SHA3 = 46  # execution/sha3.rs (CopyTable RLC_ACC event + KeccakTable)
     COPY = 47  # CALLDATACOPY/CODECOPY/RETURNDATACOPY (CopyTable event)
     LOG = 48  # execution/logs.rs (v1: LOG0; TX_LOG rows + CopyTable)
+    # terminal error states (root-frame scope this round; reference:
+    # step.rs:39 error variants + execution/error_*.rs)
+    ERR_INVALID_JUMP = 49  # execution/error_invalid_jump.rs
+    ERR_STACK = 50  # execution/error_stack.rs (under+overflow)
+    ERR_INVALID_OP = 51  # execution/error_invalid_opcode.rs
+    ERR_OOG = 52  # execution/error_oog_constant.rs
 
 
 NSTATES = len(ES)
@@ -199,8 +205,11 @@ STATIC_GAS_STATES = [
                  ES.EXP, ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4,
                  ES.RETURN, ES.REVERT, ES.SHA3, ES.COPY, ES.LOG)
 ]
-NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0, ES.RESTORE: 8}
+NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0, ES.RESTORE: 8,
+       ES.ERR_INVALID_JUMP: 1, ES.ERR_STACK: 0, ES.ERR_INVALID_OP: 0,
+       ES.ERR_OOG: 0}
 NRW.update({s: spec[3] for s, spec in OP_STATES.items()})
+ERRS = (ES.ERR_INVALID_JUMP, ES.ERR_STACK, ES.ERR_INVALID_OP, ES.ERR_OOG)
 CALL_OPS = (0xF1, 0xF2, 0xF4, 0xFA)
 
 
@@ -258,6 +267,23 @@ class EvmConfig:
     istc: Column = None  # current frame's is_static flag (chained)
     vnz: Column = None  # CALL1: transfer-value-nonzero bit
     ccid: Column = None  # CALL1-4: the child call id
+    # error-state cells/gadgets (ERR_* states)
+    ej_oob: Column = None  # invalid-jump: dest out-of-range flag
+    ej_byte: Column = None  # invalid-jump: fetched byte at dest
+    ej_isc: Column = None  # invalid-jump: is_code of that byte
+    ej_len: Column = None  # invalid-jump: code length (oob case)
+    es_ov: Column = None  # stack error: 1 = overflow, 0 = underflow
+    es_pop: Column = None  # stack error / oog: opcode metadata cells
+    es_push: Column = None
+    og_gas: Column = None
+    io_op: Column = None  # fixed: invalid opcodes (op+1)
+    os_op: Column = None  # fixed: valid-opcode metadata (op+1, ...)
+    os_pop: Column = None
+    os_push: Column = None
+    os_gas: Column = None
+    ltg_ej: object = None
+    ltg_es: object = None
+    ltg_og: object = None
 
 
 def _word(cs) -> tuple:
@@ -277,6 +303,7 @@ def configure(
     block_table=None,
     exp_table=None,
     copy_table=None,
+    bytecode_len_table=None,
 ) -> EvmConfig:
     q_step = cs.fixed_column()
     q_first = cs.fixed_column()
@@ -311,6 +338,14 @@ def configure(
     dep, istc, vnz, ccid = (cs.advice_column() for _ in range(4))
     p2s, p2lo, p2hi = (cs.fixed_column() for _ in range(3))
     om_op, om_tag = cs.fixed_column(), cs.fixed_column()
+    # error-state cells: invalid-jump (oob flag, fetched byte/is_code,
+    # code length), stack over/underflow (pops/pushes + direction flag),
+    # OOG-constant (required static gas)
+    ej_oob, ej_byte, ej_isc, ej_len = (cs.advice_column() for _ in range(4))
+    es_ov, es_pop, es_push, og_gas = (cs.advice_column() for _ in range(4))
+    io_op = cs.fixed_column()  # invalid opcodes, stored op+1
+    # valid-opcode metadata: (op+1, pops, pushes, static gas)
+    os_op, os_pop, os_push, os_gas = (cs.fixed_column() for _ in range(4))
     rt4 = rt4 or RangeTable.configure(cs, 4)
 
     one = Const(1)
@@ -346,20 +381,24 @@ def configure(
         return one - acc
 
     EXITS = (ES.STOP, ES.RETURN, ES.REVERT)
+    ERRL = list(ERRS)
     CALL_CHAIN = {ES.CALL1: ES.CALL2, ES.CALL2: ES.CALL3, ES.CALL3: ES.CALL4}
     cs.create_gate("ev_transitions", [
-        qt * S[ES.BEGIN_TX] * allowed(opcode_states + [ES.END_TX]),
+        qt * S[ES.BEGIN_TX] * allowed(opcode_states + [ES.END_TX] + ERRL),
         qt * S[ES.END_TX] * allowed([ES.BEGIN_TX, ES.END_BLOCK]),
         qt * S[ES.END_BLOCK] * allowed([ES.END_BLOCK]),
         # child's first row / caller's resume row is a plain opcode row
-        qt * S[ES.CALL4] * allowed(opcode_states),
-        qt * S[ES.RESTORE] * allowed(opcode_states),
+        qt * S[ES.CALL4] * allowed(opcode_states + ERRL),
+        qt * S[ES.RESTORE] * allowed(opcode_states + ERRL),
     ] + [
         qt * S[a] * allowed([b]) for a, b in CALL_CHAIN.items()
     ] + [
-        qt * S[s] * allowed(opcode_states + [ES.END_TX])
+        qt * S[s] * allowed(opcode_states + [ES.END_TX] + ERRL)
         for s in opcode_states
         if s not in EXITS + (ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4)
+    ] + [
+        # error rows are terminal for the (root) frame -> EndTx
+        qt * S[e] * allowed([ES.END_TX]) for e in ERRL
     ])
     # exit rows fork on is-root (the depth chain): root -> EndTx,
     # nested -> Restore; constrained below once the IsZero gadget for
@@ -1042,7 +1081,7 @@ def configure(
     for x in CONT:
         pc_next[x] = pc.cur()
         sp_next[x] = sp.cur()
-    for x in EXITS:  # next row (EndTx or Restore) re-binds everything
+    for x in EXITS + ERRS:  # next row (EndTx or Restore) re-binds everything
         pc_next[x] = pc.rot(1)
         sp_next[x] = sp.rot(1)
     for s, (op, cost, dsp, _) in OP_STATES.items():
@@ -1074,6 +1113,13 @@ def configure(
             ES.RESTORE: gas_left.cur() + w[5][0].cur(),
         }), lambda s: gas_left.cur() - gc.cur()),
         trans(rwc, {ES.CALL1: rwc.cur() + Const(6) + hv.cur(),
+                    # error rows: own reads + the journal's compensating
+                    # writes emitted before EndTx (opn, as with REVERT)
+                    ES.ERR_INVALID_JUMP: rwc.cur() + one
+                    + (opcode.cur() - Const(0x56)) + opn.cur(),
+                    ES.ERR_STACK: rwc.cur() + opn.cur(),
+                    ES.ERR_INVALID_OP: rwc.cur() + opn.cur(),
+                    ES.ERR_OOG: rwc.cur() + opn.cur(),
                     ES.SHA3: rwc.cur() + Const(3) + opn.cur(),
                     ES.COPY: rwc.cur() + Const(3) + opn.cur(),
                     ES.LOG: rwc.cur() + Const(3) + opn.cur()
@@ -1376,6 +1422,74 @@ def configure(
                       one, Const(TXL), tx_id.cur(), aux[1].cur(), ZERO,
                       ZERO, w[2][0].cur(), w[2][1].cur(), ZERO, ZERO]))
 
+    # -- error states (execution/error_*.rs; root-frame scope) -------------
+    S_ej, S_es = S[ES.ERR_INVALID_JUMP], S[ES.ERR_STACK]
+    S_eio, S_eog = S[ES.ERR_INVALID_OP], S[ES.ERR_OOG]
+    err_any = S_ej + S_es + S_eio + S_eog
+    use(ES.ERR_INVALID_JUMP, 0, stack_rd(spc, wc(0)))  # attempted dest
+    is_jumpi = opcode.cur() - Const(0x56)  # 0/1 given the opcode bind
+    # JUMPI error rows also read the condition, which must be nonzero
+    # (a false condition falls through and cannot error)
+    use(ES.ERR_INVALID_JUMP, 1, stack_rd(spc + one, wc(1)), en=is_jumpi)
+    iz["ej_hi"] = IsZero.configure(cs, S_ej, w[0][1].cur(), "ev_iz_ejhi")
+    iz["ej_jd"] = IsZero.configure(cs, S_ej, ej_byte.cur() - Const(0x5B),
+                                   "ev_iz_ejjd")
+    iz["ej_clo"] = IsZero.configure(cs, S_ej * is_jumpi, w[1][0].cur(),
+                                    "ev_iz_ejclo")
+    iz["ej_chi"] = IsZero.configure(cs, S_ej * is_jumpi, w[1][1].cur(),
+                                    "ev_iz_ejchi")
+    hz, jd = iz["ej_hi"].expr(), iz["ej_jd"].expr()
+    ltg_ej = LtGadget.configure(cs, S_ej * ej_oob.cur(), w[0][0].cur(),
+                                ej_len.cur(), rt8, n_limbs=16, name="ev_ejlt")
+    es_lhs = es_ov.cur() * (sp.cur() + es_pop.cur()) \
+        + (one - es_ov.cur()) * Const(STACK_CAP)
+    es_rhs = es_ov.cur() * es_push.cur() \
+        + (one - es_ov.cur()) * (sp.cur() + es_pop.cur())
+    ltg_es = LtGadget.configure(cs, S_es, es_lhs, es_rhs, rt8, n_limbs=2,
+                                name="ev_eslt")
+    ltg_og = LtGadget.configure(cs, S_eog, gas_left.cur(), og_gas.cur(),
+                                rt8, n_limbs=4, name="ev_oglt")
+    err_polys = [
+        err_any * (dep.cur() - one),  # root frame only (this round)
+        err_any * (gc.cur() - gas_left.cur()),  # remainder consumed
+        qs * ej_oob.cur() * (one - ej_oob.cur()),
+        qs * es_ov.cur() * (one - es_ov.cur()),
+        S_ej * (opcode.cur() - Const(0x56)) * (opcode.cur() - Const(0x57)),
+        # in-range dest: hi limb must be 0 and the fetched byte must NOT
+        # be an is_code JUMPDEST
+        S_ej * (one - ej_oob.cur()) * (one - hz),
+        S_ej * (one - ej_oob.cur()) * jd * ej_isc.cur(),
+        # out-of-range dest: NOT(hi == 0 and lo < code_len)
+        S_ej * ej_oob.cur() * hz * ltg_ej.expr(),
+        # a JUMPI error needs a taken branch: cond != 0
+        S_ej * is_jumpi * iz["ej_clo"].expr() * iz["ej_chi"].expr(),
+        # stack violation / gas shortfall must actually hold
+        S_es * (ltg_es.expr() - one),
+        S_eog * (ltg_og.expr() - one),
+    ]
+    if bytecode_len_table is not None:
+        bytecode_len_table.lookup(
+            cs, "ev_ejmp_len", S_ej * ej_oob.cur(),
+            code_hash.cur(), code_hash_hi.cur(), ej_len.cur())
+    else:  # no length surface: out-of-range jump errors unsupported
+        err_polys.append(S_ej * ej_oob.cur())
+    cs.create_gate("ev_error", err_polys)
+    bytecode_table.lookup(
+        cs, "ev_ejmp_byte", S_ej * (one - ej_oob.cur()),
+        code_hash.cur(), code_hash_hi.cur(), w[0][0].cur(),
+        ej_byte.cur(), ej_isc.cur())
+    # opcode must really be invalid / really have these pops/pushes/gas
+    cs.lookup("ev_err_invop", [(S_eio * (opcode.cur() + one), io_op.cur())])
+    cs.lookup("ev_err_stack_meta", [
+        (S_es * (opcode.cur() + one), os_op.cur()),
+        (S_es * es_pop.cur(), os_pop.cur()),
+        (S_es * es_push.cur(), os_push.cur()),
+    ])
+    cs.lookup("ev_err_oog_meta", [
+        (S_eog * (opcode.cur() + one), os_op.cur()),
+        (S_eog * og_gas.cur(), os_gas.cur()),
+    ])
+
     for i in range(NSLOTS):
         inputs = [Const(0)] * len(RwTable.FIELDS)
         for state, fields in slots[i]:
@@ -1384,8 +1498,10 @@ def configure(
         rw_table.lookup(cs, f"ev_rw_slot{i}", inputs)
 
     # -- bytecode lookups --------------------------------------------------
+    # error rows fetch their (real, is_code) opcode byte too: the error
+    # claim is about the actual instruction at pc
     op_en = Const(0)
-    for s in opcode_states:
+    for s in opcode_states + list(ERRS):
         op_en = op_en + S[s]
     bytecode_table.lookup(
         cs, "ev_opcode_fetch", op_en,
@@ -1435,6 +1551,8 @@ def configure(
         m_div, m_mod, bzc, waen, nzc, am_en, mm_en, vcell,
         p2s, p2lo, p2hi, om_op, om_tag, msb, minv, vcell2, byv, sev, sarm,
         dep, istc, vnz, ccid,
+        ej_oob, ej_byte, ej_isc, ej_len, es_ov, es_pop, es_push, og_gas,
+        io_op, os_op, os_pop, os_push, os_gas, ltg_ej, ltg_es, ltg_og,
     )
 
 
@@ -1442,11 +1560,21 @@ _CALL_CONT = {"CallB": ES.CALL2, "CallC": ES.CALL3, "CallD": ES.CALL4,
               "Restore": ES.RESTORE}
 
 
+_ERROR_ES = {
+    "ErrorInvalidJump": ES.ERR_INVALID_JUMP,
+    "ErrorStack": ES.ERR_STACK,
+    "ErrorInvalidOpcode": ES.ERR_INVALID_OP,
+    "ErrorOutOfGasConstant": ES.ERR_OOG,
+}
+
+
 def _state_of(step: ExecStep) -> ES:
     if step.exec_state == "BeginTx":
         return ES.BEGIN_TX
     if step.exec_state == "EndTx":
         return ES.END_TX
+    if step.exec_state in _ERROR_ES:
+        return _ERROR_ES[step.exec_state]
     if step.exec_state in _CALL_CONT:
         return _CALL_CONT[step.exec_state]
     if step.exec_state == "CallNoExec":
@@ -1495,6 +1623,7 @@ def assign(
     rws: RwMap,
     asg: Assignment | None = None,
     calls: list | None = None,
+    codes: list | None = None,
 ) -> Assignment:
     """Per-tx context (tx_id, call id, callee, code hash) is derived from
     the steps themselves: each BeginTx's account-code-hash / callee reads
@@ -1514,6 +1643,29 @@ def assign(
     omap = _opmap()
     asg.set_ints(cfg.om_op, 1, [op for op, _ in omap])
     asg.set_ints(cfg.om_tag, 1, [t for _, t in omap])
+    # error-state metadata tables: invalid opcodes + (pops, pushes, gas)
+    invalid_ops = [op for op in range(256)
+                   if op not in OPCODES or OPCODES[op].name == "INVALID"]
+    asg.set_ints(cfg.io_op, 1, [op + 1 for op in invalid_ops])
+    valid_ops = [(op, i) for op, i in OPCODES.items() if i.name != "INVALID"]
+    asg.set_ints(cfg.os_op, 1, [op + 1 for op, _ in valid_ops])
+    asg.set_ints(cfg.os_pop, 1, [i.pops for _, i in valid_ops])
+    asg.set_ints(cfg.os_push, 1, [i.pushes for _, i in valid_ops])
+    asg.set_ints(cfg.os_gas, 1, [i.gas for _, i in valid_ops])
+    # code bytes by code-hash int, for invalid-jump byte/is_code witness
+    codes_by_hash = {}
+    if codes:
+        from zkevm_tpu.etypes.opcodes import push_size
+        from zkevm_tpu.hash.keccak import keccak256
+
+        for code in codes:
+            h = int.from_bytes(keccak256(code), "big")
+            is_code = []
+            pdl = 0
+            for b in code:
+                is_code.append(1 if pdl == 0 else 0)
+                pdl = push_size(b) if pdl == 0 else pdl - 1
+            codes_by_hash[h] = (code, is_code)
     m = cs.usable_rows(n) - 1  # the lookup-active region
     assert len(steps) <= m
     one = FR.encode(1)
@@ -1575,6 +1727,51 @@ def assign(
         def put_pcell(i, v):
             asg.set_int(cfg.pcell[i][0], r, int(v) & M128)
             asg.set_int(cfg.pcell[i][1], r, int(v) >> 128)
+
+        if st in ERRS:
+            info = OPCODES.get(step.op)
+            if r + 1 < len(steps):  # journal gap before EndTx (cf REVERT)
+                asg.set_int(cfg.opn, r,
+                            steps[r + 1].rw_counter_start
+                            - step.rw_counter_start - len(step.rw_indices))
+            if st == ES.ERR_INVALID_JUMP:
+                dest = vals[0].value
+                put_word(0, dest)
+                _set_inv(asg, cfg.iz["ej_hi"], r, dest >> 128)
+                if step.op == 0x57:  # JUMPI: the (nonzero) condition
+                    cond = vals[1].value
+                    put_word(1, cond)
+                    _set_inv(asg, cfg.iz["ej_clo"], r, cond & M128)
+                    _set_inv(asg, cfg.iz["ej_chi"], r, cond >> 128)
+                code, is_code = codes_by_hash[(ch_hi << 128) | ch_lo]
+                oob = dest >> 128 != 0 or (dest & M128) >= len(code)
+                asg.set_int(cfg.ej_oob, r, int(oob))
+                if oob:
+                    asg.set_int(cfg.ej_len, r, len(code))
+                    cfg.ltg_ej.assign_rows(asg, r, [dest & M128],
+                                           [len(code)])
+                    _set_inv(asg, cfg.iz["ej_jd"], r, (-0x5B) % FR_MOD)
+                else:
+                    b = code[dest]
+                    asg.set_int(cfg.ej_byte, r, b)
+                    asg.set_int(cfg.ej_isc, r, is_code[dest])
+                    _set_inv(asg, cfg.iz["ej_jd"], r, (b - 0x5B) % FR_MOD)
+            elif st == ES.ERR_STACK:
+                ov = 1 if step.stack_pointer + info.pops < info.pushes else 0
+                asg.set_int(cfg.es_ov, r, ov)
+                asg.set_int(cfg.es_pop, r, info.pops)
+                asg.set_int(cfg.es_push, r, info.pushes)
+                if ov:
+                    cfg.ltg_es.assign_rows(
+                        asg, r, [step.stack_pointer + info.pops],
+                        [info.pushes])
+                else:
+                    cfg.ltg_es.assign_rows(
+                        asg, r, [STACK_CAP],
+                        [step.stack_pointer + info.pops])
+            elif st == ES.ERR_OOG:
+                asg.set_int(cfg.og_gas, r, info.gas)
+                cfg.ltg_og.assign_rows(asg, r, [step.gas_left], [info.gas])
 
         if st == ES.BEGIN_TX:
             caller_addr = vals[0].value

@@ -192,6 +192,44 @@ class BytecodeTable:
 
 
 @dataclass
+class BytecodeLenTable:
+    """(code_hash_lo, code_hash_hi, code_length) — one row per bytecode,
+    derived from the LAST body row (fixed q_body & ~q_cont, length =
+    index + 1), so the length is bound by the same keccak length
+    accumulator the bytecode circuit proves. Reference: the Header-tag
+    rows of table.rs:1182 BytecodeTable (value = code length)."""
+
+    enabled: Expr
+    code_hash: Expr
+    code_hash_hi: Expr
+    length: Expr
+
+    @classmethod
+    def from_config(cls, cfg) -> "BytecodeLenTable":
+        from zkevm_tpu.plonk.expr import Const
+
+        ql = cfg.q_body.cur() - cfg.q_cont.cur()  # 1 on last body rows
+        return cls(
+            enabled=ql,
+            code_hash=ql * cfg.code_hash.cur(),
+            code_hash_hi=ql * cfg.code_hash_hi.cur(),
+            length=ql * (cfg.index.cur() + Const(1)),
+        )
+
+    def lookup(self, cs: ConstraintSystem, name: str, q: Expr,
+               code_hash: Expr, code_hash_hi: Expr, length: Expr) -> None:
+        cs.lookup(
+            name,
+            [
+                (q, self.enabled),
+                (q * code_hash, self.code_hash),
+                (q * code_hash_hi, self.code_hash_hi),
+                (q * length, self.length),
+            ],
+        )
+
+
+@dataclass
 class ExpTable:
     """(base_rlc, exponent_rlc, result_rlc) exponentiation rows
     (table.rs:2127 ExpTable, one entry per EXP event)."""

@@ -59,6 +59,7 @@ class GethExecStep:
     memory: bytes
     storage: dict
     refund: int = 0  # accumulated refund counter before this step
+    error: str = ""  # VmError kind when this step failed (geth's err field)
 
     @classmethod
     def from_structlog(cls, d: dict) -> "GethExecStep":
@@ -229,6 +230,12 @@ class Interpreter:
         except VmError as e:
             if e.kind == "revert":
                 return False, f.returndata, f.gas
+            # annotate the failing step (geth's structlog error field) and
+            # pin its cost to the whole frame remainder: non-revert errors
+            # consume all frame gas, so the per-depth gas chain stays exact
+            if self.steps and self.steps[-1].depth == f.depth:
+                self.steps[-1].error = e.kind
+                self.steps[-1].gas_cost = self.steps[-1].gas
             return False, b"", 0  # all remaining frame gas consumed
 
     def _loop(self, f: _Frame) -> bytes:
@@ -238,11 +245,22 @@ class Interpreter:
                 return b""  # implicit STOP
             op = f.code[f.pc]
             info = OPCODES.get(op)
-            if info is None or info.name == "INVALID":
-                raise VmError("invalid opcode")
-            if len(f.stack) < info.pops:
-                raise VmError("stack underflow")
-            if len(f.stack) - info.pops + info.pushes > STACK_LIMIT:
+            # pre-execution failures still get a struct-log row (geth
+            # emits the failing step with its error field set; run_call
+            # annotates .error on the raised VmError)
+            if info is None or info.name == "INVALID" \
+                    or len(f.stack) < info.pops \
+                    or len(f.stack) - info.pops + info.pushes > STACK_LIMIT:
+                self.steps.append(GethExecStep(
+                    pc=f.pc, op=op, gas=f.gas,
+                    gas_cost=info.gas if info else 0, depth=f.depth,
+                    stack=list(f.stack), memory=bytes(f.memory),
+                    storage=dict(f.storage_view), refund=self.refund,
+                ))
+                if info is None or info.name == "INVALID":
+                    raise VmError("invalid opcode")
+                if len(f.stack) < info.pops:
+                    raise VmError("stack underflow")
                 raise VmError("stack overflow")
 
             log = GethExecStep(

@@ -352,6 +352,9 @@ class CircuitInputBuilder:
             step = logs[i]
             if step.depth != d:
                 raise AssertionError("depth discontinuity in trace")
+            if step.error:
+                self._gen_error_step(step, call)
+                return i + 1
             name = OPCODES[step.op].name
             if name in ("CALL", "CALLCODE", "DELEGATECALL", "STATICCALL"):
                 i = self._handle_call_op(logs, i, call)
@@ -540,6 +543,42 @@ class CircuitInputBuilder:
 
 
     # -- per-opcode dispatch ----------------------------------------------
+    _ERROR_STATES = {
+        "invalid jump": "ErrorInvalidJump",
+        "stack underflow": "ErrorStack",
+        "stack overflow": "ErrorStack",
+        "invalid opcode": "ErrorInvalidOpcode",
+        "out of gas": "ErrorOutOfGasConstant",
+        "write in static context": "ErrorWriteProtection",
+        "returndata out of bounds": "ErrorReturnDataOutOfBound",
+    }
+
+    def _gen_error_step(self, step: GethExecStep, call: Call) -> None:
+        """Terminal error row for a frame (reference: the 24 error
+        ExecutionStates, evm_circuit/step.rs:39 + execution/error_*.rs).
+        The tracer pinned step.gas_cost = step.gas (non-revert errors
+        consume the frame remainder)."""
+        es_name = self._ERROR_STATES.get(step.error)
+        if es_name is None:
+            raise NotImplementedError(f"error kind {step.error!r}")
+        sp = STACK_CAP - len(step.stack)
+        es = ExecStep(
+            pc=step.pc, op=step.op, gas_left=step.gas,
+            gas_cost=step.gas_cost, rw_counter_start=self.rwc,
+            stack_pointer=sp, exec_state=es_name, call_id=call.call_id,
+            depth=call.depth,
+        )
+        if es_name == "ErrorInvalidJump":
+            # the attempted destination (top of stack) is read so the
+            # circuit can check it against the BytecodeTable; JUMPI also
+            # reads the (necessarily nonzero) condition
+            es.rw_indices.append(
+                self.stack_read(call.call_id, sp, step.stack[-1]))
+            if step.op == 0x57:
+                es.rw_indices.append(
+                    self.stack_read(call.call_id, sp + 1, step.stack[-2]))
+        self.steps.append(es)
+
     def _gen_step(self, step: GethExecStep, nxt, call: Call) -> None:
         info = OPCODES[step.op]
         name = info.name
