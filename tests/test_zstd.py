@@ -168,9 +168,37 @@ def test_v2_repeat_offsets():
     lits = b"abcdXYzw*Q"
     bs = encode_sequences(seqs)
     assert decode_sequences(bs, len(seqs)) == seqs
-    out = execute_sequences(seqs, lits)
+    out, reps = execute_sequences(seqs, lits)
     # golden replay: initial reps [1,4,8]; ofv>3 -> dist=ofv-3
     assert out.startswith(b"abcdabcda")
+    assert reps[0] == 14  # last sequence: ofv=17 -> dist 14 becomes rep1
+
+
+def test_v2_cross_block_state():
+    """Repeat offsets and match history persist across frame blocks
+    (RFC 8878; reference decoder/witgen.rs:139)."""
+    from zkevm_tpu.aggregation.zstd import decode_compressed_block
+
+    # Block 1 establishes rep1 = 4 and leaves history "abcdabcdabcd".
+    b1, reps = decode_compressed_block(
+        _mk_block([(4, 8, 7)], b"abcd"))
+    assert b1 == b"abcdabcdabcd" and reps[0] == 4
+    # Block 2 uses repeat-offset code 1 (ofv=1, ll>0 -> rep1=4) and a
+    # match reaching back into block 1's output.
+    b2, reps2 = decode_compressed_block(
+        _mk_block([(2, 6, 1)], b"XY"), reps=reps, history=b1)
+    assert b2 == b"XYcdXYcd"  # off=rep1=4 reaches into block 1's output
+
+
+def _mk_block(seqs, lits):
+    from zkevm_tpu.aggregation.zstd import (_literals_header, _nseq_header,
+                                            encode_sequences)
+    payload = bytearray(_literals_header(len(lits)))
+    payload += lits
+    payload += _nseq_header(len(seqs))
+    payload.append(0x00)
+    payload += encode_sequences(seqs)
+    return bytes(payload)
 
 
 def test_v2_matches_reference_decoder():

@@ -146,10 +146,18 @@ def decode_sequences(bitstream: bytes, nseq: int) -> list:
     return out
 
 
-def execute_sequences(seqs: list, literals: bytes) -> bytes:
-    """Sequence execution with RFC 8878 repeat-offset semantics."""
-    out = bytearray()
-    reps = [1, 4, 8]
+def execute_sequences(seqs: list, literals: bytes, reps: list | None = None,
+                      history: bytes = b"") -> tuple[bytes, list]:
+    """Sequence execution with RFC 8878 repeat-offset semantics.
+
+    `reps` / `history` carry the repeat-offset triple and prior decoded
+    output ACROSS blocks of a frame (RFC 8878 §3.1.1.3.2.2; reference
+    decoder/witgen.rs "carried forward between blocks") — resetting them
+    per block would mis-decode valid multi-block frames. Returns
+    (this block's decoded bytes, updated reps)."""
+    out = bytearray(history)
+    hlen = len(history)
+    reps = [1, 4, 8] if reps is None else list(reps)
     li = 0
     for ll, ml, ofv in seqs:
         out += literals[li:li + ll]
@@ -175,7 +183,7 @@ def execute_sequences(seqs: list, literals: bytes) -> bytes:
         for _ in range(ml):  # byte-wise: overlap allowed
             out.append(out[-off])
     out += literals[li:]
-    return bytes(out)
+    return bytes(out[hlen:]), reps
 
 
 def _literals_header(n: int) -> bytes:
@@ -210,8 +218,12 @@ def _compress_block(chunk: bytes) -> bytes | None:
     return bytes(payload)
 
 
-def decode_compressed_block(payload: bytes) -> bytes:
-    """Golden decoder for one compressed-block payload."""
+def decode_compressed_block(payload: bytes, reps: list | None = None,
+                            history: bytes = b"") -> tuple[bytes, list]:
+    """Golden decoder for one compressed-block payload.
+
+    Threads the cross-block repeat-offset triple and decode history (see
+    execute_sequences). Returns (decoded bytes, updated reps)."""
     h0 = payload[0]
     lit_type = h0 & 3
     assert lit_type == 0, "only Raw_Literals_Block in subset"
@@ -233,12 +245,12 @@ def decode_compressed_block(payload: bytes) -> bytes:
         nseq, i = int.from_bytes(payload[i + 1:i + 3], "little") + 0x7F00, i + 3
     if nseq == 0:
         assert i == len(payload)
-        return bytes(lits)
+        return bytes(lits), ([1, 4, 8] if reps is None else list(reps))
     modes = payload[i]
     i += 1
     assert modes == 0x00, "only predefined FSE modes in subset"
     seqs = decode_sequences(payload[i:], nseq)
-    return execute_sequences(seqs, lits)
+    return execute_sequences(seqs, lits, reps=reps, history=history)
 
 
 def zstd_encode(data: bytes, sequences: bool = True) -> bytes:
@@ -315,6 +327,7 @@ def zstd_decode(frame: bytes) -> bytes:
     assert fhd == 0x00, f"unsupported frame header descriptor {fhd:#x}"
     i = 6  # skip window descriptor
     out = bytearray()
+    reps = [1, 4, 8]  # repeat offsets persist across blocks of a frame
     last = 0
     while not last:
         hdr = int.from_bytes(frame[i:i + 3], "little")
@@ -329,7 +342,9 @@ def zstd_decode(frame: bytes) -> bytes:
             out += frame[i:i + 1] * size
             i += 1
         elif btype == 2:  # compressed (raw literals + FSE sequences)
-            out += decode_compressed_block(frame[i:i + size])
+            dec, reps = decode_compressed_block(
+                frame[i:i + size], reps=reps, history=bytes(out))
+            out += dec
             i += size
         else:
             raise ValueError("reserved block type")

@@ -227,6 +227,19 @@ class BundlePipeline:
             if batch_payload is not None:
                 assert zstd_decode(blob_bytes) == batch_payload, \
                     "blob decode round-trip failed"
+                if blob_coeffs is not None:
+                    # Bind the circuit's blob section to the L1-facing
+                    # header: the header's versioned hash / (z, y) derive
+                    # from blob_bytes, so the independently-passed
+                    # blob_coeffs must be exactly its coefficient packing
+                    # or the header would disagree with what the snark
+                    # proves (aggregator/prover.rs:211-218 sanity role).
+                    from zkevm_tpu.aggregation.blob import (
+                        batch_bytes_to_coeffs)
+                    n = n_blob or len(blob_coeffs)
+                    expect = batch_bytes_to_coeffs(blob_bytes, n)
+                    assert list(blob_coeffs) == list(expect), \
+                        "blob_coeffs do not match zstd(batch_payload)"
             hf = dict(version=3, batch_index=0, l1_message_popped=0,
                       total_l1_message_popped=0,
                       parent_batch_hash=b"\x00" * 32,

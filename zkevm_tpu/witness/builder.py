@@ -561,6 +561,23 @@ class CircuitInputBuilder:
         es_name = self._ERROR_STATES.get(step.error)
         if es_name is None:
             raise NotImplementedError(f"error kind {step.error!r}")
+        # fail fast on witnesses the EVM circuit cannot yet satisfy, so
+        # the failure is a clear NotImplementedError here instead of an
+        # opaque MockProver error later:
+        _CIRCUIT_ES = {"ErrorInvalidJump", "ErrorStack",
+                       "ErrorInvalidOpcode", "ErrorOutOfGasConstant"}
+        if es_name not in _CIRCUIT_ES:
+            raise NotImplementedError(
+                f"{es_name} has no EVM-circuit state yet")
+        if call.depth > 1:
+            raise NotImplementedError(
+                "child-frame error unwinding not yet circuit-supported")
+        if es_name == "ErrorOutOfGasConstant" and \
+                step.gas >= OPCODES[step.op].gas:
+            # dynamic-gas OOG (EXP/SSTORE sentry/memory expansion/CALL):
+            # the circuit's gas_left < static_gas check is unsatisfiable
+            raise NotImplementedError(
+                "dynamic-gas OOG error states not yet implemented")
         sp = STACK_CAP - len(step.stack)
         es = ExecStep(
             pc=step.pc, op=step.op, gas_left=step.gas,
