@@ -1,0 +1,386 @@
+"""Sort + prefix-sum MSM over the lazy 13-bit field core (ff/lazy13.py).
+
+Reference role: halo2 `best_multiexp` (the per-column commitment inside
+create_proof). Same outer algorithm as ec/psmsm.py (sort per c-bit
+window, group prefix-scan of mixed adds, bucket sums recovered from
+prefix values at the B-1 digit boundaries), but the field layer is the
+MXU-hybrid lazy-13 design:
+
+- every field mul = 441 VPU u32 muls (schoolbook columns) + ONE constant
+  uint8 matmul on the MXU (the entire modular reduction);
+- the madd's formula constants (j = 4h^3, x3 = 4rh^2 - j - 2v, ...) fold
+  into the reduction matrices as signed scales, so several adds/subs and
+  whole reduction passes disappear (combine_reduce);
+- identity is an explicit per-lane bool (no z==0 sentinel tests);
+- the cannot-happen doubling/opposite cases (a DL relation between SRS
+  points) are detected EXACTLY via lazy zero-tests and surfaced as a
+  flag for the caller to fall back on, as in psmsm.
+
+Layout: coordinates (21, ...) uint32 13-bit limbs in STANDARD (non-
+Montgomery) form — lazy13 reduction needs no Montgomery factor. The
+class wrapper converts from/to the u16-limb Montgomery world once per
+SRS / result.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zkevm_tpu.ff import lazy13 as lz
+from zkevm_tpu.ff import limbs as ff
+from zkevm_tpu.ff.lazy13 import (L13, add13, canon13, combine_reduce,
+                                 is_zero13, mul13, prod_T, select13, sqr13,
+                                 sqr_T, sub13)
+
+LZ = lz.ctx_fq()
+
+
+class G1L(NamedTuple):
+    """Jacobian point batch in lazy-13 coords + explicit identity flag."""
+    x: jnp.ndarray  # (21, ...)
+    y: jnp.ndarray
+    z: jnp.ndarray
+    inf: jnp.ndarray  # bool (...)
+
+    @property
+    def batch_shape(self):
+        return self.x.shape[1:]
+
+
+def identity_l(batch_shape) -> G1L:
+    one = jnp.zeros((L13,) + tuple(batch_shape), jnp.uint32).at[0].set(1)
+    zero = jnp.zeros((L13,) + tuple(batch_shape), jnp.uint32)
+    return G1L(one, one, zero, jnp.ones(tuple(batch_shape), bool))
+
+
+def select_l(cond, p: G1L, q: G1L) -> G1L:
+    return G1L(select13(cond, p.x, q.x), select13(cond, p.y, q.y),
+               select13(cond, p.z, q.z), jnp.where(cond, p.inf, q.inf))
+
+
+def madd_l(p: G1L, qx, qy):
+    """Mixed add p += affine (qx, qy) (leaf never identity).
+
+    madd-2007-bl with fused reductions; returns (result, dbl_flag).
+    dbl_flag fires iff p == (qx, qy) on some lane (caller falls back)."""
+    z1z1_T = sqr_T(p.z)
+    z1z1 = combine_reduce(LZ, [(z1z1_T, 1)])
+    u2 = mul13(LZ, qx, z1z1)
+    t = mul13(LZ, qy, p.z)
+    s2 = mul13(LZ, t, z1z1)
+    h = sub13(LZ, u2, p.x)
+    hh_T = sqr_T(h)
+    hh = combine_reduce(LZ, [(hh_T, 1)])
+    hhh_T = prod_T(h, hh)
+    j = combine_reduce(LZ, [(hhh_T, 4)])          # j = 4 h^3
+    v_T = prod_T(p.x, hh)
+    v = combine_reduce(LZ, [(v_T, 4)])            # v = 4 x1 h^2
+    rh = sub13(LZ, s2, p.y)                       # r = 2 rh
+    x3 = combine_reduce(LZ, [(sqr_T(rh), 4), (hhh_T, -4), (v_T, -8)])
+    vmx = sub13(LZ, v, x3)
+    # y3 = r(v - x3) - 2*y1*j with r = 2*rh
+    y3 = combine_reduce(LZ, [(prod_T(rh, vmx), 2), (prod_T(p.y, j), -2)])
+    zh = add13(LZ, p.z, h)
+    z3 = combine_reduce(LZ, [(sqr_T(zh), 1), (z1z1_T, -1), (hh_T, -1)])
+
+    h_zero = is_zero13(LZ, h)
+    r_zero = is_zero13(LZ, rh)
+    same = h_zero & r_zero & ~p.inf
+    opposite = h_zero & ~r_zero & ~p.inf
+
+    one = jnp.zeros_like(p.x).at[0].set(1)
+    x_out = select13(p.inf, qx, x3)
+    y_out = select13(p.inf, qy, y3)
+    z_out = select13(p.inf, one, z3)
+    return (G1L(x_out, y_out, z_out, opposite),
+            same.any().astype(jnp.uint32))
+
+
+def add_l(p: G1L, q: G1L):
+    """Full Jacobian add (merge/boundary stages; lower volume).
+
+    add-2007-bl with fused reductions, complete via flag selects;
+    returns (result, dbl_flag)."""
+    z1z1_T = sqr_T(p.z)
+    z2z2_T = sqr_T(q.z)
+    z1z1 = combine_reduce(LZ, [(z1z1_T, 1)])
+    z2z2 = combine_reduce(LZ, [(z2z2_T, 1)])
+    u1 = mul13(LZ, p.x, z2z2)
+    u2 = mul13(LZ, q.x, z1z1)
+    s1 = mul13(LZ, mul13(LZ, p.y, q.z), z2z2)
+    s2 = mul13(LZ, mul13(LZ, q.y, p.z), z1z1)
+    h = sub13(LZ, u2, u1)
+    rh = sub13(LZ, s2, s1)                        # r = 2 rh
+    hh_T = sqr_T(h)
+    hh = combine_reduce(LZ, [(hh_T, 1)])          # i = 4 hh
+    hhh_T = prod_T(h, hh)
+    j = combine_reduce(LZ, [(hhh_T, 4)])          # j = 4 h^3
+    v_T = prod_T(u1, hh)
+    v = combine_reduce(LZ, [(v_T, 4)])            # v = u1 * i
+    x3 = combine_reduce(LZ, [(sqr_T(rh), 4), (hhh_T, -4), (v_T, -8)])
+    vmx = sub13(LZ, v, x3)
+    # y3 = r(v - x3) - 2*s1*j with r = 2*rh
+    y3 = combine_reduce(LZ, [(prod_T(rh, vmx), 2), (prod_T(s1, j), -2)])
+    zh = add13(LZ, p.z, q.z)
+    zzt = combine_reduce(LZ, [(sqr_T(zh), 1), (z1z1_T, -1), (z2z2_T, -1)])
+    z3 = mul13(LZ, zzt, h)
+
+    h_zero = is_zero13(LZ, h)
+    r_zero = is_zero13(LZ, rh)
+    both = ~p.inf & ~q.inf
+    same = h_zero & r_zero & both
+    opposite = h_zero & ~r_zero & both
+
+    out = G1L(x3, y3, z3, opposite)
+    out = select_l(p.inf, q, out)
+    out = select_l(q.inf & ~p.inf, p, out)
+    return out, same.any().astype(jnp.uint32)
+
+
+def double_l(p: G1L) -> G1L:
+    """Jacobian doubling (dbl-2009-l) with fused reductions."""
+    a_T = sqr_T(p.x)
+    a = combine_reduce(LZ, [(a_T, 1)])
+    b_T = sqr_T(p.y)
+    b = combine_reduce(LZ, [(b_T, 1)])
+    c_T = sqr_T(b)
+    # d = 2((x+b)^2 - a - c)
+    xb = add13(LZ, p.x, b)
+    d = combine_reduce(LZ, [(sqr_T(xb), 2), (a_T, -2), (c_T, -2)])
+    e = combine_reduce(LZ, [(a_T, 3)])            # e = 3a
+    x3 = combine_reduce(LZ, [(sqr_T(e), 1)])
+    x3 = sub13(LZ, x3, add13(LZ, d, d))
+    dmx = sub13(LZ, d, x3)
+    y3 = combine_reduce(LZ, [(prod_T(e, dmx), 1), (c_T, -8)])
+    z3 = combine_reduce(LZ, [(prod_T(p.y, p.z), 2)])
+    return G1L(x3, y3, z3, p.inf)
+
+
+def _searchsorted_rows(sd, B):
+    """(G, N) sorted digits -> (G, B-1) position of last element < t."""
+    t = jnp.arange(1, B, dtype=sd.dtype)
+    pos = jax.vmap(lambda row: jnp.searchsorted(row, t, side="left"))(sd)
+    return pos.astype(jnp.int32) - 1
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _window_sums(px, py, sd, c):
+    """px, py: (21, G, Lw, S) sorted affine leaves; sd: (G, N) sorted
+    digits -> window sums as (x, y, z, inf) over (G,) + dbl flag."""
+    L, G, Lw, S = px.shape
+    B = 1 << c
+
+    def step(carry, leaf):
+        acc, flag = carry
+        new, f = madd_l(acc, leaf[0], leaf[1])
+        return (new, flag | f), (new.x, new.y, new.z)
+
+    init = (identity_l((G, Lw)), jnp.uint32(0))
+    leaves = (jnp.moveaxis(px, 3, 0), jnp.moveaxis(py, 3, 0))
+    (totals, flag), outs = jax.lax.scan(step, init, leaves)
+    wx = jnp.moveaxis(outs[0], 0, 3).reshape(L, G, Lw * S)
+    wy = jnp.moveaxis(outs[1], 0, 3).reshape(L, G, Lw * S)
+    wz = jnp.moveaxis(outs[2], 0, 3).reshape(L, G, Lw * S)
+    # prefix values after >= 1 real leaf: never identity for honest input
+
+    # --- exclusive lane offsets + grand totals ---------------------------
+    def lstep(carry, lane):
+        acc, flag = carry
+        prev = acc
+        lx, ly, lzz = lane
+        new, f = add_l(acc, G1L(lx, ly, lzz, jnp.zeros(lx.shape[1:], bool)))
+        return (new, flag | f), (prev.x, prev.y, prev.z, prev.inf)
+
+    linit = (identity_l((G,)), flag)
+    lanes = (jnp.moveaxis(totals.x, 2, 0), jnp.moveaxis(totals.y, 2, 0),
+             jnp.moveaxis(totals.z, 2, 0))
+    (grand, flag), offs = jax.lax.scan(lstep, linit, lanes)
+    ox = jnp.moveaxis(offs[0], 0, 2)
+    oy = jnp.moveaxis(offs[1], 0, 2)
+    oz = jnp.moveaxis(offs[2], 0, 2)
+    oinf = jnp.moveaxis(offs[3], 0, 1)  # (G, Lw)
+
+    # --- PS at the B-1 boundary positions --------------------------------
+    pos = _searchsorted_rows(sd, B)     # (G, B-1); -1 => identity prefix
+    is_neg = pos < 0
+    posc = jnp.maximum(pos, 0)
+    lane_idx = (posc // S).astype(jnp.int32)
+
+    def gat(a, idx):
+        return jax.vmap(lambda ag, ig: jnp.take(ag, ig, axis=1),
+                        in_axes=(1, 0), out_axes=1)(a, idx)
+
+    within = G1L(gat(wx, posc), gat(wy, posc), gat(wz, posc),
+                 jnp.zeros(posc.shape, bool))
+    offp = G1L(gat(ox, lane_idx), gat(oy, lane_idx), gat(oz, lane_idx),
+               jnp.take_along_axis(oinf, lane_idx, axis=1))
+    ps, f = add_l(offp, within)
+    flag = flag | f
+    ps = select_l(is_neg, identity_l(ps.batch_shape), ps)
+
+    # --- sum over boundaries: blocked scan + tree ------------------------
+    K = B - 1
+    blk = 1
+    while blk < min(K, 1024):
+        blk *= 2
+    pad = (-K) % blk
+
+    def padded(a, fill=0):
+        cfg = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return jnp.pad(a, cfg, constant_values=fill)
+
+    sx = padded(ps.x).reshape(L, G, -1, blk)
+    sy = padded(ps.y).reshape(L, G, -1, blk)
+    sz = padded(ps.z).reshape(L, G, -1, blk)
+    sinf = padded(ps.inf, True).reshape(G, -1, blk)
+
+    def bstep(carry, blkv):
+        acc, fl = carry
+        new, f = add_l(acc, G1L(blkv[0], blkv[1], blkv[2], blkv[3]))
+        return (new, fl | f), None
+
+    binit = (identity_l((G, blk)), flag)
+    (bacc, flag), _ = jax.lax.scan(
+        bstep, binit,
+        (jnp.moveaxis(sx, 2, 0), jnp.moveaxis(sy, 2, 0),
+         jnp.moveaxis(sz, 2, 0), jnp.moveaxis(sinf, 1, 0)))
+    m = blk
+    while m > 1:
+        m //= 2
+        bacc, f = add_l(
+            G1L(bacc.x[:, :, :m], bacc.y[:, :, :m], bacc.z[:, :, :m],
+                bacc.inf[:, :m]),
+            G1L(bacc.x[:, :, m:], bacc.y[:, :, m:], bacc.z[:, :, m:],
+                bacc.inf[:, m:]))
+        flag = flag | f
+    s_sum = G1L(bacc.x[:, :, 0], bacc.y[:, :, 0], bacc.z[:, :, 0],
+                bacc.inf[:, 0])
+
+    # --- G_w = (B-1) * Total - s_sum --------------------------------------
+    def dstep(carry, _):
+        (acc, cur), fl = carry
+        acc, f = add_l(acc, cur)
+        return ((acc, double_l(cur)), fl | f), None
+
+    ((bt, _), flag), _ = jax.lax.scan(
+        dstep, ((identity_l((G,)), grand), flag), None, length=c)
+    neg_y = sub13(LZ, jnp.zeros_like(s_sum.y), s_sum.y)
+    gw, f = add_l(bt, G1L(s_sum.x, neg_y, s_sum.z, s_sum.inf))
+    flag = flag | f
+    return gw.x, gw.y, gw.z, gw.inf, flag
+
+
+def msm13(ax13, ay13, scalars, c: int = 16, num_bits: int = 254,
+          lanes: int = 4096, wgroup: int = 8):
+    """Variable-base MSM over AFFINE lazy-13 points.
+
+    ax13, ay13: (21, N) standard-form 13-bit limbs (no infinities);
+    scalars: (N, 16) standard-form u16 limbs. Returns ((x, y, z, inf)
+    lazy-13 Jacobian with batch (1,), dbl_flag)."""
+    scalars = jnp.asarray(scalars, jnp.uint32)
+    n = ax13.shape[1]
+    W = (num_bits + c - 1) // c
+    Lw = min(lanes, n)
+    while n % Lw:
+        Lw //= 2
+    S = n // Lw
+
+    digits = jnp.stack([ff.scalar_window(scalars, w, c) for w in range(W)])
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32)[None], (W, n))
+    sd, perm = jax.lax.sort((digits, iota), dimension=1, num_keys=1)
+
+    gx_all, gy_all, gz_all, gi_all = [], [], [], []
+    flag = jnp.uint32(0)
+    for g0 in range(0, W, wgroup):
+        g1 = min(g0 + wgroup, W)
+        pg = perm[g0:g1].reshape(-1)
+        px = jnp.take(ax13, pg, axis=1).reshape(L13, g1 - g0, Lw, S)
+        py = jnp.take(ay13, pg, axis=1).reshape(L13, g1 - g0, Lw, S)
+        gx, gy, gz, gi, f = _window_sums(px, py, sd[g0:g1], c)
+        gx_all.append(gx)
+        gy_all.append(gy)
+        gz_all.append(gz)
+        gi_all.append(gi)
+        flag = flag | f
+
+    gx = jnp.concatenate(gx_all, axis=1)
+    gy = jnp.concatenate(gy_all, axis=1)
+    gz = jnp.concatenate(gz_all, axis=1)
+    gi = jnp.concatenate(gi_all, axis=0)
+    acc, f = _horner_full(gx, gy, gz, gi, c)
+    return acc, flag | f
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _horner_full(gx, gy, gz, gi, c):
+    def hstep(carry, sw):
+        acc, fl = carry
+        for _ in range(c):
+            acc = double_l(acc)
+        new, f = add_l(acc, G1L(sw[0][:, None], sw[1][:, None],
+                                sw[2][:, None], sw[3][None]))
+        return (new, fl | f), None
+
+    init = (identity_l((1,)), jnp.uint32(0))
+    (acc, flag), _ = jax.lax.scan(
+        hstep, init,
+        (jnp.moveaxis(gx[:, ::-1], 1, 0), jnp.moveaxis(gy[:, ::-1], 1, 0),
+         jnp.moveaxis(gz[:, ::-1], 1, 0), gi[::-1]))
+    return acc, flag
+
+
+class Msm13:
+    """Fixed-bases wrapper over u16-Montgomery G1T points: converts the
+    SRS to lazy-13 affine once; exposes scalars -> G1T commitment with
+    pippenger fallback on the (never-in-practice) doubling flag."""
+
+    def __init__(self, points_t, c: int = 16, lanes: int = 4096,
+                 wgroup: int = 8):
+        from zkevm_tpu.ec.psmsm import to_affine_t
+
+        ax, ay = to_affine_t(points_t)  # u16 Montgomery affine
+        one_raw = jnp.asarray(ff.fq_spec().one_raw)[:, None]
+        ax_std = ff.mont_mul_t(ff.fq_spec(), ax, one_raw, unroll=False)
+        ay_std = ff.mont_mul_t(ff.fq_spec(), ay, one_raw, unroll=False)
+        self.ax13 = lz.from_u16_t(ax_std)
+        self.ay13 = lz.from_u16_t(ay_std)
+        self.points = points_t
+        self.c = c
+        self.lanes = lanes
+        self.wgroup = wgroup
+        self.n = points_t.x.shape[1]
+
+    def __call__(self, scalars):
+        from zkevm_tpu.ec.group_t import G1T
+
+        acc, flag = msm13(self.ax13, self.ay13, scalars, c=self.c,
+                          lanes=self.lanes, wgroup=self.wgroup)
+        if int(np.asarray(flag)):  # pragma: no cover — DL-relation event
+            from zkevm_tpu.ec.pippenger import msm_t
+
+            return msm_t(self.points, scalars)
+        return to_g1t(acc)
+
+
+def to_g1t(p: G1L):
+    """Lazy-13 Jacobian -> u16-limb Montgomery G1T (identity -> z=0)."""
+    from zkevm_tpu.ec.group_t import G1T
+
+    FQ = ff.fq_spec()
+    r2 = jnp.asarray(FQ.r2_limbs)[:, None]
+
+    def conv(a):
+        a16 = lz.to_u16_t(canon13(LZ, a))
+        return ff.mont_mul_t(FQ, a16, r2, unroll=False)
+
+    x, y, z = conv(p.x), conv(p.y), conv(p.z)
+    z = jnp.where(p.inf[None], jnp.zeros_like(z), z)
+    one = jnp.asarray(FQ.mont_one)[:, None]
+    x = jnp.where(p.inf[None], jnp.broadcast_to(one, x.shape), x)
+    y = jnp.where(p.inf[None], jnp.broadcast_to(one, y.shape), y)
+    return G1T(x, y, z)
