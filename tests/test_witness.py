@@ -3,6 +3,8 @@
 SURVEY.md §4). Covers the call tree, reversion, EIP-2929/3529 gas, copy
 events and the post-state sanitizer."""
 
+import pytest
+
 from zkevm_tpu.etypes import CodeDB, StateDB
 from zkevm_tpu.etypes.trace import trace_call
 from zkevm_tpu.witness import CircuitInputBuilder, RW, Target
@@ -146,14 +148,21 @@ def test_revert_rolls_back_child_writes():
 
 
 def test_staticcall_write_violation():
-    # STATICCALL(gas, to, in=(0,0), out=(0,0)) into a storage writer
+    # STATICCALL(gas, to, in=(0,0), out=(0,0)) into a storage writer.
+    # The TRACER must reject the write and revert the child; the builder
+    # fails fast (child-frame ErrorWriteProtection has no circuit state
+    # yet — see _gen_error_step's scope guards).
     code = bytes([0x60, 0, 0x60, 0, 0x60, 0, 0x60, 0,
                   0x61, 0xB0, 0xB2, 0x61, 0xFF, 0xFF, 0xFA, 0x00])
     sdb, cdb = setup_contract(code, other_code=CALL_B)
-    tr, builder = run_tx(sdb, cdb)
+    pre = sdb.clone()
+    tr = trace_call(sdb, cdb, caller=CALLER, callee=CALLEE)
+    assert not tr.failed
     assert sdb.get_storage(OTHER, 1) == 0
-    assert not builder.calls[1].is_success
-    assert builder.calls[1].is_static
+    builder = CircuitInputBuilder(pre, cdb)
+    with pytest.raises(NotImplementedError):
+        builder.handle_tx(tr, caller=CALLER, callee=CALLEE, value=0,
+                          calldata=b"")
 
 
 def test_failed_root_tx_reverts_transfer():

@@ -121,11 +121,13 @@ class CopyConfig:
     table: CopyTable = None
     iz_cd: object = None  # IsZero(t_src - TX_CALLDATA) under s_free
     iz_rlc: object = None  # IsZero(t_dst - RLC_ACC) under d_free
+    d_sha: Column = None  # dst is RLC_SHA (sha256-precompile-bound)
+    iz_sha: object = None  # IsZero(t_dst - RLC_SHA) under d_free
 
 
 def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
               tx_table=None, challenges=None,
-              keccak_table=None) -> CopyConfig:
+              keccak_table=None, sha256_table=None) -> CopyConfig:
     q_act = cs.fixed_column()
     q_word = cs.fixed_column()
     q_gend = cs.fixed_column()
@@ -133,8 +135,8 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
     (is_ev, is_first, s_mem, s_code, s_free, d_mem, d_log, d_free,
      t_src, t_dst, src_id, src_id_hi, dst_id, aux_id, wa, oaddr,
      rwc_w, rwc_d, didx, byte, pbyte, is_code, is_pad) = cols
-    (maddr, a0c, alen, w0c, nwc, lst, s_cd, d_rlc, dlo, dhi) = (
-        cs.advice_column() for _ in range(10))
+    (maddr, a0c, alen, w0c, nwc, lst, s_cd, d_rlc, dlo, dhi, d_sha) = (
+        cs.advice_column() for _ in range(11))
     crlc = cs.advice_column(phase=1)
 
     one = Const(1)
@@ -263,6 +265,24 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
     else:
         cs.create_gate("cp_no_keccak_table", [qa * d_rlc.cur()])
 
+    # -- RLC_SHA destination (sha256 precompile): same phase-1 RLC, but
+    # the digest binds into the Sha256Table instead of Keccak ----------
+    iz_sha = None
+    if sha256_table is not None:
+        assert challenges is not None
+        iz_sha = IsZero.configure(
+            cs, qa * d_free.cur(),
+            t_dst.cur() - Const(CopyDataType.RLC_SHA), "cp_iz_sha")
+        cs.create_gate("cp_sha", [
+            qa * (d_sha.cur() - d_free.cur() * iz_sha.expr()),
+        ])
+        en_s = lst.cur() * d_sha.cur()
+        sha256_table.lookup_word(cs, "cp_presha_digest", en_s,
+                                 crlc.cur(), alen.cur(),
+                                 dlo.cur(), dhi.cur())
+    else:
+        cs.create_gate("cp_no_sha_table", [qa * d_sha.cur()])
+
     # -- word-anchor RwTable lookups -------------------------------------
     def word_half(col: Column, j0: int) -> Expr:
         acc = Const(0)
@@ -319,7 +339,7 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
         d_log, d_free, t_src, t_dst, src_id, src_id_hi, dst_id, aux_id,
         wa, oaddr, rwc_w, rwc_d, didx, byte, pbyte, is_code, is_pad,
         q_gend, maddr, a0c, alen, w0c, nwc, lst, s_cd, d_rlc, crlc,
-        dlo, dhi, table, iz_cd, iz_rlc,
+        dlo, dhi, table, iz_cd, iz_rlc, d_sha, iz_sha,
     )
 
 
@@ -387,12 +407,20 @@ def assign(
         # feature flags only light up when the consumer tables are wired
         is_rlc = (ev.dst_type == CopyDataType.RLC_ACC
                   and cfg.iz_rlc is not None)
+        is_sha = (ev.dst_type == CopyDataType.RLC_SHA
+                  and cfg.iz_sha is not None)
         is_cd = (ev.src_type == CopyDataType.TX_CALLDATA
                  and cfg.iz_cd is not None)
         dlo_v = dhi_v = 0
         if is_rlc:
             data = bytes(b for b, _ in ev.bytes_)
             dg = int.from_bytes(keccak256(data), "big")
+            dlo_v, dhi_v = dg & M128, dg >> 128
+        if is_sha:
+            import hashlib
+
+            data = bytes(b for b, _ in ev.bytes_)
+            dg = int.from_bytes(hashlib.sha256(data).digest(), "big")
             dlo_v, dhi_v = dg & M128, dg >> 128
 
         mem_id = ev.src_id if src_is_mem else ev.dst_id
@@ -464,6 +492,7 @@ def assign(
                 asg.set_int(cfg.nwc, r, nw)
                 asg.set_int(cfg.s_cd, r, int(is_cd))
                 asg.set_int(cfg.d_rlc, r, int(is_rlc))
+                asg.set_int(cfg.d_sha, r, int(is_sha))
                 asg.set_int(cfg.dlo, r, dlo_v)
                 asg.set_int(cfg.dhi, r, dhi_v)
                 if cfg.iz_cd is not None and not src_is_mem \
@@ -474,6 +503,10 @@ def assign(
                         and ev.dst_type != CopyDataType.TX_LOG:
                     asg.set_int(cfg.iz_rlc.inv, r,
                                 _inv(t_dst - CopyDataType.RLC_ACC))
+                if cfg.iz_sha is not None and src_is_mem \
+                        and ev.dst_type != CopyDataType.TX_LOG:
+                    asg.set_int(cfg.iz_sha.inv, r,
+                                _inv(t_dst - CopyDataType.RLC_SHA))
                 pads_ev.append(pad)
                 bytes_ev.append(vb[j])
         asg.set_int(cfg.lst, (g + nw) * WORD - 1, 1)

@@ -58,6 +58,8 @@ FR = fr_spec()
 
 STACK_CAP = 1024
 M128 = (1 << 128) - 1
+# secp256k1 group order (the ecrecover precompile's hash reduction)
+_SECP_N = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
 M256 = (1 << 256) - 1
 NSLOTS = 8  # RW lookup budget per step row (Restore uses all eight)
 
@@ -145,6 +147,13 @@ class ES(IntEnum):
     ERR_STACK = 50  # execution/error_stack.rs (under+overflow)
     ERR_INVALID_OP = 51  # execution/error_invalid_opcode.rs
     ERR_OOG = 52  # execution/error_oog_constant.rs
+    # precompile calls: two-row states (reference:
+    # evm_circuit/execution/precompiles/{ecrecover,sha256}.rs +
+    # bus-mapping/src/evm/opcodes/precompiles/); row 1 = the CALL-family
+    # stack args, row 2 = warm access + io words + table lookup + result
+    PRE1 = 53       # shared stack-arg row
+    PRE_EC = 54     # ecrecover (0x01): SigTable word-surface lookup
+    PRE_SHA = 55    # sha256 (0x02): CopyTable RLC + Sha256Table lookup
 
 
 NSTATES = len(ES)
@@ -198,12 +207,16 @@ OP_STATES = {
     ES.SHA3: (0x20, 30, 1, 3),  # + dynamic word/memexp terms
     ES.COPY: (None, 3, 3, 3),
     ES.LOG: (None, 375, 2, 3),
+    ES.PRE1: (None, 0, 0, 7),     # nrw 6+has_value (chain override)
+    ES.PRE_EC: (None, 0, 0, 7),   # warm + 4 in words + out word + result
+    ES.PRE_SHA: (None, 0, 0, 3),  # warm + out + result (+opn copy reads)
 }
 STATIC_GAS_STATES = [
     s for s in OP_STATES
     if s not in (ES.MLOAD, ES.MSTORE, ES.SLOAD, ES.SSTORE, ES.ACCT_INFO,
                  ES.EXP, ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4,
-                 ES.RETURN, ES.REVERT, ES.SHA3, ES.COPY, ES.LOG)
+                 ES.RETURN, ES.REVERT, ES.SHA3, ES.COPY, ES.LOG,
+                 ES.PRE1, ES.PRE_EC, ES.PRE_SHA)
 ]
 NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0, ES.RESTORE: 8,
        ES.ERR_INVALID_JUMP: 1, ES.ERR_STACK: 0, ES.ERR_INVALID_OP: 0,
@@ -304,6 +317,7 @@ def configure(
     exp_table=None,
     copy_table=None,
     bytecode_len_table=None,
+    sig_word_table=None,
 ) -> EvmConfig:
     q_step = cs.fixed_column()
     q_first = cs.fixed_column()
@@ -373,7 +387,11 @@ def configure(
     ])
 
     # -- allowed state transitions ---------------------------------------
-    opcode_states = list(OP_STATES)
+    # PRE_EC/PRE_SHA are reachable ONLY through a PRE1 row (their own
+    # explicit rule); keeping them out of the generic successor lists is
+    # what enforces that.
+    opcode_states = [s for s in OP_STATES
+                     if s not in (ES.PRE_EC, ES.PRE_SHA)]
     def allowed(next_states):
         acc = Const(0)
         for t in next_states:
@@ -393,9 +411,15 @@ def configure(
     ] + [
         qt * S[a] * allowed([b]) for a, b in CALL_CHAIN.items()
     ] + [
+        qt * S[ES.PRE1] * allowed([ES.PRE_EC, ES.PRE_SHA]),
+    ] + [
+        qt * S[s] * allowed(opcode_states + [ES.END_TX] + ERRL)
+        for s in (ES.PRE_EC, ES.PRE_SHA)
+    ] + [
         qt * S[s] * allowed(opcode_states + [ES.END_TX] + ERRL)
         for s in opcode_states
-        if s not in EXITS + (ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4)
+        if s not in EXITS + (ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4,
+                             ES.PRE1)
     ] + [
         # error rows are terminal for the (root) frame -> EndTx
         qt * S[e] * allowed([ES.END_TX]) for e in ERRL
@@ -998,6 +1022,100 @@ def configure(
         qs * istc.cur() * S[ES.SSTORE],
     ])
 
+    # -- precompile calls: ecrecover (0x01) + sha256 (0x02) ---------------
+    # (reference evm_circuit/execution/precompiles/{ecrecover,sha256}.rs)
+    # Row 1 (PRE1): CALL-family stack args, same shifted layout as CALL1.
+    # Row 2 (PRE_EC / PRE_SHA): warm access-list row, word-aligned io
+    # (aux[2]/vcell = in/out word indices), table lookup, result push.
+    P1, PEC, PSH = S[ES.PRE1], S[ES.PRE_EC], S[ES.PRE_SHA]
+    PEX = PEC + PSH
+    hvp = is_sub.rot(-1)  # has_value bit seen from row 2
+    _w2p = (w[2][0].rot(-1), w[2][1].rot(-1))
+    _w3p = (w[3][0].rot(-1), w[3][1].rot(-1))
+    _w4p = (w[4][0].rot(-1), w[4][1].rot(-1))
+    _pc0p = (pcell[0][0].rot(-1), pcell[0][1].rot(-1))
+    _pc1p = (pcell[1][0].rot(-1), pcell[1][1].rot(-1))
+
+    def _hsel(a, b):
+        return tuple(hvp * a[jj] + (one - hvp) * b[jj] for jj in range(2))
+
+    p_ioff = _hsel(_w3p, _w2p)
+    p_iln = _hsel(_w4p, _w3p)
+    p_ooff = _hsel(_pc0p, _w4p)
+    p_oln = _hsel(_pc1p, _pc0p)
+    op_p = opcode.cur()
+    FF1, FF2, FF4, FFA = (Const(c) for c in CALL_OPS)
+    par_v = w[1][0].cur() - Const(27)  # ecrecover parity from the v word
+    SECP_N = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
+    N_LO, N_HI = Const(SECP_N & M128), Const(SECP_N >> 128)
+    p_slack = bb0.cur() + Const(16) * carries[0].cur()
+    cs.create_gate("ev_precompile", [
+        # PRE1: a CALL-family opcode with the has_value bit pinned
+        P1 * (op_p - FF1) * (op_p - FF2) * (op_p - FF4) * (op_p - FFA),
+        P1 * is_sub.cur() * (op_p - FF1) * (op_p - FF2),
+        P1 * (one - is_sub.cur()) * (op_p - FF4) * (op_p - FFA),
+        P1 * is_sub.cur() * (one - is_sub.cur()),
+        # value-bearing precompile calls out of scope (builder guard)
+        P1 * is_sub.cur() * w[2][0].cur(),
+        P1 * is_sub.cur() * w[2][1].cur(),
+        # row 2: the stack `to` word pins the precompile address
+        PEC * (w[1][0].rot(-1) - one),
+        PSH * (w[1][0].rot(-1) - Const(2)),
+        PEX * w[1][1].rot(-1),
+        # io offsets word-aligned, high halves zero
+        PEX * (Const(32) * aux[2].cur() - p_ioff[0]),
+        PEX * p_ioff[1],
+        PEX * (Const(32) * vcell.cur() - p_ooff[0]),
+        PEX * p_ooff[1],
+        # ecrecover: fixed io lengths (in 128, out 32)
+        PEC * (p_iln[0] - Const(128)),
+        PEC * p_iln[1],
+        PEC * (p_oln[0] - Const(32)),
+        PEC * p_oln[1],
+        # sha256: out 32; opn = ceil(len/32) via the nibble slack;
+        # byv = ceil(opn/2) = the 64-byte block count
+        PSH * (p_oln[0] - Const(32)),
+        PSH * p_oln[1],
+        PSH * p_iln[1],
+        PSH * (Const(32) * opn.cur() - p_slack - p_iln[0]),
+        PSH * carries[0].cur() * (one - carries[0].cur()),
+        PSH * (Const(2) * byv.cur() - opn.cur())
+        * (Const(2) * byv.cur() - opn.cur() - one),
+        # gas: warm access (100) + cost (+ aux[0] memexp witness)
+        PEC * (gc.cur() - Const(3100) - aux[0].cur()),
+        PSH * (gc.cur() - Const(160) - Const(12) * byv.cur()
+               - aux[0].cur()),
+        # ecrecover: v word = 27 + parity, clean high half
+        PEC * par_v * (par_v - one),
+        PEC * w[1][1].cur(),
+        # ecrecover: raw hash word = zr + q*n, split at 2^128
+        # (q, c1 boolean; zr canonical via the sig-table lookup)
+        PEC * m_div.cur() * (m_div.cur() - one),
+        PEC * m_mod.cur() * (m_mod.cur() - one),
+        PEC * (pcell[2][0].cur() + m_div.cur() * N_LO
+               - w[0][0].cur() - m_mod.cur() * TWO128),
+        PEC * (pcell[2][1].cur() + m_div.cur() * N_HI + m_mod.cur()
+               - w[0][1].cur()),
+        # precompile calls never appear in static-frame WRITE violation
+        # scope (they do not write state), so no istc gate needed
+    ])
+    rt4.lookup(cs, "ev_presha_slack", [PSH * bb0.cur()])
+    if sig_word_table is not None:
+        sig_word_table.lookup(cs, "ev_pre_ecrecover", [
+            PEC,
+            PEC * pcell[2][0].cur(), PEC * pcell[2][1].cur(),  # z halves
+            PEC * w[2][0].cur(), PEC * w[2][1].cur(),          # r halves
+            PEC * w[3][0].cur(), PEC * w[3][1].cur(),          # s halves
+            PEC * par_v,
+            PEC * w[4][0].cur(), PEC * w[4][1].cur(),          # addr out
+        ])
+    else:
+        cs.create_gate("ev_no_sig_word_table", [qs * PEC])
+    # PRE_SHA's digest binding flows through the CopyTable (the copy
+    # circuit proves memory bytes -> RLC -> Sha256Table -> digest, and
+    # the event row carries the digest halves) — same chain as SHA3's
+    # keccak binding; the lookup lives with the other copy lookups below.
+
     # -- SHA3 / COPY / LOG (CopyTable-backed states) -----------------------
     # Shared discipline: 32-byte-aligned memory-side offset (the copy
     # circuit's word-anchored layout; same restriction as MLOAD/MSTORE),
@@ -1056,6 +1174,16 @@ def configure(
             LG * aux[1].cur(), LG * w[1][0].cur(),
             LG * (rwc.cur() + Const(2)), LG * opn.cur(), ZERO2, ZERO2,
         ])
+        # sha256 precompile input: memory -> RLC_SHA event; the event's
+        # digest halves (sha256-table-bound in the copy circuit) must
+        # equal the output memory word w[4]
+        SHAC = Const(7)  # CopyDataType.RLC_SHA
+        copy_table.lookup(cs, "ev_presha_copy", [
+            PSH, PSH * MEMC, PSH * SHAC, PSH * cid.cur(), ZERO2,
+            PSH * cid.cur(), ZERO2, PSH * p_ioff[0], ZERO2,
+            PSH * p_iln[0], PSH * (rwc.cur() + one),
+            PSH * opn.cur(), PSH * w[4][0].cur(), PSH * w[4][1].cur(),
+        ])
 
     # -- per-state step transitions --------------------------------------
     def trans(cell, nxt_exprs: dict, default):
@@ -1081,6 +1209,14 @@ def configure(
     for x in CONT:
         pc_next[x] = pc.cur()
         sp_next[x] = sp.cur()
+    # precompile rows: PRE1 is a continuation; row 2 resumes the parent
+    # at pc+1 with sp popped to the result slot (sp + 5 + has_value)
+    pc_next[ES.PRE1] = pc.cur()
+    sp_next[ES.PRE1] = sp.cur()
+    pc_next[ES.PRE_EC] = pc.cur() + one
+    pc_next[ES.PRE_SHA] = pc.cur() + one
+    sp_next[ES.PRE_EC] = sp.cur() + Const(5) + is_sub.rot(-1)
+    sp_next[ES.PRE_SHA] = sp.cur() + Const(5) + is_sub.rot(-1)
     for x in EXITS + ERRS:  # next row (EndTx or Restore) re-binds everything
         pc_next[x] = pc.rot(1)
         sp_next[x] = sp.rot(1)
@@ -1109,10 +1245,13 @@ def configure(
             ES.CALL1: gas_left.cur(), ES.CALL2: gas_left.cur(),
             ES.CALL3: gas_left.cur(),
             ES.CALL4: child_gas,
+            ES.PRE1: gas_left.cur(),
             # resume gas = saved base + the child leftover this row holds
             ES.RESTORE: gas_left.cur() + w[5][0].cur(),
         }), lambda s: gas_left.cur() - gc.cur()),
         trans(rwc, {ES.CALL1: rwc.cur() + Const(6) + hv.cur(),
+                    ES.PRE1: rwc.cur() + Const(6) + hv.cur(),
+                    ES.PRE_SHA: rwc.cur() + Const(3) + opn.cur(),
                     # error rows: own reads + the journal's compensating
                     # writes emitted before EndTx (opn, as with REVERT)
                     ES.ERR_INVALID_JUMP: rwc.cur() + one
@@ -1299,6 +1438,38 @@ def configure(
                   for j in range(2))
         use(ES.CALL1, kk, stack_rd(spc + Const(kk), v))
     use(ES.CALL1, 6, stack_rd(spc + Const(6), pc_(1)), en=hvc)
+    # PRE1: same shifted stack-arg layout as CALL1
+    use(ES.PRE1, 0, stack_rd(spc, wc(0)))
+    use(ES.PRE1, 1, stack_rd(spc + one, wc(1)))
+    argp = [wc(2), wc(3), wc(4), pc_(0), pc_(1)]
+    for kk in range(2, 6):
+        v = tuple(hvc * argp[kk - 2][j] + (one - hvc) * argp[kk - 1][j]
+                  for j in range(2))
+        use(ES.PRE1, kk, stack_rd(spc + Const(kk), v))
+    use(ES.PRE1, 6, stack_rd(spc + Const(6), pc_(1)), en=hvc)
+    # PRE_EC: warm access + 4 input words + output word + result push
+    use(ES.PRE_EC, 0, [one, Const(ALAT), tx_id.cur(), one, ZERO, ZERO,
+                       one, ZERO, one, ZERO])
+    for kk in range(4):
+        use(ES.PRE_EC, 1 + kk,
+            [ZERO, Const(MEM), cid.cur(), aux[2].cur() + Const(kk),
+             ZERO, ZERO, *wc(kk), *wc(kk)])
+    use(ES.PRE_EC, 5, [one, Const(MEM), cid.cur(), vcell.cur(),
+                       ZERO, ZERO, *wc(4), *pc_(0)])
+    use(ES.PRE_EC, 6, stack_wr(spc + Const(5) + hvp, (one, ZERO),
+                               (ZERO, ZERO)))
+    # PRE_SHA: warm access; the opn input-word reads live in the copy
+    # event's rwc range; then output word + result at rwc+1+opn/+2+opn
+    use(ES.PRE_SHA, 0, [one, Const(ALAT), tx_id.cur(), Const(2),
+                        ZERO, ZERO, one, ZERO, one, ZERO])
+    slots[1].append((ES.PRE_SHA, [
+        one, rwc.cur() + one + opn.cur(),
+        one, Const(MEM), cid.cur(), vcell.cur(), ZERO, ZERO,
+        *wc(4), *pc_(0)]))
+    slots[2].append((ES.PRE_SHA, [
+        one, rwc.cur() + Const(2) + opn.cur(),
+        one, Const(STK), cid.cur(), spc + Const(5) + hvp, ZERO, ZERO,
+        one, ZERO, ZERO, ZERO]))
     # row 2: access list + transfer + first child ctx
     x_lo = cc_bit.rot(-1) * w[2][0].rot(-1)
     x_hi = cc_bit.rot(-1) * w[2][1].rot(-1)
@@ -1557,7 +1728,9 @@ def configure(
 
 
 _CALL_CONT = {"CallB": ES.CALL2, "CallC": ES.CALL3, "CallD": ES.CALL4,
-              "Restore": ES.RESTORE}
+              "Restore": ES.RESTORE,
+              "PreCall1": ES.PRE1, "PreEcrecover": ES.PRE_EC,
+              "PreSha256": ES.PRE_SHA}
 
 
 _ERROR_ES = {
@@ -2131,6 +2304,58 @@ def assign(
             asg.set_int(cfg.bb0, r, mexp)
             put_word(0, vals[2].value)  # packed self+static save halves
             put_word(1, vals[3].value)  # child code hash halves
+        elif st == ES.PRE1:
+            hv_ = 1 if step.op in (0xF1, 0xF2) else 0
+            asg.set_int(cfg.is_sub, r, hv_)
+            put_word(0, vals[0].value)
+            put_word(1, vals[1].value)
+            if hv_:
+                put_word(2, vals[2].value)
+                put_word(3, vals[3].value)
+                put_word(4, vals[4].value)
+                put_pcell(0, vals[5].value)
+                put_pcell(1, vals[6].value)
+            else:
+                put_word(3, vals[2].value)
+                put_word(4, vals[3].value)
+                put_pcell(0, vals[4].value)
+                put_pcell(1, vals[5].value)
+        elif st == ES.PRE_EC:
+            # vals: [access, hash, v, r, s, out word, result]
+            for kk in range(4):
+                put_word(kk, vals[1 + kk].value)
+            put_word(4, vals[5].value)
+            put_pcell(0, vals[5].value_prev)
+            asg.set_int(cfg.aux[2], r, vals[1].address)
+            asg.set_int(cfg.vcell, r, vals[5].address)
+            asg.set_int(cfg.aux[0], r, step.gas_cost - 3100)
+            raw = vals[1].value
+            q_ = raw // _SECP_N
+            zr = raw - q_ * _SECP_N
+            c1 = 1 if (zr & M128) + q_ * (_SECP_N & M128) >= (1 << 128) \
+                else 0
+            asg.set_int(cfg.m_div, r, q_)
+            asg.set_int(cfg.m_mod, r, c1)
+            put_pcell(2, zr)
+        elif st == ES.PRE_SHA:
+            # vals: [access, <opn copy-range reads>, out word, result]
+            outv = vals[-2]
+            put_word(4, outv.value)
+            put_pcell(0, outv.value_prev)
+            asg.set_int(cfg.vcell, r, outv.address)
+            nw = len(vals) - 3
+            asg.set_int(cfg.opn, r, nw)
+            prev_step = steps[r - 1]
+            hv_ = 1 if prev_step.op in (0xF1, 0xF2) else 0
+            in_off = by_rwc[prev_step.rw_indices[2 + hv_]].value
+            iln = by_rwc[prev_step.rw_indices[3 + hv_]].value
+            asg.set_int(cfg.aux[2], r, in_off // 32)
+            slack_v = 32 * nw - iln
+            asg.set_int(cfg.bb0, r, slack_v & 15)
+            asg.set_int(cfg.carries[0], r, slack_v >> 4)
+            byv_ = (nw + 1) // 2
+            asg.set_int(cfg.byv, r, byv_)
+            asg.set_int(cfg.aux[0], r, step.gas_cost - 160 - 12 * byv_)
         elif st == ES.RESTORE:
             asg.set_int(cfg.w[2][0], r, vals[0].value)  # caller id
             asg.set_int(cfg.aux[1], r, vals[1].value)  # success

@@ -139,6 +139,10 @@ class SigConfig:
     hb: Column = None  # parity split witness (byte0 = 2*hb + v)
     db: list = None  # 16 digest-hi byte cells + [16] = the digest-lo cell
     addr_table: "SigTable" = None  # (en, z, r, s limbs, v, alo, ahi32)
+    # word surface: z/r/s as 128-bit halves (the EVM ecrecover state's
+    # binding) + the middle-limb split byte cells per value name
+    addr_word_table: "SigTable" = None
+    wsplit_bytes: dict = None  # nm -> (b_lo[5], b_hi[6]) columns
 
 
 def _slot(polys, sel: Expr, terms, out, m_limbs, f: Column, cq: list,
@@ -496,6 +500,42 @@ def configure(cs: ConstraintSystem, rt8: RangeTable, nbits: int = 256,
                for c in st[nm]]
             + [qad * vbit.rot(-65), qad * dlo.cur(), qad * ahi32]
         )
+        # --- word surface: z/r/s as 128-bit halves on the q_addr row ---
+        # (the EVM circuit's ecrecover precompile state binds RwTable
+        # words, which are hi/lo; converting limbs->halves once here is
+        # shared by every call site). Each value's middle 88-bit limb
+        # splits as l1 = l1a + 2^40*l1b with BOTH parts byte-decomposed
+        # and range-looked-up (an unranged split cell would let a forging
+        # witness pick arbitrary field elements for the halves):
+        #   lo = l0 + 2^88*l1a,  hi = l1b + 2^48*l2.
+        wsplit = {}
+        wsplit_bytes = {}
+        for nm in ("zl", "rsl", "ssl"):
+            b_lo = [cs.advice_column() for _ in range(5)]   # l1a bytes
+            b_hi = [cs.advice_column() for _ in range(6)]   # l1b bytes
+            wsplit_bytes[nm] = (b_lo, b_hi)
+            rt8.lookup(cs, f"sig_w40_{nm}",
+                       [qad * c.cur() for c in b_lo])
+            rt8.lookup(cs, f"sig_w48_{nm}",
+                       [qad * c.cur() for c in b_hi])
+            l1a = Const(0)
+            for jj, c in enumerate(b_lo):
+                l1a = l1a + Const(1 << (8 * jj)) * c.cur()
+            l1b = Const(0)
+            for jj, c in enumerate(b_hi):
+                l1b = l1b + Const(1 << (8 * jj)) * c.cur()
+            polys.append(
+                qad * (st[nm][1].cur() - l1a - Const(1 << 40) * l1b))
+            wsplit[nm] = (
+                st[nm][0].cur() + Const(1 << 88) * l1a,
+                l1b + Const(1 << 48) * st[nm][2].cur(),
+            )
+        addr_word_table = SigTable(
+            [qad]
+            + [qad * h for nm in ("zl", "rsl", "ssl")
+               for h in wsplit[nm]]
+            + [qad * vbit.rot(-65), qad * dlo.cur(), qad * ahi32]
+        )
     cs.create_gate("sig_region", polys)
 
     table = SigTable(
@@ -507,6 +547,8 @@ def configure(cs: ConstraintSystem, rt8: RangeTable, nbits: int = 256,
         nbits, q_start, q_pos, q_b, q_first_blk, q_seg, q_chain, q_fp,
         q_fn, fp, fn, st, bit1, bit2, acc1, acc2, sf, sc, table,
         q_rlc, q_rlc_first, q_addr, pkb, acc_c, vbit, hb, db, addr_table,
+        addr_word_table if keccak_table is not None else None,
+        wsplit_bytes if keccak_table is not None else None,
     )
 
 
@@ -610,6 +652,16 @@ def assign(
                 asg.set_int(cfg.q_rlc, post0 + 9 + j, 1)
             asg.set_int(cfg.q_rlc_first, post0 + 9, 1)
             asg.set_int(cfg.q_addr, post0 + 73, 1)
+            # word-surface middle-limb split bytes (z/r/s halves)
+            arow = post0 + 73
+            for nm, val in (("zl", z % N), ("rsl", rv), ("ssl", sv)):
+                l1 = (val >> 88) & ((1 << 88) - 1)
+                l1a, l1b = l1 & ((1 << 40) - 1), l1 >> 40
+                b_lo, b_hi = cfg.wsplit_bytes[nm]
+                for jj, c in enumerate(b_lo):
+                    asg.set_int(c, arow, (l1a >> (8 * jj)) & 0xFF)
+                for jj, c in enumerate(b_hi):
+                    asg.set_int(c, arow, (l1b >> (8 * jj)) & 0xFF)
 
         # -- scalar rows --------------------------------------------------
         cfg.fn.assign_row(asg, base + 0, sv, w)

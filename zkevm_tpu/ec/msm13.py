@@ -66,37 +66,52 @@ def select_l(cond, p: G1L, q: G1L) -> G1L:
 def madd_l(p: G1L, qx, qy):
     """Mixed add p += affine (qx, qy) (leaf never identity).
 
-    madd-2007-bl with fused reductions; returns (result, dbl_flag).
-    dbl_flag fires iff p == (qx, qy) on some lane (caller falls back)."""
-    z1z1_T = sqr_T(p.z)
-    z1z1 = combine_reduce(LZ, [(z1z1_T, 1)])
-    u2 = mul13(LZ, qx, z1z1)
-    t = mul13(LZ, qy, p.z)
-    s2 = mul13(LZ, t, z1z1)
-    h = sub13(LZ, u2, p.x)
-    hh_T = sqr_T(h)
-    hh = combine_reduce(LZ, [(hh_T, 1)])
-    hhh_T = prod_T(h, hh)
-    j = combine_reduce(LZ, [(hhh_T, 4)])          # j = 4 h^3
-    v_T = prod_T(p.x, hh)
-    v = combine_reduce(LZ, [(v_T, 4)])            # v = 4 x1 h^2
-    rh = sub13(LZ, s2, p.y)                       # r = 2 rh
-    x3 = combine_reduce(LZ, [(sqr_T(rh), 4), (hhh_T, -4), (v_T, -8)])
-    vmx = sub13(LZ, v, x3)
+    madd-2007-bl in ROW SPACE (per-limb row lists, single-fusion
+    elementwise chains) with fused signed-scaled reductions; returns
+    (result, dbl_flag). dbl_flag fires iff p == (qx, qy) on some lane
+    (caller falls back)."""
+    x1, y1, z1 = lz.to_rows(p.x), lz.to_rows(p.y), lz.to_rows(p.z)
+    qxr, qyr = lz.to_rows(qx), lz.to_rows(qy)
+    z1z1_T = lz.sqr_T_r(z1)
+    z1z1 = lz.combine_reduce_r(LZ, [(z1z1_T, 1)])
+    u2 = lz.mul13_r(LZ, qxr, z1z1)
+    t = lz.mul13_r(LZ, qyr, z1)
+    s2 = lz.mul13_r(LZ, t, z1z1)
+    h = lz.sub13_r(LZ, u2, x1)
+    hh_T = lz.sqr_T_r(h)
+    hh = lz.combine_reduce_r(LZ, [(hh_T, 1)])
+    hhh_T = lz.prod_T_r(h, hh)
+    j = lz.combine_reduce_r(LZ, [(hhh_T, 4)])          # j = 4 h^3
+    v_T = lz.prod_T_r(x1, hh)
+    v = lz.combine_reduce_r(LZ, [(v_T, 4)])            # v = 4 x1 h^2
+    rh = lz.sub13_r(LZ, s2, y1)                        # r = 2 rh
+    x3 = lz.combine_reduce_r(
+        LZ, [(lz.sqr_T_r(rh), 4), (hhh_T, -4), (v_T, -8)])
+    vmx = lz.sub13_r(LZ, v, x3)
     # y3 = r(v - x3) - 2*y1*j with r = 2*rh
-    y3 = combine_reduce(LZ, [(prod_T(rh, vmx), 2), (prod_T(p.y, j), -2)])
-    zh = add13(LZ, p.z, h)
-    z3 = combine_reduce(LZ, [(sqr_T(zh), 1), (z1z1_T, -1), (hh_T, -1)])
+    y3 = lz.combine_reduce_r(
+        LZ, [(lz.prod_T_r(rh, vmx), 2), (lz.prod_T_r(y1, j), -2)])
+    zh = lz.add13_r(LZ, z1, h)
+    z3 = lz.combine_reduce_r(
+        LZ, [(lz.sqr_T_r(zh), 1), (z1z1_T, -1), (hh_T, -1)])
 
-    h_zero = is_zero13(LZ, h)
-    r_zero = is_zero13(LZ, rh)
+    h_zero = lz.is_zero13_r(LZ, h)
+    r_zero = lz.is_zero13_r(LZ, rh)
     same = h_zero & r_zero & ~p.inf
     opposite = h_zero & ~r_zero & ~p.inf
 
-    one = jnp.zeros_like(p.x).at[0].set(1)
-    x_out = select13(p.inf, qx, x3)
-    y_out = select13(p.inf, qy, y3)
-    z_out = select13(p.inf, one, z3)
+    def sel(cond, leaf_r, out_r, one0=False):
+        rows = []
+        for l in range(lz.L13):
+            lv = leaf_r[l] if not one0 else (
+                jnp.ones_like(out_r[l]) if l == 0 else
+                jnp.zeros_like(out_r[l]))
+            rows.append(jnp.where(cond, lv, out_r[l]))
+        return jnp.stack(rows, axis=0)
+
+    x_out = sel(p.inf, qxr, x3)
+    y_out = sel(p.inf, qyr, y3)
+    z_out = sel(p.inf, None, z3, one0=True)
     return (G1L(x_out, y_out, z_out, opposite),
             same.any().astype(jnp.uint32))
 
@@ -104,61 +119,70 @@ def madd_l(p: G1L, qx, qy):
 def add_l(p: G1L, q: G1L):
     """Full Jacobian add (merge/boundary stages; lower volume).
 
-    add-2007-bl with fused reductions, complete via flag selects;
-    returns (result, dbl_flag)."""
-    z1z1_T = sqr_T(p.z)
-    z2z2_T = sqr_T(q.z)
-    z1z1 = combine_reduce(LZ, [(z1z1_T, 1)])
-    z2z2 = combine_reduce(LZ, [(z2z2_T, 1)])
-    u1 = mul13(LZ, p.x, z2z2)
-    u2 = mul13(LZ, q.x, z1z1)
-    s1 = mul13(LZ, mul13(LZ, p.y, q.z), z2z2)
-    s2 = mul13(LZ, mul13(LZ, q.y, p.z), z1z1)
-    h = sub13(LZ, u2, u1)
-    rh = sub13(LZ, s2, s1)                        # r = 2 rh
-    hh_T = sqr_T(h)
-    hh = combine_reduce(LZ, [(hh_T, 1)])          # i = 4 hh
-    hhh_T = prod_T(h, hh)
-    j = combine_reduce(LZ, [(hhh_T, 4)])          # j = 4 h^3
-    v_T = prod_T(u1, hh)
-    v = combine_reduce(LZ, [(v_T, 4)])            # v = u1 * i
-    x3 = combine_reduce(LZ, [(sqr_T(rh), 4), (hhh_T, -4), (v_T, -8)])
-    vmx = sub13(LZ, v, x3)
+    add-2007-bl in row space with fused reductions, complete via flag
+    selects; returns (result, dbl_flag)."""
+    x1, y1, z1 = lz.to_rows(p.x), lz.to_rows(p.y), lz.to_rows(p.z)
+    x2, y2, z2 = lz.to_rows(q.x), lz.to_rows(q.y), lz.to_rows(q.z)
+    z1z1_T = lz.sqr_T_r(z1)
+    z2z2_T = lz.sqr_T_r(z2)
+    z1z1 = lz.combine_reduce_r(LZ, [(z1z1_T, 1)])
+    z2z2 = lz.combine_reduce_r(LZ, [(z2z2_T, 1)])
+    u1 = lz.mul13_r(LZ, x1, z2z2)
+    u2 = lz.mul13_r(LZ, x2, z1z1)
+    s1 = lz.mul13_r(LZ, lz.mul13_r(LZ, y1, z2), z2z2)
+    s2 = lz.mul13_r(LZ, lz.mul13_r(LZ, y2, z1), z1z1)
+    h = lz.sub13_r(LZ, u2, u1)
+    rh = lz.sub13_r(LZ, s2, s1)                        # r = 2 rh
+    hh_T = lz.sqr_T_r(h)
+    hh = lz.combine_reduce_r(LZ, [(hh_T, 1)])
+    hhh_T = lz.prod_T_r(h, hh)
+    j = lz.combine_reduce_r(LZ, [(hhh_T, 4)])          # j = 4 h^3
+    v_T = lz.prod_T_r(u1, hh)
+    v = lz.combine_reduce_r(LZ, [(v_T, 4)])            # v = u1 * i
+    x3 = lz.combine_reduce_r(
+        LZ, [(lz.sqr_T_r(rh), 4), (hhh_T, -4), (v_T, -8)])
+    vmx = lz.sub13_r(LZ, v, x3)
     # y3 = r(v - x3) - 2*s1*j with r = 2*rh
-    y3 = combine_reduce(LZ, [(prod_T(rh, vmx), 2), (prod_T(s1, j), -2)])
-    zh = add13(LZ, p.z, q.z)
-    zzt = combine_reduce(LZ, [(sqr_T(zh), 1), (z1z1_T, -1), (z2z2_T, -1)])
-    z3 = mul13(LZ, zzt, h)
+    y3 = lz.combine_reduce_r(
+        LZ, [(lz.prod_T_r(rh, vmx), 2), (lz.prod_T_r(s1, j), -2)])
+    zh = lz.add13_r(LZ, z1, z2)
+    zzt = lz.combine_reduce_r(
+        LZ, [(lz.sqr_T_r(zh), 1), (z1z1_T, -1), (z2z2_T, -1)])
+    z3 = lz.mul13_r(LZ, zzt, h)
 
-    h_zero = is_zero13(LZ, h)
-    r_zero = is_zero13(LZ, rh)
+    h_zero = lz.is_zero13_r(LZ, h)
+    r_zero = lz.is_zero13_r(LZ, rh)
     both = ~p.inf & ~q.inf
     same = h_zero & r_zero & both
     opposite = h_zero & ~r_zero & both
 
-    out = G1L(x3, y3, z3, opposite)
+    out = G1L(lz.from_rows(x3), lz.from_rows(y3), lz.from_rows(z3),
+              opposite)
     out = select_l(p.inf, q, out)
     out = select_l(q.inf & ~p.inf, p, out)
     return out, same.any().astype(jnp.uint32)
 
 
 def double_l(p: G1L) -> G1L:
-    """Jacobian doubling (dbl-2009-l) with fused reductions."""
-    a_T = sqr_T(p.x)
-    a = combine_reduce(LZ, [(a_T, 1)])
-    b_T = sqr_T(p.y)
-    b = combine_reduce(LZ, [(b_T, 1)])
-    c_T = sqr_T(b)
+    """Jacobian doubling (dbl-2009-l) in row space, fused reductions."""
+    x, y, z = lz.to_rows(p.x), lz.to_rows(p.y), lz.to_rows(p.z)
+    a_T = lz.sqr_T_r(x)
+    a = lz.combine_reduce_r(LZ, [(a_T, 1)])
+    b_T = lz.sqr_T_r(y)
+    b = lz.combine_reduce_r(LZ, [(b_T, 1)])
+    c_T = lz.sqr_T_r(b)
     # d = 2((x+b)^2 - a - c)
-    xb = add13(LZ, p.x, b)
-    d = combine_reduce(LZ, [(sqr_T(xb), 2), (a_T, -2), (c_T, -2)])
-    e = combine_reduce(LZ, [(a_T, 3)])            # e = 3a
-    x3 = combine_reduce(LZ, [(sqr_T(e), 1)])
-    x3 = sub13(LZ, x3, add13(LZ, d, d))
-    dmx = sub13(LZ, d, x3)
-    y3 = combine_reduce(LZ, [(prod_T(e, dmx), 1), (c_T, -8)])
-    z3 = combine_reduce(LZ, [(prod_T(p.y, p.z), 2)])
-    return G1L(x3, y3, z3, p.inf)
+    xb = lz.add13_r(LZ, x, b)
+    d = lz.combine_reduce_r(
+        LZ, [(lz.sqr_T_r(xb), 2), (a_T, -2), (c_T, -2)])
+    e = lz.combine_reduce_r(LZ, [(a_T, 3)])            # e = 3a
+    x3 = lz.combine_reduce_r(LZ, [(lz.sqr_T_r(e), 1)])
+    x3 = lz.sub13_r(LZ, x3, lz.add13_r(LZ, d, d))
+    dmx = lz.sub13_r(LZ, d, x3)
+    y3 = lz.combine_reduce_r(
+        LZ, [(lz.prod_T_r(e, dmx), 1), (c_T, -8)])
+    z3 = lz.combine_reduce_r(LZ, [(lz.prod_T_r(y, z), 2)])
+    return G1L(lz.from_rows(x3), lz.from_rows(y3), lz.from_rows(z3), p.inf)
 
 
 def _searchsorted_rows(sd, B):

@@ -696,8 +696,9 @@ def trace_call(
     interp = Interpreter(
         sdb, cdb, origin=caller, gas_price=gas_price, block_ctx=block_ctx
     )
-    # per-tx access-list warm-up (EIP-2929 §: tx.origin, tx.to, precompiles)
-    sdb.access_list_account = {caller, callee}
+    # per-tx access-list warm-up (EIP-2929 §: tx.origin, tx.to, precompiles
+    # 0x01-0x09 are always warm)
+    sdb.access_list_account = {caller, callee} | set(range(1, 10))
     sdb.access_list_storage = set()
     interp._original = {
         (a, k): v

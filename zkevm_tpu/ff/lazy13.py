@@ -71,18 +71,21 @@ class Lazy13:
         p = spec.modulus
         self.p = p
         assert p < (1 << 254)
-        # --- reduction matrix: row (j, k) has weight 2^(13j + 8k) mod p,
-        # output as 21 limbs of 13 bits, each split lo8 / hi5.
+        # --- reduction matrix, BYTE-PLANE-MAJOR row order (row = k*41+j
+        # for byte k of product column j) so the rows align with a cheap
+        # axis-0 concat of shift-extracted byte planes — no transposes
+        # anywhere in the reduction. Stored TRANSPOSED (42, 164): the
+        # matmul is C @ t8 with t8 (164, batch) already in the natural
+        # (K, N) layout (batch minor).
         C = np.zeros((NROWS, 2 * L13), dtype=np.uint8)
         for j in range(NPROD):
             for k in range(NBYTES):
                 w = pow(2, B13 * j + 8 * k, p)
                 for l in range(L13):
                     limb = (w >> (B13 * l)) & int(M13)
-                    C[j * NBYTES + k, 2 * l] = limb & 0xFF
-                    C[j * NBYTES + k, 2 * l + 1] = limb >> 8
-        self.C = C
-        self.C_bf16 = C.astype(np.float32)  # cast to bf16 at use site
+                    C[k * NPROD + j, 2 * l] = limb & 0xFF
+                    C[k * NPROD + j, 2 * l + 1] = limb >> 8
+        self.C = np.ascontiguousarray(C.T)  # (42, 164)
         # top-limb fold: w262 = 2^262 mod p (values are folded so that
         # limb 20 keeps only its low 2 bits -> value < 2^262 + eps)
         self.w262 = _limbs13(pow(2, 262, p))
@@ -154,72 +157,77 @@ def _bcast_const(vec: np.ndarray, ndim: int):
     return jnp.reshape(jnp.asarray(vec), (L13,) + (1,) * (ndim - 1))
 
 
-def _carry_fold(lz: Lazy13, t):
-    """(21, ...) u32 rows with entries < 2^31, representing a VALUE
-    < 2^269 -> quasi-canonical limbs, value < 2^262.2.
-
-    Two vectorized carry rounds (top carry provably zero: value < 2^269
-    < 2^273 capacity), then limb 20 keeps its low 2 bits and the excess
-    (< 2^9 * 2^13) folds back via 2^262 mod p."""
-    lo = t & M13
-    hi = t >> B13                    # < 2^18
-    t = lo.at[1:].add(hi[:-1])       # limbs < 2^13 + 2^18; hi[-1]=0 (value<2^269 => t[20]<2^9... )
-    lo = t & M13
-    hi = t >> B13                    # < 2^6
-    t = lo.at[1:].add(hi[:-1])       # quasi-canonical
-    # top fold: t[20] < 2^9 + 2^6 (value < 2^269); keep low 2 bits
-    e = t[20] >> 2                   # < 2^8
-    t = t.at[20].set(t[20] & 3)
-    w = _bcast_const(lz.w262, t.ndim)
-    t = t + e[None] * w              # limbs < 2^13 + 2^6 + 2^21
-    lo = t & M13
-    hi = t >> B13                    # < 2^9
-    t = lo.at[1:].add(hi[:-1])
-    lo = t & M13
-    hi = t >> B13                    # <= 1
-    t = lo.at[1:].add(hi[:-1])       # quasi-canonical; value < 2^262 + 2^8*2^254 < 2^262.2
-    return t
+def _round_r(rows):
+    """One vectorized carry round on row lists; drops the top carry
+    (callers guarantee it is structurally zero via value bounds)."""
+    lo = [r & M13 for r in rows]
+    hi = [r >> B13 for r in rows]
+    return [lo[0]] + [lo[l] + hi[l - 1] for l in range(1, L13)]
 
 
-def _bytes_of(t):
-    """(41, ...) u32 product columns -> (..., 164) bytes via bitcast
-    (little-endian u32 = the exact 4 bytes we need; zero ALU cost)."""
-    tb = jnp.moveaxis(t, 0, -1)                      # (..., 41)
-    t8 = jax.lax.bitcast_convert_type(tb, jnp.uint8)  # (..., 41, 4)
-    return t8.reshape(t8.shape[:-2] + (NROWS,))
+def _carry_fold_r(lz: Lazy13, rows):
+    """21 u32 rows with entries < 2^31, representing a VALUE < 2^271.5
+    -> quasi-canonical rows, value < 2^263.
+
+    Two carry rounds (top carry provably zero: value < capacity 2^273),
+    then limb 20 keeps its low 2 bits and the excess folds back via the
+    2^262 mod p constant rows."""
+    rows = _round_r(rows)
+    rows = _round_r(rows)
+    e = rows[20] >> 2
+    rows[20] = rows[20] & 3
+    w = lz.w262  # numpy scalars: fold constants multiply rows directly
+    rows = [rows[l] + e * np.uint32(w[l]) if w[l] else rows[l]
+            for l in range(L13)]
+    rows = _round_r(rows)
+    return _round_r(rows)
 
 
-def _matmul_reduce(lz: Lazy13, t8, C_u8):
-    """(..., R) bytes @ (R, 42) constant -> quasi-canonical (21, ...)."""
+def _bytes_of_r(t_rows):
+    """41 u32 product-column rows -> 164 u8 byte-plane rows (cast before
+    the stack so the stacked matmul input is 1 byte/entry)."""
+    u8 = jnp.uint8
+    return ([(r & 0xFF).astype(u8) for r in t_rows]
+            + [((r >> 8) & 0xFF).astype(u8) for r in t_rows]
+            + [((r >> 16) & 0xFF).astype(u8) for r in t_rows]
+            + [(r >> 24).astype(u8) for r in t_rows])
+
+
+def _matmul_reduce_r(lz: Lazy13, rows8, C_u8):
+    """(42, R) constant @ stacked (R, ...) byte rows -> quasi-canonical
+    row list; the dot contracts the leading axis (batch minor = the
+    natural MXU rhs layout)."""
+    t8 = jnp.stack(rows8, axis=0)
+    shp = t8.shape
+    t8 = t8.reshape(shp[0], -1)
     if MATMUL_DTYPE == "bf16":
         r = jax.lax.dot_general(
-            t8.astype(jnp.bfloat16), jnp.asarray(C_u8, jnp.bfloat16),
-            (((t8.ndim - 1,), (0,)), ((), ())),
+            jnp.asarray(C_u8, jnp.bfloat16), t8.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(U32)
     else:
         r = jax.lax.dot_general(
-            t8, jnp.asarray(C_u8),
-            (((t8.ndim - 1,), (0,)), ((), ())),
+            jnp.asarray(C_u8), t8,
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(U32)
-    r = jnp.moveaxis(r, -1, 0)       # (42, ...), entries < R*255*255
-    t = r[0::2] + (r[1::2] << 8)     # (21, ...), < 2^24*257 < 2^32 exact
-    return _carry_fold(lz, t)
+    r = r.reshape((2 * L13,) + shp[1:])  # entries < R*255*255
+    rows = [r[2 * l] + (r[2 * l + 1] << 8) for l in range(L13)]  # < 2^30.5
+    return _carry_fold_r(lz, rows)
 
 
-def _reduce_t(lz: Lazy13, t, batch):
-    """Byte-split the (41, ...) product columns and reduce mod p via the
-    constant MXU matmul; returns quasi-canonical (21, ...) limbs."""
-    del batch
-    return _matmul_reduce(lz, _bytes_of(t), lz.C)
+def _reduce_rows(lz: Lazy13, t_rows):
+    """Product-column rows -> reduced quasi-canonical rows."""
+    return _matmul_reduce_r(lz, _bytes_of_r(t_rows), lz.C)
 
 
 @lru_cache(maxsize=None)
 def _scaled_C(lz: Lazy13, scales: tuple):
-    """Reduction matrix for a COMBINED signed-scaled reduction: the k-th
-    164-row block has weights (scales[k] * 2^w mod p) — formula constants
+    """Reduction matrix for a COMBINED signed-scaled reduction: the s-th
+    164-row block has weights (scales[s] * 2^w mod p) — formula constants
     (x4, -8, ...) cost nothing because they fold into the MXU matrix.
+    Same byte-plane-major row order and (42, R) transpose as Lazy13.C.
     Output value bound: sum_r T8_r * p < len(scales)*164*255*p."""
     p = lz.p
     C = np.zeros((NROWS * len(scales), 2 * L13), dtype=np.uint8)
@@ -229,97 +237,224 @@ def _scaled_C(lz: Lazy13, scales: tuple):
                 w = (k * pow(2, B13 * j + 8 * kk, p)) % p
                 for l in range(L13):
                     limb = (w >> (B13 * l)) & int(M13)
-                    C[s * NROWS + j * NBYTES + kk, 2 * l] = limb & 0xFF
-                    C[s * NROWS + j * NBYTES + kk, 2 * l + 1] = limb >> 8
-    return C
+                    C[s * NROWS + kk * NPROD + j, 2 * l] = limb & 0xFF
+                    C[s * NROWS + kk * NPROD + j, 2 * l + 1] = limb >> 8
+    return np.ascontiguousarray(C.T)
 
+
+# ---------------------------------------------------------------------------
+# Row-space core: every kernel works on Python LISTS of per-limb rows
+# (pure elementwise ops, no dynamic-update-slices — XLA fuses each op
+# chain into single kernels; the stacked .at[] formulation measured
+# ~2.5x slower from accumulator materialization). The stacked (21, ...)
+# API below wraps these for circuits/tests; the MSM point kernels call
+# the row forms directly and stack only at the matmul boundary.
+# ---------------------------------------------------------------------------
+
+def to_rows(a):
+    """(21, ...) stacked -> list of 21 rows."""
+    return [a[l] for l in range(L13)]
+
+
+def from_rows(rows):
+    return jnp.stack(rows, axis=0)
+
+
+def prod_T_r(ar, br):
+    """Schoolbook double-width product columns (41 rows) of two
+    quasi-canonical row lists — the VPU half of a field mul (441 muls,
+    single-fusion friendly)."""
+    t: list = [None] * NPROD
+    for i in range(L13):
+        for j in range(L13):
+            pr = ar[i] * br[j]
+            k = i + j
+            t[k] = pr if t[k] is None else t[k] + pr
+    return t
+
+
+def sqr_T_r(ar):
+    """Double-width square columns (shared off-diagonals: ~55% muls)."""
+    t: list = [None] * NPROD
+
+    def acc(k, pr):
+        t[k] = pr if t[k] is None else t[k] + pr
+
+    for i in range(L13):
+        acc(2 * i, ar[i] * ar[i])
+        if i + 1 < L13:
+            ad = ar[i] + ar[i]
+            for j in range(i + 1, L13):
+                acc(i + j, ad * ar[j])
+    return t
+
+
+def combine_reduce_r(lz: Lazy13, terms):
+    """One MXU matmul evaluating sum_k scales[k] * value(T_k) mod p.
+
+    terms: list of (T_rows, int_scale); T_rows are 41-row product
+    columns, reusable across terms (z3 = (z1+h)^2 - z1^2 - h^2 reuses
+    the squares' columns). Scales may be negative; they embed in the
+    constant matrix. len(terms) <= 4 keeps the output value < 2^271.5
+    (the carry-fold's provably-zero-top-carry bound)."""
+    assert 1 <= len(terms) <= 4
+    scales = tuple(int(k) for _, k in terms)
+    rows8: list = []
+    for t_rows, _ in terms:
+        rows8.extend(_bytes_of_r(t_rows))
+    return _matmul_reduce_r(lz, rows8, _scaled_C(lz, scales))
+
+
+def mul13_r(lz: Lazy13, ar, br):
+    return _reduce_rows(lz, prod_T_r(ar, br))
+
+
+def sqr13_r(lz: Lazy13, ar):
+    return _reduce_rows(lz, sqr_T_r(ar))
+
+
+def add13_r(lz: Lazy13, ar, br):
+    """Lazy modular add on rows: values < 2^263 each."""
+    t = [x + y for x, y in zip(ar, br)]   # limbs < 2^14 + 2^7
+    t = _round_r(t)
+    e = t[20] >> 2                        # < 2^3
+    t[20] = t[20] & 3
+    w = lz.w262
+    t = [t[l] + e * np.uint32(w[l]) if w[l] else t[l] for l in range(L13)]
+    return _round_r(t)
+
+
+def sub13_r(lz: Lazy13, ar, br):
+    """Lazy modular subtract on rows: a + (KP~ - b), borrow-free per
+    limb for any op-output b (value < 2^263.6 => b[20] <= ~20)."""
+    kp = lz.kp_t
+    t = [x + np.uint32(kp[l]) - y for l, (x, y) in enumerate(zip(ar, br))]
+    t = _round_r(t)
+    e = t[20] >> 2
+    t[20] = t[20] & 3
+    w = lz.w262
+    t = [t[l] + e * np.uint32(w[l]) if w[l] else t[l] for l in range(L13)]
+    return _round_r(t)
+
+
+def _ripple_r(rows):
+    """Full sequential carry to strictly-canonical (< 2^13) limbs."""
+    out = []
+    carry = None
+    for l in range(L13):
+        v = rows[l] if carry is None else rows[l] + carry
+        out.append(v & M13)
+        carry = v >> B13
+    return out
+
+
+def _cond_sub_p_r(lz: Lazy13, rows):
+    """Subtract p once if value >= p; rows must be strictly canonical."""
+    pl = [np.uint32(v) for v in _limbs13(lz.p)]
+    d = []
+    borrow = None
+    for l in range(L13):
+        v = rows[l] + np.uint32(1 << B13) - pl[l]
+        if borrow is not None:
+            v = v - borrow
+        d.append(v & M13)
+        borrow = np.uint32(1) - (v >> B13)
+    keep = borrow != 0
+    return [jnp.where(keep, rows[l], d[l]) for l in range(L13)]
+
+
+def _barrett_sub_r(lz: Lazy13, ar):
+    """rows -> strict-limb rows of (V - m*p + KP), V the exact value;
+    result value in [KP, KP + 7p)."""
+    v_hi = ar[19] + (ar[20] << B13)
+    m = (v_hi * np.uint32(lz.mu)) >> lz.mu_k  # <= floor(V/p), -4 max
+    pl = lz.p_limbs13
+    mp = [m * np.uint32(pl[l]) for l in range(L13)]
+    mp = _round_r(_round_r(mp))               # quasi-canonical; mp_20 <= 8
+    kp = lz.kp_t
+    t = [x + np.uint32(kp[l]) - y for l, (x, y) in enumerate(zip(ar, mp))]
+    return _ripple_r(t)
+
+
+def canon13_r(lz: Lazy13, ar):
+    """Canonicalize lazy rows (op output, value < 2^263.6) to [0, p)."""
+    t = _barrett_sub_r(lz, ar)
+    # subtract the constant KP (t >= KP always): plain borrow ripple
+    kl = [np.uint32(v) for v in lz.kp_limbs]
+    out = []
+    borrow = None
+    for l in range(L13):
+        v = t[l] + np.uint32(1 << B13) - kl[l]
+        if borrow is not None:
+            v = v - borrow
+        out.append(v & M13)
+        borrow = np.uint32(1) - (v >> B13)
+    t = out                                    # in [0, 7p)
+    for _ in range(7):
+        t = _cond_sub_p_r(lz, t)
+    return t
+
+
+def is_zero13_r(lz: Lazy13, ar):
+    """Exact zero-test mod p on lazy rows -> bool over the batch shape.
+
+    After the Barrett subtraction and ripple the exact value lies in
+    [KP, KP + 7p): zero mod p iff the strict limb pattern equals one of
+    the 8 constants KP + i*p."""
+    t = _barrett_sub_r(lz, ar)
+    hit = None
+    for i in range(8):
+        c = _limbs13((lz.m_kp + i) * lz.p)   # KP + 7p < 2^266: fits
+        eq = None
+        for l in range(L13):
+            e = t[l] == np.uint32(c[l])
+            eq = e if eq is None else (eq & e)
+        hit = eq if hit is None else (hit | eq)
+    return hit
+
+
+# --- stacked (21, ...) wrappers -------------------------------------------
 
 def prod_T(a, b):
-    """Schoolbook double-width product columns (41, ...) u32 of two
-    quasi-canonical operands — the VPU half of a field mul (441 muls)."""
+    """Stacked API: (21, ...) x (21, ...) -> (41, ...) product columns."""
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    a = jnp.broadcast_to(a, (L13,) + batch).astype(U32)
-    b = jnp.broadcast_to(b, (L13,) + batch).astype(U32)
-    t = jnp.zeros((NPROD,) + batch, dtype=U32)
-    for i in range(L13):
-        t = t.at[i:i + L13].add(a[i][None] * b)
-    return t
+    ar = [jnp.broadcast_to(a[i], batch).astype(U32) for i in range(L13)]
+    br = [jnp.broadcast_to(b[j], batch).astype(U32) for j in range(L13)]
+    return from_rows(prod_T_r(ar, br) + [None] * 0)[: NPROD]
 
 
 def sqr_T(a):
-    """Double-width square columns (shared off-diagonals: ~55% muls)."""
-    batch = a.shape[1:]
-    a = a.astype(U32)
-    t = jnp.zeros((NPROD,) + batch, dtype=U32)
-    for i in range(L13):
-        t = t.at[2 * i].add(a[i] * a[i])
-        if i + 1 < L13:
-            ad = a[i] + a[i]
-            t = t.at[2 * i + 1:i + L13].add(ad[None] * a[i + 1:])
-    return t
+    return jnp.stack(sqr_T_r(to_rows(a.astype(U32))), axis=0)
 
 
 def combine_reduce(lz: Lazy13, terms):
-    """One MXU matmul evaluating sum_k scales[k] * value(T_k) mod p.
-
-    terms: list of (T, int_scale) with T a (41, ...) product-column array
-    (reusable across terms — e.g. z3 = (z1+h)^2 - z1^2 - h^2 reuses the
-    squares' columns). Scales may be negative; they embed in the constant
-    matrix. Keep len(terms) <= 4 so the output value stays < 2^271 (the
-    carry-fold's provably-zero-top-carry bound)."""
-    assert 1 <= len(terms) <= 4
-    scales = tuple(int(k) for _, k in terms)
-    t8 = jnp.concatenate([_bytes_of(t) for t, _ in terms], axis=-1)
-    return _matmul_reduce(lz, t8, _scaled_C(lz, scales))
+    """Stacked API over combine_reduce_r (terms carry (41, ...) arrays)."""
+    rterms = [([t[k] for k in range(NPROD)], s) for t, s in terms]
+    return from_rows(combine_reduce_r(lz, rterms))
 
 
 def mul13(lz: Lazy13, a, b):
     """Lazy modular product (21, ...) x (21, ...) -> (21, ...).
 
     VPU: 441 u32 muls + adds (no per-product splits). MXU: one
-    (N, 164) @ (164, 42) constant matmul. Output value < 2^262.2."""
+    (42, 164) @ (164, N) constant matmul. Output value < 2^263."""
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    return _reduce_t(lz, prod_T(a, b), batch)
+    ar = [jnp.broadcast_to(a[i], batch).astype(U32) for i in range(L13)]
+    br = [jnp.broadcast_to(b[j], batch).astype(U32) for j in range(L13)]
+    return from_rows(mul13_r(lz, ar, br))
 
 
 def sqr13(lz: Lazy13, a):
-    """Lazy modular square: off-diagonal products shared (~55% of mul's
-    multiplies). Column bound: <= 10 doubled (2^27.05) + 1 diagonal
-    product < 2^30.5 < 2^31."""
-    return _reduce_t(lz, sqr_T(a), a.shape[1:])
+    """Lazy modular square: off-diagonal products shared."""
+    return from_rows(sqr13_r(lz, to_rows(a.astype(U32))))
 
 
 def add13(lz: Lazy13, a, b):
-    """Lazy modular add: values < 2^263 each -> out value < 2^262.2."""
-    t = a + b                        # limbs < 2^14 + 2^7
-    lo = t & M13
-    hi = t >> B13                    # <= 2
-    t = lo.at[1:].add(hi[:-1])
-    e = t[20] >> 2                   # < 2^3 (value < 2^264 => t[20] < 2^4+)
-    t = t.at[20].set(t[20] & 3)
-    w = _bcast_const(lz.w262, t.ndim)
-    t = t + e[None] * w
-    lo = t & M13
-    hi = t >> B13
-    return lo.at[1:].add(hi[:-1])    # value < 2^262 + 2^3*2^254: quasi-ok
-    # (second carry round unnecessary: hi < 2^4 -> limbs < 2^13 + 2^4)
+    return from_rows(add13_r(lz, to_rows(a), to_rows(b)))
 
 
 def sub13(lz: Lazy13, a, b):
-    """Lazy modular subtract: a + (KP~ - b), borrow-free per limb for
-    quasi-canonical b with value < 2^263 (=> b[20] < 2^4); KP ~ 2^264."""
-    kp = _bcast_const(lz.kp_t, a.ndim)
-    t = a + kp - b                   # limbs < 2^13+2^6 + 2^14: < 2^14.7
-    lo = t & M13
-    hi = t >> B13                    # <= 3
-    t = lo.at[1:].add(hi[:-1])
-    e = t[20] >> 2                   # value < 2^265 => t[20] < 2^5+q
-    t = t.at[20].set(t[20] & 3)
-    w = _bcast_const(lz.w262, t.ndim)
-    t = t + e[None] * w
-    lo = t & M13
-    hi = t >> B13
-    return lo.at[1:].add(hi[:-1])
+    return from_rows(sub13_r(lz, to_rows(a), to_rows(b)))
 
 
 def dbl13(lz: Lazy13, a):
@@ -327,88 +462,11 @@ def dbl13(lz: Lazy13, a):
 
 
 def canon13(lz: Lazy13, a):
-    """Canonicalize a lazy value (op output, value < 2^263.2) to [0, p).
-
-    Barrett: m ~= floor(V/p) (underestimate by <= 4) from the top limbs,
-    then t = a + KP~ - m*p is borrow-free per limb with EXACT value
-    V - m*p + KP in [KP, KP + 5p). Ripple to strict limbs, subtract the
-    constant KP, and finish with conditional subtracts of p."""
-    v_hi = a[19] + (a[20] << B13)             # floor(V/2^247) or 1 less
-    m = (v_hi * np.uint32(lz.mu)) >> lz.mu_k  # <= floor(V/p) <= m + 4
-    pl = _bcast_const(lz.p_limbs13, a.ndim)
-    mp = m[None] * pl                         # m < 2^10: products < 2^23
-    lo = mp & M13
-    hi = mp >> B13
-    mp = lo.at[1:].add(hi[:-1])
-    lo = mp & M13
-    hi = mp >> B13
-    mp = lo.at[1:].add(hi[:-1])               # quasi-canonical; mp_20 <= 8
-    kp = _bcast_const(lz.kp_t, a.ndim)
-    t = a + kp - mp                           # borrow-free; exact value
-    t = _ripple(t)                            # strict limbs; V < 2^264.4
-    # subtract the constant KP (t >= KP always): plain borrow ripple
-    kl = [np.uint32(v) for v in lz.kp_limbs]
-    out = []
-    borrow = jnp.zeros_like(t[0])
-    for l in range(L13):
-        v = t[l] + np.uint32(1 << B13) - kl[l] - borrow
-        out.append(v & M13)
-        borrow = np.uint32(1) - (v >> B13)
-    t = jnp.stack(out, axis=0)                # in [0, 7p)
-    for _ in range(7):
-        t = _cond_sub_p(lz, t)
-    return t
-
-
-def _ripple(t):
-    """Full sequential carry to strictly-canonical (< 2^13) limbs."""
-    out = []
-    carry = jnp.zeros_like(t[0])
-    for l in range(L13):
-        v = t[l] + carry
-        out.append(v & M13)
-        carry = v >> B13
-    return jnp.stack(out, axis=0)
-
-
-def _cond_sub_p(lz: Lazy13, t):
-    """Subtract p once if t >= p; t must have strictly canonical limbs."""
-    pl = [np.uint32(v) for v in _limbs13(lz.p)]
-    d = []
-    borrow = jnp.zeros_like(t[0])
-    for l in range(L13):
-        v = t[l] + np.uint32(1 << B13) - pl[l] - borrow
-        d.append(v & M13)
-        borrow = np.uint32(1) - (v >> B13)
-    keep = borrow != 0
-    return jnp.stack(
-        [jnp.where(keep, t[l], d[l]) for l in range(L13)], axis=0)
+    return from_rows(canon13_r(lz, to_rows(a)))
 
 
 def is_zero13(lz: Lazy13, a):
-    """Exact zero-test mod p of a lazy value -> bool over batch dims.
-
-    Cheaper than canon13: after the Barrett subtraction and ripple, the
-    exact value lies in [KP, KP + 7p), so a == 0 mod p iff the strict
-    limb pattern equals one of the 8 precomputed constants KP + i*p."""
-    v_hi = a[19] + (a[20] << B13)
-    m = (v_hi * np.uint32(lz.mu)) >> lz.mu_k
-    pl = _bcast_const(lz.p_limbs13, a.ndim)
-    mp = m[None] * pl
-    lo = mp & M13
-    hi = mp >> B13
-    mp = lo.at[1:].add(hi[:-1])
-    lo = mp & M13
-    hi = mp >> B13
-    mp = lo.at[1:].add(hi[:-1])
-    kp = _bcast_const(lz.kp_t, a.ndim)
-    t = _ripple(a + kp - mp)
-    hit = None
-    for i in range(8):
-        c = _limbs13((lz.m_kp + i) * lz.p)  # fits: KP + 7p < 2^266
-        eq = jnp.all(t == _bcast_const(c, a.ndim), axis=0)
-        hit = eq if hit is None else (hit | eq)
-    return hit
+    return is_zero13_r(lz, to_rows(a))
 
 
 def eq13(lz: Lazy13, a, b):

@@ -52,6 +52,11 @@ class Block:
     params: CircuitsParams = field(default_factory=CircuitsParams)
     prev_state_root: int = 0
     post_state_root: int = 0
+    # precompile side events (builder PrecompileEvents analog)
+    sha256_inputs: list = field(default_factory=list)
+    ecrecover_sigs: list = field(default_factory=list)
+    ecadd_events: list = field(default_factory=list)
+    ecmul_events: list = field(default_factory=list)
 
     @property
     def tx_hashes(self) -> list[bytes]:
@@ -90,6 +95,10 @@ def block_convert(
         steps=b.steps,
         copy_events=b.copy_events,
         exp_events=b.exp_events,
+        sha256_inputs=b.sha256_inputs,
+        ecrecover_sigs=b.ecrecover_sigs,
+        ecadd_events=b.ecadd_events,
+        ecmul_events=b.ecmul_events,
         calls=b.calls,
         params=params,
     )

@@ -90,6 +90,7 @@ class CopyDataType:
     TX_LOG = 4
     RLC_ACC = 5  # SHA3 input accumulator
     RETURN_DATA = 6
+    RLC_SHA = 7  # sha256-precompile input accumulator
 
 
 @dataclass
@@ -132,6 +133,13 @@ class CircuitInputBuilder:
         self.calls: list[Call] = []
         self.copy_events: list[CopyEvent] = []
         self.exp_events: list[ExpEvent] = []
+        # precompile side events (reference PrecompileEvents,
+        # circuit_input_builder/execution.rs): consumed by the Sig /
+        # SHA256 / ECC subcircuits in the full super composition
+        self.ecrecover_sigs: list = []   # (z, (qx, qy), r, s)
+        self.sha256_inputs: list = []    # input bytes
+        self.ecadd_events: list = []     # ((x1,y1), (x2,y2), (x3,y3))
+        self.ecmul_events: list = []     # ((x,y), k, (x3,y3))
         self.tx_id = 1
         self.next_call_id = 1
         self.refund = 0
@@ -263,7 +271,8 @@ class CircuitInputBuilder:
         + execution/begin_end_tx.rs)."""
         logs = trace.struct_logs
         # per-tx warm-up mirrors the tracer's
-        self.sdb.access_list_account = {caller, callee}
+        # EIP-2929 warm-up mirrors the tracer: origin, to, precompiles
+        self.sdb.access_list_account = {caller, callee} | set(range(1, 10))
         self.sdb.access_list_storage = set()
         self._original = {
             (a, k): v
@@ -423,6 +432,13 @@ class CircuitInputBuilder:
         else:  # STATICCALL
             caddr, saddr, cval = call.address, to, 0
 
+        from zkevm_tpu.etypes import precompiles as pcmod
+
+        if pcmod.is_precompile(to):
+            return self._gen_precompile_call(
+                logs, i, j, call, es, step, name, sp, nargs, to, value,
+                calldata, top)
+
         child = Call(
             call_id=self.next_call_id, caller_id=call.call_id,
             depth=call.depth + 1, caller_address=caddr, address=saddr,
@@ -541,6 +557,138 @@ class CircuitInputBuilder:
         ri.append(self.stack_write(call.call_id, sp + nargs - 1, int(success)))
         return j
 
+
+    # -- precompile calls (reference: evm_circuit/execution/precompiles/
+    # + bus-mapping/src/evm/opcodes/precompiles/) ------------------------
+    _PRE_STATES = {1: "PreEcrecover", 2: "PreSha256",
+                   6: "PreEcAdd", 7: "PreEcMul"}
+
+    def _gen_precompile_call(self, logs, i, j, call, es, step, name,
+                             sp, nargs, to: int, value: int,
+                             calldata: bytes, top) -> int:
+        """CALL family into a precompile: TWO step rows.
+
+            row 1 ("PreCall1"):  the 6/7 stack arg reads (es, already
+                                 pushed by the caller)
+            row 2 ("Pre<name>"): warm access-list row + fixed-word input
+                                 memory reads (or a copy event for
+                                 SHA256) + output word write + result
+                                 stack push + the precompile TABLE
+                                 lookup binding input->output.
+
+        The tracer executed the precompile natively (etypes/precompiles),
+        so logs[j] (the parent's next step) carries the post-call stack/
+        memory. Scope guards raise NotImplementedError for the shapes the
+        circuit does not constrain yet (unaligned io, partial out words,
+        value-bearing calls, failing precompiles)."""
+        state = self._PRE_STATES.get(to)
+        if state is None:
+            raise NotImplementedError(f"precompile 0x{to:02x} call state")
+        if value:
+            raise NotImplementedError("value-bearing precompile call")
+        es.exec_state = "PreCall1"
+        cid = call.call_id
+        has_value = nargs == 7
+        in_off, in_ln = top(3 if has_value else 2), top(4 if has_value else 3)
+        out_off, out_ln = top(5 if has_value else 4), top(6 if has_value else 5)
+        if in_off % 32 or out_off % 32:
+            raise NotImplementedError("unaligned precompile io")
+        nxt = logs[j] if j < len(logs) else None
+        assert nxt is not None and bool(nxt.stack[-1]), \
+            "failing precompile calls not circuit-supported yet"
+
+        def mem_word(mem: bytes, waddr: int) -> int:
+            chunk = mem[32 * waddr : 32 * waddr + 32]
+            return int.from_bytes(chunk.ljust(32, b"\x00"), "big")
+
+        row2 = ExecStep(
+            pc=step.pc, op=step.op, gas_left=step.gas,
+            gas_cost=step.gas_cost, rw_counter_start=self.rwc,
+            stack_pointer=sp, call_id=cid, depth=call.depth,
+            exec_state=state,
+        )
+        self.steps.append(row2)
+        ri = row2.rw_indices
+        ai, warm = self.access_account(to)
+        assert warm, "precompiles are warm from tx start (EIP-2929)"
+        ri.append(ai)
+
+        IN_WORDS = {1: 4, 6: 4, 7: 3}
+        OUT_WORDS = {1: 1, 2: 1, 6: 2, 7: 2}
+        if to == 2:
+            # SHA256: arbitrary-length input via a copy event, SHA3-style
+            rwc0 = self.rwc
+            for w in range(in_off // 32,
+                           -(-(in_off + in_ln) // 32) if in_ln
+                           else in_off // 32):
+                v = mem_word(step.memory, w)
+                ri.append(self.memory_word(cid, RW.READ, w, v, v))
+            self.copy_events.append(CopyEvent(
+                src_type=CopyDataType.MEMORY, src_id=cid, src_addr=in_off,
+                src_addr_end=in_off + in_ln,
+                dst_type=CopyDataType.RLC_SHA, dst_id=cid, dst_addr=0,
+                rw_counter_start=rwc0,
+                bytes_=[(b, False) for b in
+                        bytes(step.memory[in_off:in_off + in_ln]
+                              .ljust(in_ln, b"\x00"))],
+            ))
+            self.sha256_inputs.append(
+                bytes(step.memory[in_off:in_off + in_ln]
+                      .ljust(in_ln, b"\x00")))
+        else:
+            nw = IN_WORDS[to]
+            if in_ln != 32 * nw:
+                raise NotImplementedError(
+                    f"precompile 0x{to:02x} input len {in_ln}")
+            for w in range(in_off // 32, in_off // 32 + nw):
+                v = mem_word(step.memory, w)
+                ri.append(self.memory_word(cid, RW.READ, w, v, v))
+
+        # side events for the proving subcircuits
+        args = bytes(step.memory[in_off:in_off + in_ln].ljust(in_ln, b"\0"))
+        if to == 1:
+            from zkevm_tpu.ec import secp256k1 as s256
+
+            z = int.from_bytes(args[0:32], "big")
+            v27 = int.from_bytes(args[32:64], "big")
+            r = int.from_bytes(args[64:96], "big")
+            s = int.from_bytes(args[96:128], "big")
+            pub = s256.ecrecover(z, v27 - 27, r, s)
+            self.ecrecover_sigs.append((z, pub, r, s))
+        elif to == 6:
+            x1 = int.from_bytes(args[0:32], "big")
+            y1 = int.from_bytes(args[32:64], "big")
+            x2 = int.from_bytes(args[64:96], "big")
+            y2 = int.from_bytes(args[96:128], "big")
+        elif to == 7:
+            x1 = int.from_bytes(args[0:32], "big")
+            y1 = int.from_bytes(args[32:64], "big")
+            k = int.from_bytes(args[64:96], "big")
+
+        # output words from the post-call memory
+        own = OUT_WORDS[to]
+        out_words = min(own, out_ln // 32)
+        if out_ln % 32 or out_words != own:
+            raise NotImplementedError("partial precompile output window")
+        outw = []
+        for w in range(out_off // 32, out_off // 32 + out_words):
+            v = mem_word(nxt.memory, w)
+            pv = mem_word(step.memory, w)
+            ri.append(self.memory_word(cid, RW.WRITE, w, v, pv))
+            outw.append(v)
+        if to == 6:
+            if (x1, y1) == (0, 0) or (x2, y2) == (0, 0):
+                raise NotImplementedError("identity input to ecAdd")
+            self.ecadd_events.append(((x1, y1), (x2, y2),
+                                      (outw[0], outw[1])))
+        elif to == 7:
+            if (x1, y1) == (0, 0) or k == 0:
+                raise NotImplementedError("degenerate ecMul input")
+            self.ecmul_events.append(((x1, y1), k, (outw[0], outw[1])))
+
+        # result push (success pinned to 1 above)
+        ri.append(self.stack_write(cid, sp + nargs - 1, 1))
+        return j
 
     # -- per-opcode dispatch ----------------------------------------------
     _ERROR_STATES = {
