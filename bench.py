@@ -109,14 +109,23 @@ def bench_msm(platform, rng):
     t0 = time.time()
     params = _setup_cached(k)
     if params.pippenger is None:
-        if os.environ.get("ZKEVM_TPU_MSM", "ps") == "ps":
-            # sort+prefix-sum MSM (ec/psmsm.py) — the k=18 TPU sweep
-            # (round 3) measured it fastest at c=16/lanes=512/wgroup=16:
-            # 2.03e5 pts/s vs the one-hot pippenger's 1.43e5
+        engine = os.environ.get("ZKEVM_TPU_MSM", "l13")
+        if engine == "l13":
+            # lazy-13 MXU-hybrid MSM (ec/msm13.py) — the round-4 design:
+            # row-space schoolbook products on the VPU, the entire
+            # modular reduction as one constant uint8 matmul on the MXU
+            from zkevm_tpu.ec.msm13 import Msm13
+
+            lanes = int(os.environ.get("ZKEVM_TPU_MSM_LANES", "4096"))
+            wg = int(os.environ.get("ZKEVM_TPU_MSM_WGROUP", "8"))
+            params.pippenger = Msm13(group_t.from_g1(params.g1_powers),
+                                     c=16, lanes=lanes, wgroup=wg)
+        elif engine == "ps":
+            # sort+prefix-sum MSM over the u16 CIOS core (round 2/3)
             from zkevm_tpu.ec.psmsm import PsMSM
 
             params.pippenger = PsMSM(group_t.from_g1(params.g1_powers),
-                                     c=16, lanes=512, wgroup=16)
+                                     c=16, lanes=4096, wgroup=16)
         else:
             from zkevm_tpu.ec.pippenger import PippengerMSMT
 

@@ -420,10 +420,10 @@ def configure(
         for s in opcode_states
         if s not in EXITS + (ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4,
                              ES.PRE1)
-    ] + [
-        # error rows are terminal for the (root) frame -> EndTx
-        qt * S[e] * allowed([ES.END_TX]) for e in ERRL
     ])
+    # error rows fork on is-root like exits (the ev_exit_transitions
+    # gate below, once the depth IsZero gadget exists): root -> EndTx,
+    # nested -> Restore (the parent continues after the failed frame)
     # exit rows fork on is-root (the depth chain): root -> EndTx,
     # nested -> Restore; constrained below once the IsZero gadget for
     # depth-1 exists (ev_exit_transitions)
@@ -1008,12 +1008,14 @@ def configure(
 
     # exit rows: root -> EndTx, nested -> Restore (+ success binding)
     exq = S[ES.STOP] + S[ES.RETURN] + S[ES.REVERT]
+    for e_ in ERRS:
+        exq = exq + S[e_]
     iz["root"] = IsZero.configure(cs, exq, dep.cur() - one, "ev_iz_root")
     ir = iz["root"].expr()
     cs.create_gate("ev_exit_transitions", [
         qt * S[x] * (ir * allowed([ES.END_TX])
                      + (one - ir) * allowed([ES.RESTORE]))
-        for x in EXITS
+        for x in EXITS + ERRS
     ] + [
         qt * (S[ES.STOP] + S[ES.RETURN]) * (one - ir)
         * (aux[1].rot(1) - one),
@@ -1621,8 +1623,10 @@ def configure(
     ltg_og = LtGadget.configure(cs, S_eog, gas_left.cur(), og_gas.cur(),
                                 rt8, n_limbs=4, name="ev_oglt")
     err_polys = [
-        err_any * (dep.cur() - one),  # root frame only (this round)
         err_any * (gc.cur() - gas_left.cur()),  # remainder consumed
+        # a nested errored frame pops as UNSUCCESSFUL: the Restore row's
+        # is-success read must be 0 (same shape as REVERT's binding)
+        qt * err_any * (one - ir) * aux[1].rot(1),
         qs * ej_oob.cur() * (one - ej_oob.cur()),
         qs * es_ov.cur() * (one - es_ov.cur()),
         S_ej * (opcode.cur() - Const(0x56)) * (opcode.cur() - Const(0x57)),
@@ -1903,6 +1907,7 @@ def assign(
 
         if st in ERRS:
             info = OPCODES.get(step.op)
+            _set_inv(asg, cfg.iz["root"], r, step.depth - 1)
             if r + 1 < len(steps):  # journal gap before EndTx (cf REVERT)
                 asg.set_int(cfg.opn, r,
                             steps[r + 1].rw_counter_start

@@ -16,6 +16,7 @@ fingerprinting at prover/src/utils.rs:36-84). Differences by design:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -124,12 +125,32 @@ class ParamsKZG:
             g1_powers = group.scalar_mul(base, jnp.asarray(powers))
         s_g2 = pr.g2_scalar_mul(pr.G2_GEN, tau)
         # commit engine: per-base window tables are O(n * 2^c) memory — fine
-        # at test scale; production sizes use the bucketed Pippenger MSM
-        # (O(1) extra memory, the halo2 best_multiexp analog)
+        # at test scale; production sizes use the sorted-prefix-sum MSM
+        # on the lazy-13 MXU-hybrid field core (ec/msm13.py, the halo2
+        # best_multiexp analog; ZKEVM_TPU_MSM selects legacy engines)
         committer = None
         pippenger = None
         if k > 10:
-            pippenger = PippengerMSMT(group_t.from_g1(g1_powers))
+            # default engine by platform: the lazy-13 MXU-hybrid on TPU;
+            # the u16 prefix-sum on CPU (the c=16 boundary structures are
+            # compile-heavy for XLA:CPU test runs)
+            default = ("l13" if jax.devices()[0].platform == "tpu"
+                       else "ps")
+            engine = os.environ.get("ZKEVM_TPU_MSM", default)
+            if engine == "l13":
+                from zkevm_tpu.ec.msm13 import Msm13
+
+                pippenger = Msm13(
+                    group_t.from_g1(g1_powers), c=16,
+                    lanes=int(os.environ.get("ZKEVM_TPU_MSM_LANES", "4096")),
+                    wgroup=int(os.environ.get("ZKEVM_TPU_MSM_WGROUP", "8")))
+            elif engine == "ps":
+                from zkevm_tpu.ec.psmsm import PsMSM
+
+                pippenger = PsMSM(group_t.from_g1(g1_powers), c=16,
+                                  lanes=4096, wgroup=16)
+            else:
+                pippenger = PippengerMSMT(group_t.from_g1(g1_powers))
         elif windowed:
             committer = FixedBaseMSM(g1_powers)
         return cls(

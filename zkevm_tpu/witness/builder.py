@@ -717,9 +717,6 @@ class CircuitInputBuilder:
         if es_name not in _CIRCUIT_ES:
             raise NotImplementedError(
                 f"{es_name} has no EVM-circuit state yet")
-        if call.depth > 1:
-            raise NotImplementedError(
-                "child-frame error unwinding not yet circuit-supported")
         if es_name == "ErrorOutOfGasConstant" and \
                 step.gas >= OPCODES[step.op].gas:
             # dynamic-gas OOG (EXP/SSTORE sentry/memory expansion/CALL):
