@@ -74,3 +74,59 @@ def test_ecdsa_verify_and_tamper():
 def test_call_data_gas_cost():
     tx = Transaction(data=bytes([0, 0, 1, 0xFF]))
     assert tx.call_data_gas_cost() == 4 + 4 + 16 + 16
+
+
+def test_eip2930_roundtrip_and_recovery():
+    from zkevm_tpu.etypes.tx import Transaction, rlp_decode
+
+    tx = Transaction(
+        tx_type=1, nonce=7, gas_price=10**9, gas=40_000,
+        to=0xCAFE00000000000000000000000000000000BEEF, value=123,
+        data=b"\x01\x02", chain_id=5,
+        access_list=[(0xAAAA, [1, 2]), (0xBBBB, [])],
+    ).sign(0x1234_5678_9ABC)
+    assert tx.caller == tx.recover_caller()
+    signed = tx.rlp_signed()
+    assert signed[0] == 0x01
+    items = rlp_decode(signed[1:])
+    assert len(items) == 11
+    # access list structure: [[addr, [k1, k2]], [addr, []]]
+    al = items[7]
+    assert len(al) == 2 and len(al[0][1]) == 2 and al[1][1] == []
+    assert int.from_bytes(al[0][0], "big") == 0xAAAA
+
+
+def test_eip1559_roundtrip_and_recovery():
+    from zkevm_tpu.etypes.tx import Transaction, rlp_decode
+
+    tx = Transaction(
+        tx_type=2, nonce=1, gas=60_000, gas_price=7,  # effective price
+        max_priority_fee_per_gas=2, max_fee_per_gas=50,
+        to=0xD00D, value=5, data=b"", chain_id=1,
+        access_list=[(0xCCCC, [42])],
+    ).sign(0xDEADBEEF5EED)
+    assert tx.caller == tx.recover_caller()
+    signed = tx.rlp_signed()
+    assert signed[0] == 0x02
+    items = rlp_decode(signed[1:])
+    assert len(items) == 12
+    assert int.from_bytes(items[2], "big") == 2   # max priority fee
+    assert int.from_bytes(items[3], "big") == 50  # max fee
+    # sign-hash domain separation: unsigned payload is 0x02-prefixed
+    assert tx.rlp_unsigned()[0] == 0x02
+    # parity-v convention for typed txs
+    assert tx.v in (0, 1)
+
+
+def test_typed_vs_legacy_hash_domains_disjoint():
+    from zkevm_tpu.etypes.tx import Transaction
+
+    base = dict(nonce=3, gas_price=5, gas=30_000, to=0xBEEF, value=9,
+                data=b"xy", chain_id=1)
+    legacy = Transaction(**base).sign(0x51EE9)
+    t1 = Transaction(tx_type=1, **base).sign(0x51EE9)
+    t2 = Transaction(tx_type=2, max_fee_per_gas=5, **base).sign(0x51EE9)
+    hashes = {legacy.hash(), t1.hash(), t2.hash()}
+    assert len(hashes) == 3
+    sh = {legacy.sign_hash(), t1.sign_hash(), t2.sign_hash()}
+    assert len(sh) == 3

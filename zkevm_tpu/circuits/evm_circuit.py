@@ -297,6 +297,9 @@ class EvmConfig:
     ltg_ej: object = None
     ltg_es: object = None
     ltg_og: object = None
+    pw_i: Column = None   # precompile input base word index
+    pw_o: Column = None   # precompile output word index
+    p_cnt: Column = None  # sha256 precompile 64-byte block count
 
 
 def _word(cs) -> tuple:
@@ -1031,20 +1034,18 @@ def configure(
     # (aux[2]/vcell = in/out word indices), table lookup, result push.
     P1, PEC, PSH = S[ES.PRE1], S[ES.PRE_EC], S[ES.PRE_SHA]
     PEX = PEC + PSH
+    # fresh cells (several existing cells — vcell, byv, bzc, waen — are
+    # qs-globally pinned by other states' materialization gates)
+    pw_i = cs.advice_column()   # input base word index
+    pw_o = cs.advice_column()   # output word index
+    p_cnt = cs.advice_column()  # sha256 64-byte block count
     hvp = is_sub.rot(-1)  # has_value bit seen from row 2
-    _w2p = (w[2][0].rot(-1), w[2][1].rot(-1))
-    _w3p = (w[3][0].rot(-1), w[3][1].rot(-1))
-    _w4p = (w[4][0].rot(-1), w[4][1].rot(-1))
-    _pc0p = (pcell[0][0].rot(-1), pcell[0][1].rot(-1))
-    _pc1p = (pcell[1][0].rot(-1), pcell[1][1].rot(-1))
-
-    def _hsel(a, b):
-        return tuple(hvp * a[jj] + (one - hvp) * b[jj] for jj in range(2))
-
-    p_ioff = _hsel(_w3p, _w2p)
-    p_iln = _hsel(_w4p, _w3p)
-    p_ooff = _hsel(_pc0p, _w4p)
-    p_oln = _hsel(_pc1p, _pc0p)
+    # the CALL1 shifted-slot convention lands the io args in the SAME
+    # cells for both variants: inOff=w3, inLen=w4, outOff=pc0, outLen=pc1
+    p_ioff = (w[3][0].rot(-1), w[3][1].rot(-1))
+    p_iln = (w[4][0].rot(-1), w[4][1].rot(-1))
+    p_ooff = (pcell[0][0].rot(-1), pcell[0][1].rot(-1))
+    p_oln = (pcell[1][0].rot(-1), pcell[1][1].rot(-1))
     op_p = opcode.cur()
     FF1, FF2, FF4, FFA = (Const(c) for c in CALL_OPS)
     par_v = w[1][0].cur() - Const(27)  # ecrecover parity from the v word
@@ -1065,9 +1066,9 @@ def configure(
         PSH * (w[1][0].rot(-1) - Const(2)),
         PEX * w[1][1].rot(-1),
         # io offsets word-aligned, high halves zero
-        PEX * (Const(32) * aux[2].cur() - p_ioff[0]),
+        PEX * (Const(32) * pw_i.cur() - p_ioff[0]),
         PEX * p_ioff[1],
-        PEX * (Const(32) * vcell.cur() - p_ooff[0]),
+        PEX * (Const(32) * pw_o.cur() - p_ooff[0]),
         PEX * p_ooff[1],
         # ecrecover: fixed io lengths (in 128, out 32)
         PEC * (p_iln[0] - Const(128)),
@@ -1081,11 +1082,11 @@ def configure(
         PSH * p_iln[1],
         PSH * (Const(32) * opn.cur() - p_slack - p_iln[0]),
         PSH * carries[0].cur() * (one - carries[0].cur()),
-        PSH * (Const(2) * byv.cur() - opn.cur())
-        * (Const(2) * byv.cur() - opn.cur() - one),
+        PSH * (Const(2) * p_cnt.cur() - opn.cur())
+        * (Const(2) * p_cnt.cur() - opn.cur() - one),
         # gas: warm access (100) + cost (+ aux[0] memexp witness)
         PEC * (gc.cur() - Const(3100) - aux[0].cur()),
-        PSH * (gc.cur() - Const(160) - Const(12) * byv.cur()
+        PSH * (gc.cur() - Const(160) - Const(12) * p_cnt.cur()
                - aux[0].cur()),
         # ecrecover: v word = 27 + parity, clean high half
         PEC * par_v * (par_v - one),
@@ -1454,24 +1455,24 @@ def configure(
                        one, ZERO, one, ZERO])
     for kk in range(4):
         use(ES.PRE_EC, 1 + kk,
-            [ZERO, Const(MEM), cid.cur(), aux[2].cur() + Const(kk),
+            [ZERO, Const(MEM), cid.cur(), pw_i.cur() + Const(kk),
              ZERO, ZERO, *wc(kk), *wc(kk)])
-    use(ES.PRE_EC, 5, [one, Const(MEM), cid.cur(), vcell.cur(),
+    use(ES.PRE_EC, 5, [one, Const(MEM), cid.cur(), pw_o.cur(),
                        ZERO, ZERO, *wc(4), *pc_(0)])
     use(ES.PRE_EC, 6, stack_wr(spc + Const(5) + hvp, (one, ZERO),
-                               (ZERO, ZERO)))
+                               pc_(1)))
     # PRE_SHA: warm access; the opn input-word reads live in the copy
     # event's rwc range; then output word + result at rwc+1+opn/+2+opn
     use(ES.PRE_SHA, 0, [one, Const(ALAT), tx_id.cur(), Const(2),
                         ZERO, ZERO, one, ZERO, one, ZERO])
     slots[1].append((ES.PRE_SHA, [
         one, rwc.cur() + one + opn.cur(),
-        one, Const(MEM), cid.cur(), vcell.cur(), ZERO, ZERO,
+        one, Const(MEM), cid.cur(), pw_o.cur(), ZERO, ZERO,
         *wc(4), *pc_(0)]))
     slots[2].append((ES.PRE_SHA, [
         one, rwc.cur() + Const(2) + opn.cur(),
         one, Const(STK), cid.cur(), spc + Const(5) + hvp, ZERO, ZERO,
-        one, ZERO, ZERO, ZERO]))
+        one, ZERO, *pc_(1)]))
     # row 2: access list + transfer + first child ctx
     x_lo = cc_bit.rot(-1) * w[2][0].rot(-1)
     x_hi = cc_bit.rot(-1) * w[2][1].rot(-1)
@@ -1728,6 +1729,7 @@ def configure(
         dep, istc, vnz, ccid,
         ej_oob, ej_byte, ej_isc, ej_len, es_ov, es_pop, es_push, og_gas,
         io_op, os_op, os_pop, os_push, os_gas, ltg_ej, ltg_es, ltg_og,
+        pw_i, pw_o, p_cnt,
     )
 
 
@@ -2331,8 +2333,9 @@ def assign(
                 put_word(kk, vals[1 + kk].value)
             put_word(4, vals[5].value)
             put_pcell(0, vals[5].value_prev)
-            asg.set_int(cfg.aux[2], r, vals[1].address)
-            asg.set_int(cfg.vcell, r, vals[5].address)
+            asg.set_int(cfg.pw_i, r, vals[1].address)
+            asg.set_int(cfg.pw_o, r, vals[5].address)
+            put_pcell(1, _group_prev(rws, vals[6]))
             asg.set_int(cfg.aux[0], r, step.gas_cost - 3100)
             raw = vals[1].value
             q_ = raw // _SECP_N
@@ -2347,20 +2350,21 @@ def assign(
             outv = vals[-2]
             put_word(4, outv.value)
             put_pcell(0, outv.value_prev)
-            asg.set_int(cfg.vcell, r, outv.address)
+            asg.set_int(cfg.pw_o, r, outv.address)
+            put_pcell(1, _group_prev(rws, vals[-1]))
             nw = len(vals) - 3
             asg.set_int(cfg.opn, r, nw)
             prev_step = steps[r - 1]
             hv_ = 1 if prev_step.op in (0xF1, 0xF2) else 0
             in_off = by_rwc[prev_step.rw_indices[2 + hv_]].value
             iln = by_rwc[prev_step.rw_indices[3 + hv_]].value
-            asg.set_int(cfg.aux[2], r, in_off // 32)
+            asg.set_int(cfg.pw_i, r, in_off // 32)
             slack_v = 32 * nw - iln
             asg.set_int(cfg.bb0, r, slack_v & 15)
             asg.set_int(cfg.carries[0], r, slack_v >> 4)
-            byv_ = (nw + 1) // 2
-            asg.set_int(cfg.byv, r, byv_)
-            asg.set_int(cfg.aux[0], r, step.gas_cost - 160 - 12 * byv_)
+            cnt_ = (nw + 1) // 2
+            asg.set_int(cfg.p_cnt, r, cnt_)
+            asg.set_int(cfg.aux[0], r, step.gas_cost - 160 - 12 * cnt_)
         elif st == ES.RESTORE:
             asg.set_int(cfg.w[2][0], r, vals[0].value)  # caller id
             asg.set_int(cfg.aux[1], r, vals[1].value)  # success

@@ -101,8 +101,17 @@ def _decode_one(mv):
 
 @dataclass
 class Transaction:
-    """A legacy (EIP-155) transaction. Addresses are ints (<2^160);
-    `to=None` means contract creation."""
+    """An Ethereum transaction. Addresses are ints (<2^160); `to=None`
+    means contract creation.
+
+    tx_type selects the envelope (reference: witness/tx.rs TxType +
+    witness/rlp_fsm.rs:79 formats):
+      0 — legacy EIP-155
+      1 — EIP-2930 (access list; 0x01-prefixed typed envelope)
+      2 — EIP-1559 (dynamic fees + access list; 0x02 envelope)
+    For typed txs `gas_price` carries the EFFECTIVE gas price the
+    execution layer uses (min(max_fee, base_fee + max_priority_fee));
+    the fee caps are RLP fields only."""
 
     nonce: int = 0
     gas_price: int = 0
@@ -111,10 +120,14 @@ class Transaction:
     value: int = 0
     data: bytes = b""
     chain_id: int = 1
-    v: int = 0  # raw EIP-155 v (chain_id*2 + 35 + parity)
+    v: int = 0  # legacy: chain_id*2 + 35 + parity; typed: the parity
     r: int = 0
     s: int = 0
     caller: int = 0  # sender address (recovered or known)
+    tx_type: int = 0
+    access_list: list = field(default_factory=list)  # [(addr, [keys])]
+    max_priority_fee_per_gas: int = 0
+    max_fee_per_gas: int = 0
 
     @property
     def is_create(self) -> bool:
@@ -123,17 +136,51 @@ class Transaction:
     def _to_field(self) -> bytes:
         return b"" if self.to is None else (self.to & M160).to_bytes(20, "big")
 
+    def _al_field(self) -> list:
+        """access list -> RLP structure: [[addr20, [key32...]]...]."""
+        return [
+            [(a & M160).to_bytes(20, "big"),
+             [k.to_bytes(32, "big") for k in keys]]
+            for a, keys in self.access_list
+        ]
+
     def rlp_unsigned(self) -> bytes:
-        """EIP-155 signing payload."""
-        return rlp_encode([
-            self.nonce, self.gas_price, self.gas, self._to_field(),
-            self.value, self.data, self.chain_id, 0, 0,
+        """Signing payload (EIP-155 / 2930 / 1559 per tx_type)."""
+        if self.tx_type == 0:
+            return rlp_encode([
+                self.nonce, self.gas_price, self.gas, self._to_field(),
+                self.value, self.data, self.chain_id, 0, 0,
+            ])
+        if self.tx_type == 1:
+            return b"\x01" + rlp_encode([
+                self.chain_id, self.nonce, self.gas_price, self.gas,
+                self._to_field(), self.value, self.data, self._al_field(),
+            ])
+        assert self.tx_type == 2
+        return b"\x02" + rlp_encode([
+            self.chain_id, self.nonce, self.max_priority_fee_per_gas,
+            self.max_fee_per_gas, self.gas, self._to_field(),
+            self.value, self.data, self._al_field(),
         ])
 
     def rlp_signed(self) -> bytes:
-        return rlp_encode([
-            self.nonce, self.gas_price, self.gas, self._to_field(),
-            self.value, self.data, self.v, self.r, self.s,
+        if self.tx_type == 0:
+            return rlp_encode([
+                self.nonce, self.gas_price, self.gas, self._to_field(),
+                self.value, self.data, self.v, self.r, self.s,
+            ])
+        if self.tx_type == 1:
+            return b"\x01" + rlp_encode([
+                self.chain_id, self.nonce, self.gas_price, self.gas,
+                self._to_field(), self.value, self.data, self._al_field(),
+                self.v, self.r, self.s,
+            ])
+        assert self.tx_type == 2
+        return b"\x02" + rlp_encode([
+            self.chain_id, self.nonce, self.max_priority_fee_per_gas,
+            self.max_fee_per_gas, self.gas, self._to_field(),
+            self.value, self.data, self._al_field(),
+            self.v, self.r, self.s,
         ])
 
     def sign_hash(self) -> bytes:
@@ -144,6 +191,8 @@ class Transaction:
 
     @property
     def sig_parity(self) -> int:
+        if self.tx_type:
+            return self.v & 1
         return (self.v - 35 - 2 * self.chain_id) & 1
 
     def call_data_gas_cost(self) -> int:
@@ -159,7 +208,7 @@ class Transaction:
         h = int.from_bytes(self.sign_hash(), "big")
         r, s, parity = s256.ecdsa_sign(h, priv, k=k)
         self.r, self.s = r, s
-        self.v = self.chain_id * 2 + 35 + parity
+        self.v = parity if self.tx_type else self.chain_id * 2 + 35 + parity
         self.caller = s256.address_of(s256.pubkey(priv))
         return self
 
