@@ -63,7 +63,17 @@ def main():
           flush=True)
 
     t0 = time.time()
-    params = ParamsKZG.unsafe_setup(k, tau=777)
+    # load a pre-generated test SRS when present (scripts/gen_srs.py
+    # writes it on CPU — the tunneled chip pays ~1 min of latency per
+    # compile, so the setup scalar-mul graph is best avoided there)
+    from zkevm_tpu.kzg.srs import load_params_file, params_path
+    srs_dir = os.environ.get("ZKEVM_TPU_SRS_DIR", "/root/.cache/zkevm_srs")
+    srs_file = params_path(srs_dir, k)
+    if os.path.exists(srs_file):
+        params = load_params_file(srs_file, k)
+        print(f"[prove_super] srs loaded from {srs_file}", flush=True)
+    else:
+        params = ParamsKZG.unsafe_setup(k, tau=777)
     t_srs = time.time() - t0
 
     t0 = time.time()

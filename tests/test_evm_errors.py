@@ -109,7 +109,7 @@ def test_invalid_opcode_proven(circuit):
 def test_oog_constant_proven(circuit):
     cs = circuit[0]
     code = bytes([0x60, 1, 0x60, 1, 0x01, 0x00])
-    builder = build(code, gas=7)  # PUSH(3)+PUSH(3) leaves 1 < 3 for ADD
+    builder = build(code, gas=21007)  # after intrinsic: 7 left; 3+3 leaves 1 < 3
     assert "ErrorOutOfGasConstant" in _states(builder)
     MockProver(cs, witness(circuit, builder, code)).assert_satisfied()
 
@@ -150,7 +150,7 @@ def test_fake_stack_error_rejected(circuit):
 def test_fake_oog_rejected(circuit):
     cs, _, _, ev_cfg = circuit
     code = bytes([0x60, 1, 0x60, 1, 0x01, 0x00])
-    builder = build(code, gas=7)
+    builder = build(code, gas=21007)
     asg = witness(circuit, builder, code)
     row = next(r for r, s in enumerate(builder.steps)
                if s.exec_state == "ErrorOutOfGasConstant")
@@ -223,3 +223,62 @@ def test_child_frame_error_wrong_success_rejected(circuit):
                      if s.exec_state == "Restore")
     asg.set_int(ev_cfg.aux[1], restore_r, 1)
     assert MockProver(cs2, asg).verify(), "forged child success accepted"
+
+
+def test_write_protection_error_proven(circuit):
+    """A STATICCALL'd child attempts SSTORE: the ErrorWriteProtection
+    state proves (static flag forced 1, opcode in the write-op table) and
+    the parent continues with success=0
+    (reference: execution/error_write_protection.rs)."""
+    child_code = bytes([0x60, 1, 0x60, 0, 0x55])  # PUSH1 1; PUSH1 0; SSTORE
+    other = 0xB0B9
+    # parent: STATICCALL(gas=0xFFFF, to=other, in/out=(0,0)); POP; STOP
+    parent = bytes([0x60, 0, 0x60, 0, 0x60, 0, 0x60, 0,
+                    0x61, (other >> 8) & 0xFF, other & 0xFF,
+                    0x61, 0xFF, 0xFF, 0xFA, 0x50, 0x00])
+    sdb, cdb = StateDB(), CodeDB()
+    sdb.ensure(CALLEE).code_hash = cdb.insert(parent)
+    sdb.ensure(other).code_hash = cdb.insert(child_code)
+    sdb.ensure(CALLER).balance = 10**18
+    pre = sdb.clone()
+    tr = trace_call(sdb, cdb, caller=CALLER, callee=CALLEE, value=0)
+    assert not tr.failed, "parent must survive the write-protection error"
+    builder = CircuitInputBuilder(pre, cdb)
+    builder.handle_tx(tr, caller=CALLER, callee=CALLEE, value=0)
+    states = _states(builder)
+    assert "ErrorWriteProtection" in states and "Restore" in states
+    cs2, st_cfg, bc_cfg, ev_cfg = circuit
+    asg = Assignment(cs2, N)
+    st.assign(cs2, st_cfg, N, st.fix_value_prev(builder.rws.rows), asg)
+    bc.assign(cs2, bc_cfg, N, [parent, child_code], asg)
+    evm.assign(cs2, ev_cfg, N, builder.steps, builder.rws, asg=asg,
+               calls=builder.calls, codes=[parent, child_code])
+    MockProver(cs2, asg).assert_satisfied()
+
+
+def test_write_protection_nonstatic_rejected(circuit):
+    """Repainting the static flag to 0 on the error row must break the
+    ev_err_wp istc binding."""
+    child_code = bytes([0x60, 1, 0x60, 0, 0x55])
+    other = 0xB0BA
+    parent = bytes([0x60, 0, 0x60, 0, 0x60, 0, 0x60, 0,
+                    0x61, (other >> 8) & 0xFF, other & 0xFF,
+                    0x61, 0xFF, 0xFF, 0xFA, 0x50, 0x00])
+    sdb, cdb = StateDB(), CodeDB()
+    sdb.ensure(CALLEE).code_hash = cdb.insert(parent)
+    sdb.ensure(other).code_hash = cdb.insert(child_code)
+    sdb.ensure(CALLER).balance = 10**18
+    pre = sdb.clone()
+    tr = trace_call(sdb, cdb, caller=CALLER, callee=CALLEE, value=0)
+    builder = CircuitInputBuilder(pre, cdb)
+    builder.handle_tx(tr, caller=CALLER, callee=CALLEE, value=0)
+    cs2, st_cfg, bc_cfg, ev_cfg = circuit
+    asg = Assignment(cs2, N)
+    st.assign(cs2, st_cfg, N, st.fix_value_prev(builder.rws.rows), asg)
+    bc.assign(cs2, bc_cfg, N, [parent, child_code], asg)
+    evm.assign(cs2, ev_cfg, N, builder.steps, builder.rws, asg=asg,
+               calls=builder.calls, codes=[parent, child_code])
+    err_row = next(r for r, s in enumerate(builder.steps)
+                   if s.exec_state == "ErrorWriteProtection")
+    asg.set_int(ev_cfg.istc, err_row, 0)
+    assert MockProver(cs2, asg).verify(), "non-static write-prot accepted"

@@ -25,14 +25,18 @@ N = 1 << K
 # PUSH1 5; PUSH1 7; ADD; PUSH1 0; MSTORE; PUSH1 0; MLOAD; PUSH1 1;
 # SSTORE; JUMPDEST; then the context batch (TIMESTAMP, CHAINID, ORIGIN,
 # GASPRICE, PC, SELFBALANCE -- BlockTable/TxTable/context lookups in the
-# super composition), each POPped; STOP
+# super composition), each POPped; EXP; then CALLDATALOAD at 0 (partial:
+# calldata is 2 bytes, zero-padded) and at 5 (fully out of range); STOP
 CODE = bytes([
     0x60, 5, 0x60, 7, 0x01, 0x60, 0, 0x52,
     0x60, 0, 0x51, 0x60, 1, 0x55, 0x5B,
     0x42, 0x50, 0x46, 0x50, 0x32, 0x50,
     0x3A, 0x50, 0x58, 0x50, 0x47, 0x50,
-    0x60, 3, 0x60, 2, 0x0A, 0x50, 0x00,  # 2^3 via the ExpTable
+    0x60, 3, 0x60, 2, 0x0A, 0x50,        # 2^3 via the ExpTable
+    0x60, 0, 0x35, 0x50, 0x60, 5, 0x35, 0x50,  # CALLDATALOAD per-byte
+    0x00,
 ])
+CALLDATA2 = bytes([0xDE, 0xAD])
 PARAMS = CircuitsParams(max_txs=2, max_calldata=16, max_rlp=128)
 
 
@@ -52,7 +56,8 @@ def build():
         ],
         txs=[
             lambda t: t.from_(0).to(1).value(10**15),  # plain transfer
-            lambda t: t.from_(1).to(2).value(3),  # contract execution
+            # contract execution with calldata (CALLDATALOAD bytes)
+            lambda t: t.from_(1).to(2).value(3).input(CALLDATA2),
         ],
     )
     return block_convert(ctx, PARAMS)

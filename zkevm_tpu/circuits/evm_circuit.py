@@ -154,6 +154,14 @@ class ES(IntEnum):
     PRE1 = 53       # shared stack-arg row
     PRE_EC = 54     # ecrecover (0x01): SigTable word-surface lookup
     PRE_SHA = 55    # sha256 (0x02): CopyTable RLC + Sha256Table lookup
+    # byte-granular memory (execution/memory.rs word-aligned rework,
+    # done here with a one-hot shift mask over (M[wa]||M[wa+1]) bytes)
+    MSTORE8 = 56
+    MSIZE = 57
+    CALLDATALOAD = 58  # root-frame loads via per-byte TxTable lookups
+    ERR_WRITE_PROT = 59  # error_write_protection.rs: write op in a
+    #                      static context (SSTORE / LOGn / CREATE* /
+    #                      SELFDESTRUCT; value-bearing CALL pending)
 
 
 NSTATES = len(ES)
@@ -168,8 +176,11 @@ OP_STATES = {
     ES.ADD_SUB: (None, 3, 1, 3),
     ES.DUP: (None, 3, -1, 2),
     ES.SWAP: (None, 3, 0, 4),
-    ES.MLOAD: (0x51, 3, 0, 3),
-    ES.MSTORE: (0x52, 3, 2, 3),
+    ES.MLOAD: (0x51, 3, 0, 4),
+    ES.MSTORE: (0x52, 3, 2, 4),
+    ES.MSTORE8: (0x53, 3, 2, 3),
+    ES.MSIZE: (0x59, 2, -1, 1),
+    ES.CALLDATALOAD: (0x35, 3, 0, 3),
     ES.SLOAD: (0x54, 100, 0, 4),
     ES.SSTORE: (0x55, 100, 2, 5),
     ES.JUMPDEST: (0x5B, 1, 0, 0),
@@ -213,16 +224,18 @@ OP_STATES = {
 }
 STATIC_GAS_STATES = [
     s for s in OP_STATES
-    if s not in (ES.MLOAD, ES.MSTORE, ES.SLOAD, ES.SSTORE, ES.ACCT_INFO,
+    if s not in (ES.MLOAD, ES.MSTORE, ES.MSTORE8, ES.SLOAD, ES.SSTORE,
+                 ES.ACCT_INFO,
                  ES.EXP, ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4,
                  ES.RETURN, ES.REVERT, ES.SHA3, ES.COPY, ES.LOG,
                  ES.PRE1, ES.PRE_EC, ES.PRE_SHA)
 ]
 NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0, ES.RESTORE: 8,
        ES.ERR_INVALID_JUMP: 1, ES.ERR_STACK: 0, ES.ERR_INVALID_OP: 0,
-       ES.ERR_OOG: 0}
+       ES.ERR_OOG: 0, ES.ERR_WRITE_PROT: 0}
 NRW.update({s: spec[3] for s, spec in OP_STATES.items()})
-ERRS = (ES.ERR_INVALID_JUMP, ES.ERR_STACK, ES.ERR_INVALID_OP, ES.ERR_OOG)
+ERRS = (ES.ERR_INVALID_JUMP, ES.ERR_STACK, ES.ERR_INVALID_OP, ES.ERR_OOG,
+        ES.ERR_WRITE_PROT)
 CALL_OPS = (0xF1, 0xF2, 0xF4, 0xFA)
 
 
@@ -300,6 +313,26 @@ class EvmConfig:
     pw_i: Column = None   # precompile input base word index
     pw_o: Column = None   # precompile output word index
     p_cnt: Column = None  # sha256 precompile 64-byte block count
+    # byte-granular memory cells
+    msk: ColumnGroup = None   # one-hot shift mask, msk[j] = [j == s]
+    srb: ColumnGroup = None   # (M[wa] || M[wa+1]) bytes, big-endian
+    vlb: ColumnGroup = None   # store-value / loaded-value bytes
+    mwa: Column = None        # memory word address
+    mby: list = None          # mwa / offset byte decomposition (3 bytes)
+    mws: Column = None        # memory word count before the step (chain)
+    mwsw: Column = None       # next-mws cell (constrained on MEM3 rows)
+    mqd: list = None          # floor(mws^2/512) bytes (6)
+    mqd2: list = None         # floor(mws'^2/512) bytes (6)
+    mrdl: Column = None       # mws^2 mod 512, low byte
+    mrdb: Column = None       # mws^2 mod 512, bit 8
+    mrd2l: Column = None
+    mrd2b: Column = None
+    mlt: object = None        # LtGadget mws < words_needed
+    # CALLDATALOAD cells
+    inr: ColumnGroup = None   # in-range bits per loaded byte
+    cl_lt_a: object = None
+    cl_lt_b: object = None
+    wp_op: Column = None  # fixed: static-context write opcodes (op+1)
 
 
 def _word(cs) -> tuple:
@@ -438,7 +471,6 @@ def configure(
         if op is not None
     ] + [
         S[ES.PUSH] * (opcode.cur() - Const(0x5F) - opn.cur()),
-        S[ES.PUSH] * (opn.cur() - one) * (opn.cur() - Const(2)),  # PUSH1/2 scope
         S[ES.DUP] * (opcode.cur() - Const(0x80) - opn.cur()),
         S[ES.SWAP] * (opcode.cur() - Const(0x8F) - opn.cur()),
         S[ES.ADD_SUB] * (opcode.cur() - Const(0x01) - Const(2) * is_sub.cur()),
@@ -467,10 +499,10 @@ def configure(
         S[ES.SSTORE] * (
             gc.cur() - gcase - Const(2100) * (one - warm.cur())
         ),
-        # MLOAD/MSTORE: static 3 + memory-expansion term (aux cell; the
-        # quadratic expansion gadget is a later-round item)
-        (S[ES.MLOAD] + S[ES.MSTORE]) * (gc.cur() - Const(3) - gcase),
-        # RETURN/REVERT: pure memory-expansion cost (same aux witness)
+        # MLOAD/MSTORE/MSTORE8 gas is fully constrained by the quadratic
+        # memory-expansion gadget (ev_mexp below)
+        # RETURN/REVERT: pure memory-expansion cost (aux witness; the
+        # constrained gadget covers the MLOAD/MSTORE/MSTORE8 states)
         (S[ES.RETURN] + S[ES.REVERT]) * (gc.cur() - gcase),
         (S[ES.BEGIN_TX] + S[ES.END_TX] + S[ES.END_BLOCK]
          + S[ES.RESTORE]) * gc.cur(),
@@ -492,20 +524,10 @@ def configure(
         S[ES.ADD_SUB] * (x_lo + w[1][0].cur() - z_lo - k[0] * TWO128),
         S[ES.ADD_SUB] * (x_hi + w[1][1].cur() + k[0] - z_hi - k[1] * TWO128),
     ])
-    # PUSH immediate: w0 = bytes (PUSH1: bb0; PUSH2: bb0*256 + bb1)
-    pv = (Const(2) - opn.cur()) * bb0.cur() + (opn.cur() - one) * (
-        Const(256) * bb0.cur() + bb1.cur()
-    )
-    cs.create_gate("ev_push_value", [
-        S[ES.PUSH] * (w[0][0].cur() - pv),
-        S[ES.PUSH] * w[0][1].cur(),
-    ])
-    # MLOAD/MSTORE 32-byte alignment: offset w0 = 32 * word_addr (w3.lo)
-    mem = S[ES.MLOAD] + S[ES.MSTORE]
-    cs.create_gate("ev_mem_align", [
-        mem * (w[0][0].cur() - Const(32) * w[3][0].cur()),
-        mem * w[0][1].cur(),
-    ])
+    # PUSH1-32 immediates: constrained in the byte-grid block below
+    # (vlb bytes + inr in-range bits + msk one-hot over the length)
+    # byte-granular memory gates live below (ev_mem_*), after the
+    # comparison gadget imports
     # BeginTx: balance transfer caller_prev = caller_new + value (no
     # overflow: carries k1/k3 forced 0) and callee_new = callee_prev + value
     B = S[ES.BEGIN_TX]
@@ -579,6 +601,226 @@ def configure(
         (S[ES.JUMP] + S[ES.JUMPI]) * w[0][1].cur(),
     ])
     jnz = one - iz["jc_lo"].expr() * iz["jc_hi"].expr()
+
+    # -- byte-granular memory: MLOAD/MSTORE (unaligned), MSTORE8, MSIZE,
+    # CALLDATALOAD (reference execution/{memory,msize,calldataload}.rs).
+    # TPU-native design: no dynamic indexing — a 32-wide ONE-HOT mask
+    # msk[j] = [j == s] (s = offset mod 32) turns the unaligned byte
+    # select value[i] = src[s+i] into the degree-2 sum
+    # sum_j msk[j]*src[j+i] over the 64-byte grid srb = M[wa] || M[wa+1],
+    # evaluated as static vector ops over all step rows at once. --------
+    ZERO_ = Const(0)
+    msk = cs.advice_group("ev_msk", 32)
+    srb = cs.advice_group("ev_srb", 64)
+    vlb = cs.advice_group("ev_vlb", 32)
+    mwa = cs.advice_column()
+    mby = [cs.advice_column() for _ in range(3)]
+    mws = cs.advice_column()
+    mwsw = cs.advice_column()
+    mqd = [cs.advice_column() for _ in range(6)]
+    mqd2 = [cs.advice_column() for _ in range(6)]
+    mrdl, mrdb, mrd2l, mrd2b = (cs.advice_column() for _ in range(4))
+    ML, MS, M8 = S[ES.MLOAD], S[ES.MSTORE], S[ES.MSTORE8]
+    MEM3 = ML + MS + M8
+    mem2 = ML + MS
+    mk = [msk.columns[j].cur() for j in range(32)]
+    sb = [srb.columns[j].cur() for j in range(64)]
+    vb = [vlb.columns[j].cur() for j in range(32)]
+    s_expr = Const(0)
+    msum = Const(0)
+    for j in range(32):
+        if j:
+            s_expr = s_expr + Const(j) * mk[j]
+        msum = msum + mk[j]
+    mwa_rec = Const(0)
+    for i in range(3):
+        mwa_rec = mwa_rec + Const(1 << (8 * i)) * mby[i].cur()
+    cs.create_vector_gate("ev_msk_bool",
+                          (MEM3 + S[ES.PUSH]) * msk.q() * (msk.q() - one), 32)
+    cs.create_gate("ev_mem_addr", [
+        MEM3 * (msum - one),
+        MEM3 * (w[0][0].cur() - Const(32) * mwa.cur() - s_expr),
+        MEM3 * w[0][1].cur(),
+        (MEM3 + S[ES.CALLDATALOAD]) * (
+            (MEM3 * mwa.cur() + S[ES.CALLDATALOAD] * w[0][0].cur())
+            - mwa_rec),
+    ])
+    rt8.lookup(cs, "ev_mby_range",
+               [(MEM3 + S[ES.CALLDATALOAD]) * c.cur() for c in mby])
+    rt8.lookup(cs, "ev_srb_range", [MEM3 * c for c in sb])
+    rt8.lookup(cs, "ev_vlb_range",
+               [(MS + M8 + S[ES.CALLDATALOAD] + S[ES.PUSH]) * c
+                for c in vb])
+
+    def rec16(cells, start):  # big-endian 16 bytes -> 128-bit half
+        acc = Const(0)
+        for i in range(16):
+            acc = acc + Const(1 << (8 * (15 - i))) * cells[start + i]
+        return acc
+
+    # word-cell <-> byte-grid bindings: MLOAD reads (w1, w2); MSTORE's
+    # prev words are (w2, w4); MSTORE8's prev word is w2; the
+    # store/loaded value is w1 (MSTORE/MSTORE8) via vlb
+    cs.create_gate("ev_mem_bytes", [
+        ML * (w[1][1].cur() - rec16(sb, 0)),
+        ML * (w[1][0].cur() - rec16(sb, 16)),
+        ML * (w[2][1].cur() - rec16(sb, 32)),
+        ML * (w[2][0].cur() - rec16(sb, 48)),
+        (MS + M8) * (w[2][1].cur() - rec16(sb, 0)),
+        (MS + M8) * (w[2][0].cur() - rec16(sb, 16)),
+        MS * (w[4][1].cur() - rec16(sb, 32)),
+        MS * (w[4][0].cur() - rec16(sb, 48)),
+        (MS + M8) * (w[1][1].cur() - rec16(vb, 0)),
+        (MS + M8) * (w[1][0].cur() - rec16(vb, 16)),
+    ])
+    # MLOAD value halves (exprs consumed by the stack-write slot)
+    mload_hi = Const(0)
+    mload_lo = Const(0)
+    for j in range(32):
+        hi_j = Const(0)
+        lo_j = Const(0)
+        for i in range(16):
+            hi_j = hi_j + Const(1 << (8 * (15 - i))) * sb[j + i]
+            lo_j = lo_j + Const(1 << (8 * (15 - i))) * sb[j + 16 + i]
+        mload_hi = mload_hi + mk[j] * hi_j
+        mload_lo = mload_lo + mk[j] * lo_j
+    # MSTORE new-word bytes: new[kb] = src[kb] + msk[kb-i]*(vlb[i]-src[kb])
+    new_b = []
+    for kb in range(64):
+        e = sb[kb]
+        for i in range(max(0, kb - 31), min(32, kb + 1)):
+            e = e + mk[kb - i] * (vb[i] - sb[kb])
+        new_b.append(e)
+
+    def recn(byte_exprs, start):
+        acc = Const(0)
+        for i in range(16):
+            acc = acc + Const(1 << (8 * (15 - i))) * byte_exprs[start + i]
+        return acc
+
+    mst_n0hi, mst_n0lo = recn(new_b, 0), recn(new_b, 16)
+    mst_n1hi, mst_n1lo = recn(new_b, 32), recn(new_b, 48)
+    # MSTORE8: single byte vlb[31] planted at position s of word wa
+    n8 = [sb[kb] + mk[kb] * (vb[31] - sb[kb]) for kb in range(32)]
+    m8_nhi, m8_nlo = recn(n8, 0), recn(n8, 16)
+
+    # memory expansion (quadratic gas): words_needed = wa + 1 + [s != 0]
+    # for the word ops, wa + 1 for MSTORE8; mws' = max(mws, needed);
+    # gas = 3 + 3*(mws'-mws) + floor(mws'^2/512) - floor(mws^2/512)
+    iz["moff"] = IsZero.configure(cs, MEM3, s_expr, "ev_iz_moff")
+    m_needed = mwa.cur() + one + mem2 * (one - iz["moff"].expr())
+    mlt = LtGadget.configure(cs, MEM3, mws.cur(), m_needed, rt8,
+                             n_limbs=4, name="ev_mexp_lt")
+    mqd_rec = Const(0)
+    mqd2_rec = Const(0)
+    for i in range(6):
+        mqd_rec = mqd_rec + Const(1 << (8 * i)) * mqd[i].cur()
+        mqd2_rec = mqd2_rec + Const(1 << (8 * i)) * mqd2[i].cur()
+    cs.create_gate("ev_mexp", [
+        MEM3 * (mwsw.cur()
+                - mlt.expr() * m_needed
+                - (one - mlt.expr()) * mws.cur()),
+        MEM3 * (mws.cur() * mws.cur() - Const(512) * mqd_rec
+                - mrdl.cur() - Const(256) * mrdb.cur()),
+        MEM3 * (mwsw.cur() * mwsw.cur() - Const(512) * mqd2_rec
+                - mrd2l.cur() - Const(256) * mrd2b.cur()),
+        MEM3 * mrdb.cur() * (one - mrdb.cur()),
+        MEM3 * mrd2b.cur() * (one - mrd2b.cur()),
+        MEM3 * (gc.cur() - Const(3)
+                - Const(3) * (mwsw.cur() - mws.cur())
+                - mqd2_rec + mqd_rec),
+    ])
+    rt8.lookup(cs, "ev_mexp_range", [
+        MEM3 * mrdl.cur(), MEM3 * mrd2l.cur(),
+    ] + [MEM3 * c.cur() for c in mqd] + [MEM3 * c.cur() for c in mqd2])
+    # MSIZE pushes 32 * mws (no expansion)
+    cs.create_gate("ev_msize", [
+        S[ES.MSIZE] * (w[0][0].cur() - Const(32) * mws.cur()),
+        S[ES.MSIZE] * w[0][1].cur(),
+    ])
+
+    # CALLDATALOAD (root frame): per-byte TxTable lookups at off+i with
+    # zero-padding beyond calldata length; vlb holds the value bytes
+    CDL = S[ES.CALLDATALOAD]
+    inr = cs.advice_group("ev_inr", 32)
+    ib = [inr.columns[j].cur() for j in range(32)]
+    cnt = Const(0)
+    for j in range(32):
+        cnt = cnt + ib[j]
+    cs.create_vector_gate("ev_inr_bool",
+                          (CDL + S[ES.PUSH]) * inr.q() * (inr.q() - one), 32)
+    iz["cl32"] = IsZero.configure(cs, CDL, cnt - Const(32), "ev_iz_cl32")
+    iz["cl0"] = IsZero.configure(cs, CDL, cnt, "ev_iz_cl0")
+    cl_nz = one - iz["cl0"].expr()
+    cdlen = w[1][0].cur()  # the CALL_DATA_LENGTH context read
+    cl_lt_a = LtGadget.configure(cs, CDL, w[0][0].cur() + cnt, cdlen, rt8,
+                                 n_limbs=4, name="ev_cdl_lta")
+    cl_lt_b = LtGadget.configure(cs, CDL,
+                                 cl_nz * (w[0][0].cur() + cnt - one),
+                                 cdlen, rt8, n_limbs=4, name="ev_cdl_ltb")
+    cs.create_gate("ev_cdl", [
+        CDL * (dep.cur() - one),      # root frames only (tx calldata)
+        CDL * w[0][1].cur(),          # offset < 2^24 via mby above
+        CDL * w[1][1].cur(),
+        # monotone in-range bits; out-of-range bytes are zero
+        CDL * (one - iz["cl32"].expr()) * cl_lt_a.expr(),
+        CDL * cl_nz * (one - cl_lt_b.expr()),
+    ] + [
+        CDL * ib[j + 1] * (one - ib[j]) for j in range(31)
+    ] + [
+        CDL * (one - ib[j]) * vb[j] for j in range(32)
+    ])
+    cdl_hi, cdl_lo = rec16(vb, 0), rec16(vb, 16)
+    if tx_table is not None:
+        from zkevm_tpu.circuits.tx_circuit import TxFieldTag
+        CDATA = Const(int(TxFieldTag.CALL_DATA))
+        CDLEN = Const(int(TxFieldTag.CALL_DATA_LENGTH))
+        for j in range(32):
+            en_j = CDL * ib[j]
+            tx_table.lookup(cs, f"ev_cdl_b{j}", [
+                en_j, en_j * tx_id.cur(), en_j * CDATA,
+                en_j * (w[0][0].cur() + Const(j)), en_j * vb[j], ZERO_,
+            ])
+        tx_table.lookup(cs, "ev_cdl_len", [
+            CDL, CDL * tx_id.cur(), CDL * CDLEN, Const(0),
+            CDL * cdlen, ZERO_,
+        ])
+    else:
+        cs.create_gate("ev_no_tx_table_cdl", [qs * CDL])
+
+    # PUSH1-32 (execution/push.rs): immediates vlb[0..opn) each fetched
+    # from the BytecodeTable at pc+1+i (is_code = 0), zero beyond opn;
+    # value = big-endian recomposition selected by the msk one-hot over
+    # the length (msk[j] = [j == opn-1])
+    PU = S[ES.PUSH]
+    pu_lo = Const(0)
+    pu_hi = Const(0)
+    for j in range(32):
+        lo_j = Const(0)
+        hi_j = Const(0)
+        for i in range(max(0, j - 15), j + 1):
+            lo_j = lo_j + Const(1 << (8 * (j - i))) * vb[i]
+        for i in range(0, j - 15):
+            hi_j = hi_j + Const(1 << (8 * (j - 16 - i))) * vb[i]
+        pu_lo = pu_lo + mk[j] * lo_j
+        pu_hi = pu_hi + mk[j] * hi_j
+    cs.create_gate("ev_push", [
+        PU * (msum - one),
+        PU * (s_expr - opn.cur() + one),
+        PU * (cnt - opn.cur()),
+        PU * (w[0][0].cur() - pu_lo),
+        PU * (w[0][1].cur() - pu_hi),
+    ] + [
+        PU * ib[j + 1] * (one - ib[j]) for j in range(31)
+    ] + [
+        PU * (one - ib[i]) * vb[i] for i in range(32)
+    ])
+    for i in range(32):
+        bytecode_table.lookup(
+            cs, f"ev_push_b{i}", PU * ib[i],
+            code_hash.cur(), code_hash_hi.cur(), pc.cur() + Const(1 + i),
+            vb[i], ZERO_,
+        )
 
     # -- word arithmetic: MUL/DIV/MOD + SHL/SHR (execution/mul_div_mod.rs,
     # shl_shr.rs) against the WordArithTable satellite -------------------
@@ -1262,6 +1504,7 @@ def configure(
                     ES.ERR_STACK: rwc.cur() + opn.cur(),
                     ES.ERR_INVALID_OP: rwc.cur() + opn.cur(),
                     ES.ERR_OOG: rwc.cur() + opn.cur(),
+                    ES.ERR_WRITE_PROT: rwc.cur() + opn.cur(),
                     ES.SHA3: rwc.cur() + Const(3) + opn.cur(),
                     ES.COPY: rwc.cur() + Const(3) + opn.cur(),
                     ES.LOG: rwc.cur() + Const(3) + opn.cur()
@@ -1298,6 +1541,19 @@ def configure(
         trans(dep, {ES.END_TX: Const(1), ES.CALL4: dep.cur() + one,
                     ES.RESTORE: dep.cur() - one},
               lambda s: dep.cur()),
+        # memory word count: constrained next-value on the byte-granular
+        # memory states, witnessed (mwsw) on the other memory-touching
+        # states until their own expansion gadgets land, 0 for a fresh
+        # frame, restored from the packed STACK_POINTER save's high half
+        trans(mws, dict(
+            [(x, mws.rot(1)) for x in EXITS + ERRS]
+            + [(x, mwsw.cur()) for x in
+               (ES.MLOAD, ES.MSTORE, ES.MSTORE8, ES.SHA3, ES.COPY,
+                ES.LOG, ES.CALL1, ES.PRE1)]
+            + [(ES.BEGIN_TX, Const(0)), (ES.END_TX, mws.rot(1)),
+               (ES.END_BLOCK, Const(0)), (ES.CALL4, Const(0)),
+               (ES.RESTORE, w[4][1].cur())]),
+              lambda s: mws.cur()),
         trans(istc, {ES.END_TX: Const(0),
                      ES.CALL4: istc.cur() + st4 - istc.cur() * st4,
                      ES.RESTORE: ps_restore},
@@ -1381,14 +1637,31 @@ def configure(
     use(ES.SWAP, 1, stack_rd(spc + opn.cur(), wc(1)))
     use(ES.SWAP, 2, stack_wr(spc + opn.cur(), wc(0), wc(1)))
     use(ES.SWAP, 3, stack_wr(spc, wc(1), wc(0)))
+    # byte-granular memory: both adjacent words are always touched by the
+    # word ops (aligned MSTORE's second write is an identity write)
     use(ES.MLOAD, 0, stack_rd(spc, wc(0)))
-    use(ES.MLOAD, 1, [ZERO, Const(MEM), cid.cur(), w[3][0].cur(), ZERO, ZERO,
+    use(ES.MLOAD, 1, [ZERO, Const(MEM), cid.cur(), mwa.cur(), ZERO, ZERO,
                       *wc(1), *wc(1)])
-    use(ES.MLOAD, 2, stack_wr(spc, wc(1), wc(0)))
+    use(ES.MLOAD, 2, [ZERO, Const(MEM), cid.cur(), mwa.cur() + one,
+                      ZERO, ZERO, *wc(2), *wc(2)])
+    use(ES.MLOAD, 3, stack_wr(spc, (mload_lo, mload_hi), wc(0)))
     use(ES.MSTORE, 0, stack_rd(spc, wc(0)))
     use(ES.MSTORE, 1, stack_rd(spc + one, wc(1)))
-    use(ES.MSTORE, 2, [one, Const(MEM), cid.cur(), w[3][0].cur(), ZERO, ZERO,
-                       *wc(1), *pc_(2)])
+    use(ES.MSTORE, 2, [one, Const(MEM), cid.cur(), mwa.cur(), ZERO, ZERO,
+                       mst_n0lo, mst_n0hi, *wc(2)])
+    use(ES.MSTORE, 3, [one, Const(MEM), cid.cur(), mwa.cur() + one,
+                       ZERO, ZERO, mst_n1lo, mst_n1hi, *wc(4)])
+    use(ES.MSTORE8, 0, stack_rd(spc, wc(0)))
+    use(ES.MSTORE8, 1, stack_rd(spc + one, wc(1)))
+    use(ES.MSTORE8, 2, [one, Const(MEM), cid.cur(), mwa.cur(), ZERO, ZERO,
+                        m8_nlo, m8_nhi, *wc(2)])
+    use(ES.MSIZE, 0, stack_wr(spc - one, wc(0), pc_(0)))
+    use(ES.CALLDATALOAD, 0, [
+        ZERO, Const(CC), cid.cur(), ZERO,
+        Const(int(CallContextField.CALL_DATA_LENGTH)), ZERO,
+        w[1][0].cur(), ZERO, w[1][0].cur(), ZERO])
+    use(ES.CALLDATALOAD, 1, stack_rd(spc, wc(0)))
+    use(ES.CALLDATALOAD, 2, stack_wr(spc, (cdl_lo, cdl_hi), wc(0)))
     # SLOAD: key read, access-list write (is_warm in value_prev),
     # storage read, value push
     use(ES.SLOAD, 0, stack_rd(spc, wc(0)))
@@ -1512,8 +1785,11 @@ def configure(
     use(ES.CALL3, 3, ctxw(CallContextField.IS_SUCCESS, aux[2].cur()))
     use(ES.CALL3, 4, ctxw(CallContextField.DEPTH, dep.cur() + one))
     use(ES.CALL3, 5, ctxw(CallContextField.PROGRAM_COUNTER, pc.cur() + one))
+    # the caller's resume mws rides the save's high half (the mws chain
+    # carries the caller's post-expansion count on the CALL rows)
     use(ES.CALL3, 6, ctxw(CallContextField.STACK_POINTER,
-                          sp.cur() + Const(5) + hv.rot(-2)))
+                          sp.cur() + Const(5) + hv.rot(-2),
+                          mws.cur()))
     # row 4: resume gas / code hash / packed self+static saves + child code
     use(ES.CALL4, 0, ctxw(CallContextField.GAS_LEFT,
                           gas_left.cur() - aux[0].cur() - opn.cur()))
@@ -1533,7 +1809,8 @@ def configure(
     use(ES.RESTORE, 0, ctxr(CallContextField.CALLER_ID, w[2][0].cur()))
     use(ES.RESTORE, 1, ctxr(CallContextField.IS_SUCCESS, aux[1].cur()))
     use(ES.RESTORE, 2, ctxr(CallContextField.PROGRAM_COUNTER, w[3][0].cur()))
-    use(ES.RESTORE, 3, ctxr(CallContextField.STACK_POINTER, w[4][0].cur()))
+    use(ES.RESTORE, 3, ctxr(CallContextField.STACK_POINTER, w[4][0].cur(),
+                            w[4][1].cur()))
     use(ES.RESTORE, 4, ctxr(CallContextField.GAS_LEFT, w[5][0].cur()))
     use(ES.RESTORE, 5, ctxr(CallContextField.CODE_HASH,
                             w[0][0].cur(), w[0][1].cur()))
@@ -1599,7 +1876,8 @@ def configure(
     # -- error states (execution/error_*.rs; root-frame scope) -------------
     S_ej, S_es = S[ES.ERR_INVALID_JUMP], S[ES.ERR_STACK]
     S_eio, S_eog = S[ES.ERR_INVALID_OP], S[ES.ERR_OOG]
-    err_any = S_ej + S_es + S_eio + S_eog
+    S_ewp = S[ES.ERR_WRITE_PROT]
+    err_any = S_ej + S_es + S_eio + S_eog + S_ewp
     use(ES.ERR_INVALID_JUMP, 0, stack_rd(spc, wc(0)))  # attempted dest
     is_jumpi = opcode.cur() - Const(0x56)  # 0/1 given the opcode bind
     # JUMPI error rows also read the condition, which must be nonzero
@@ -1656,6 +1934,10 @@ def configure(
         ej_byte.cur(), ej_isc.cur())
     # opcode must really be invalid / really have these pops/pushes/gas
     cs.lookup("ev_err_invop", [(S_eio * (opcode.cur() + one), io_op.cur())])
+    # write-protection: the frame IS static and the opcode IS a write op
+    wp_op = cs.fixed_column()
+    cs.create_gate("ev_err_wp", [S_ewp * (one - istc.cur())])
+    cs.lookup("ev_err_wp_op", [(S_ewp * (opcode.cur() + one), wp_op.cur())])
     cs.lookup("ev_err_stack_meta", [
         (S_es * (opcode.cur() + one), os_op.cur()),
         (S_es * es_pop.cur(), os_pop.cur()),
@@ -1682,14 +1964,6 @@ def configure(
     bytecode_table.lookup(
         cs, "ev_opcode_fetch", op_en,
         code_hash.cur(), code_hash_hi.cur(), pc.cur(), opcode.cur(), one,
-    )
-    bytecode_table.lookup(
-        cs, "ev_push_byte0", S[ES.PUSH],
-        code_hash.cur(), code_hash_hi.cur(), pc.cur() + one, bb0.cur(), ZERO,
-    )
-    bytecode_table.lookup(
-        cs, "ev_push_byte1", S[ES.PUSH] * (opn.cur() - one),
-        code_hash.cur(), code_hash_hi.cur(), pc.cur() + Const(2), bb1.cur(), ZERO,
     )
     # taken jumps must land on a JUMPDEST byte (execution/jump.rs, jumpi.rs)
     jump_en = S[ES.JUMP] + S[ES.JUMPI] * jnz
@@ -1730,6 +2004,9 @@ def configure(
         ej_oob, ej_byte, ej_isc, ej_len, es_ov, es_pop, es_push, og_gas,
         io_op, os_op, os_pop, os_push, os_gas, ltg_ej, ltg_es, ltg_og,
         pw_i, pw_o, p_cnt,
+        msk, srb, vlb, mwa, mby, mws, mwsw, mqd, mqd2,
+        mrdl, mrdb, mrd2l, mrd2b, mlt, inr, cl_lt_a, cl_lt_b,
+        wp_op=wp_op,
     )
 
 
@@ -1744,6 +2021,7 @@ _ERROR_ES = {
     "ErrorStack": ES.ERR_STACK,
     "ErrorInvalidOpcode": ES.ERR_INVALID_OP,
     "ErrorOutOfGasConstant": ES.ERR_OOG,
+    "ErrorWriteProtection": ES.ERR_WRITE_PROT,
 }
 
 
@@ -1759,14 +2037,16 @@ def _state_of(step: ExecStep) -> ES:
     if step.exec_state == "CallNoExec":
         raise NotImplementedError("no-exec CALL rows not yet constrained")
     op = step.op
-    if 0x60 <= op <= 0x61:
+    if 0x60 <= op <= 0x7F:
         return ES.PUSH
     if 0x80 <= op <= 0x8F:
         return ES.DUP
     if 0x90 <= op <= 0x9F:
         return ES.SWAP
     m = {0x00: ES.STOP, 0x50: ES.POP, 0x01: ES.ADD_SUB, 0x03: ES.ADD_SUB,
-         0x51: ES.MLOAD, 0x52: ES.MSTORE, 0x54: ES.SLOAD, 0x55: ES.SSTORE,
+         0x51: ES.MLOAD, 0x52: ES.MSTORE, 0x53: ES.MSTORE8,
+         0x59: ES.MSIZE, 0x35: ES.CALLDATALOAD,
+         0x54: ES.SLOAD, 0x55: ES.SSTORE,
          0x5B: ES.JUMPDEST, 0x56: ES.JUMP, 0x57: ES.JUMPI,
          0x15: ES.ISZERO, 0x14: ES.EQ, 0x10: ES.LT_GT, 0x11: ES.LT_GT,
          0x33: ES.CALLER, 0x34: ES.CALLVALUE, 0x30: ES.ADDRESS,
@@ -1826,6 +2106,10 @@ def assign(
     invalid_ops = [op for op in range(256)
                    if op not in OPCODES or OPCODES[op].name == "INVALID"]
     asg.set_ints(cfg.io_op, 1, [op + 1 for op in invalid_ops])
+    # static-context write opcodes (error_write_protection.rs)
+    asg.set_ints(cfg.wp_op, 1,
+                 [op + 1 for op in
+                  (0x55, 0xA0, 0xA1, 0xA2, 0xA3, 0xA4, 0xF0, 0xF5, 0xFF)])
     valid_ops = [(op, i) for op, i in OPCODES.items() if i.name != "INVALID"]
     asg.set_ints(cfg.os_op, 1, [op + 1 for op, _ in valid_ops])
     asg.set_ints(cfg.os_pop, 1, [i.pops for _, i in valid_ops])
@@ -1890,6 +2174,8 @@ def assign(
         asg.set_int(cfg.code_hash, r, ch_lo)
         asg.set_int(cfg.code_hash_hi, r, ch_hi)
         asg.set_int(cfg.callee, r, callee)
+        asg.set_int(cfg.mws, r, step.mws)
+        asg.set_int(cfg.mwsw, r, step.mws_after)
         if st == ES.END_TX:
             cur_tx += 1
         end_gas = step.gas_left - step.gas_cost
@@ -1975,8 +2261,11 @@ def assign(
             v = vals[0].value
             nb = step.op - 0x5F
             asg.set_int(cfg.opn, r, nb)
-            asg.set_int(cfg.bb0, r, v >> (8 * (nb - 1)))
-            asg.set_int(cfg.bb1, r, v & 0xFF if nb == 2 else 0)
+            asg.set_int(cfg.msk.columns[nb - 1], r, 1)
+            imm = v.to_bytes(nb, "big")
+            for i in range(nb):
+                asg.set_int(cfg.vlb.columns[i], r, imm[i])
+                asg.set_int(cfg.inr.columns[i], r, 1)
             put_word(0, v)
             put_pcell(0, _group_prev(rws, vals[0]))
         elif st == ES.POP:
@@ -2000,13 +2289,75 @@ def assign(
             asg.set_int(cfg.opn, r, step.op - 0x8F)
             put_word(0, vals[0].value)
             put_word(1, vals[1].value)
-        elif st in (ES.MLOAD, ES.MSTORE):
+        elif st in (ES.MLOAD, ES.MSTORE, ES.MSTORE8):
+            off = vals[0].value
+            wa, s_off = divmod(off, 32)
+            put_word(0, off)
+            asg.set_int(cfg.mwa, r, wa)
+            for i in range(3):
+                asg.set_int(cfg.mby[i], r, (wa >> (8 * i)) & 0xFF)
+            asg.set_int(cfg.msk.columns[s_off], r, 1)
+            if st == ES.MLOAD:
+                w0v, w1v = vals[1].value, vals[2].value
+                put_word(1, w0v)
+                put_word(2, w1v)
+                src = w0v.to_bytes(32, "big") + w1v.to_bytes(32, "big")
+            elif st == ES.MSTORE:
+                put_word(1, vals[1].value)  # store value
+                p0, p1 = vals[2].value_prev, vals[3].value_prev
+                put_word(2, p0)
+                asg.set_int(cfg.w[4][0], r, p1 & M128)
+                asg.set_int(cfg.w[4][1], r, p1 >> 128)
+                src = p0.to_bytes(32, "big") + p1.to_bytes(32, "big")
+                for i, b in enumerate(vals[1].value.to_bytes(32, "big")):
+                    asg.set_int(cfg.vlb.columns[i], r, b)
+            else:  # MSTORE8
+                put_word(1, vals[1].value)
+                p0 = vals[2].value_prev
+                put_word(2, p0)
+                src = p0.to_bytes(32, "big") + bytes(32)
+                for i, b in enumerate(vals[1].value.to_bytes(32, "big")):
+                    asg.set_int(cfg.vlb.columns[i], r, b)
+            for i, b in enumerate(src):
+                asg.set_int(cfg.srb.columns[i], r, b)
+            # memory-expansion gadget
+            needed = wa + 1 + (1 if (s_off and st != ES.MSTORE8) else 0)
+            _set_inv(asg, cfg.iz["moff"], r, s_off)
+            cfg.mlt.assign_rows(asg, r, [step.mws], [needed])
+            nxt_mws = max(step.mws, needed)
+            assert step.mws_after == nxt_mws, (
+                f"mws mismatch at pc={step.pc}: builder {step.mws_after} "
+                f"!= gadget {nxt_mws}")
+            qd, rd = divmod(step.mws * step.mws, 512)
+            qd2, rd2 = divmod(nxt_mws * nxt_mws, 512)
+            for i in range(6):
+                asg.set_int(cfg.mqd[i], r, (qd >> (8 * i)) & 0xFF)
+                asg.set_int(cfg.mqd2[i], r, (qd2 >> (8 * i)) & 0xFF)
+            asg.set_int(cfg.mrdl, r, rd & 0xFF)
+            asg.set_int(cfg.mrdb, r, rd >> 8)
+            asg.set_int(cfg.mrd2l, r, rd2 & 0xFF)
+            asg.set_int(cfg.mrd2b, r, rd2 >> 8)
+        elif st == ES.MSIZE:
             put_word(0, vals[0].value)
-            put_word(1, vals[1].value)
-            if st == ES.MSTORE:
-                put_pcell(2, _group_prev(rws, vals[2]))
-            asg.set_int(cfg.w[3][0], r, vals[0].value // 32)
-            asg.set_int(cfg.aux[0], r, step.gas_cost - 3)  # mexp witness
+            put_pcell(0, _group_prev(rws, vals[0]))
+        elif st == ES.CALLDATALOAD:
+            cdlen = vals[0].value
+            off = vals[1].value
+            value = vals[2].value
+            asg.set_int(cfg.w[1][0], r, cdlen)
+            put_word(0, off)
+            for i in range(3):
+                asg.set_int(cfg.mby[i], r, (off >> (8 * i)) & 0xFF)
+            for i, b in enumerate(value.to_bytes(32, "big")):
+                asg.set_int(cfg.vlb.columns[i], r, b)
+            cnt = min(32, max(0, cdlen - off))
+            for i in range(cnt):
+                asg.set_int(cfg.inr.columns[i], r, 1)
+            _set_inv(asg, cfg.iz["cl32"], r, cnt - 32)
+            _set_inv(asg, cfg.iz["cl0"], r, cnt)
+            cfg.cl_lt_a.assign_rows(asg, r, [off + cnt], [cdlen])
+            cfg.cl_lt_b.assign_rows(
+                asg, r, [off + cnt - 1 if cnt else 0], [cdlen])
         elif st == ES.SLOAD:
             put_word(0, vals[0].value)  # key
             asg.set_int(cfg.warm, r, vals[1].value_prev)
@@ -2369,7 +2720,9 @@ def assign(
             asg.set_int(cfg.w[2][0], r, vals[0].value)  # caller id
             asg.set_int(cfg.aux[1], r, vals[1].value)  # success
             asg.set_int(cfg.w[3][0], r, vals[2].value)  # resume pc
-            asg.set_int(cfg.w[4][0], r, vals[3].value)  # resume sp
+            # resume sp (lo) + caller mws (hi) — the packed save
+            asg.set_int(cfg.w[4][0], r, vals[3].value & M128)
+            asg.set_int(cfg.w[4][1], r, vals[3].value >> 128)
             asg.set_int(cfg.w[5][0], r, vals[4].value)  # saved base gas
             put_word(0, vals[5].value)  # caller code hash
             put_word(1, vals[6].value)  # packed caller self+static

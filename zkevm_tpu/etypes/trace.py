@@ -707,13 +707,17 @@ def trace_call(
     }
     sender = sdb.ensure(caller)
     assert sender.balance >= value, "insufficient balance"
+    # intrinsic gas (geth ApplyMessage / IntrinsicGas): 21000 + calldata
+    # bytes at the EIP-2028 schedule, deducted BEFORE the interpreter runs
+    intrinsic = 21000 + sum(4 if b == 0 else 16 for b in calldata)
+    assert gas >= intrinsic, "intrinsic gas exceeds the gas limit"
     sender.nonce += 1
     snap = interp._snapshot()
     sender.balance -= value
     sdb.ensure(callee).balance += value
     ok, ret, gas_left = interp.run_call(
         caller=caller, address=callee, code_address=callee,
-        calldata=calldata, value=value, gas=gas,
+        calldata=calldata, value=value, gas=gas - intrinsic,
     )
     if not ok:
         interp._rollback(snap)

@@ -105,15 +105,28 @@ def run_state_test(spec: dict, tier: str = WITNESS,
 
         tx_fns = []
         for t in spec["txs"]:
+            if t.get("to") is None:
+                raise NotImplementedError("contract-creation tx (CREATE)")
+
             def tfn(m, t=t):
                 m.from_(t["frm"]).to(t["to"]).value(t.get("value", 0))
                 m.input(t.get("data", b""))
                 if "gas" in t:
                     m.gas(t["gas"])
+                if "gas_price" in t:
+                    m.gas_price(t["gas_price"])
 
             tx_fns.append(tfn)
 
-        ctx = TestContext.new(accounts=acc_fns, txs=tx_fns)
+        # env block (statetest `env` section -> block context)
+        env = spec.get("env", {})
+        env_map = {"currentCoinbase": "coinbase", "currentNumber": "number",
+                   "currentTimestamp": "timestamp",
+                   "currentGasLimit": "gas_limit",
+                   "currentBaseFee": "base_fee"}
+        block = {env_map[k]: v for k, v in env.items() if k in env_map}
+        ctx = TestContext.new(accounts=acc_fns, txs=tx_fns,
+                              block=block or None)
 
         # expected revert pattern
         exp = spec.get("expect", {})

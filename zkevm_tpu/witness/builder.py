@@ -59,6 +59,11 @@ class ExecStep:
     exec_state: str | None = None
     call_id: int = 1
     depth: int = 1
+    # memory word count of the executing frame before/after the step
+    # (the EVM circuit's mws chain; after != before only on
+    # memory-expanding steps)
+    mws: int = 0
+    mws_after: int = 0
 
 
 @dataclass
@@ -398,6 +403,7 @@ class CircuitInputBuilder:
             pc=step.pc, op=step.op, gas_left=step.gas, gas_cost=step.gas_cost,
             rw_counter_start=self.rwc, stack_pointer=sp,
             call_id=call.call_id, depth=call.depth,
+            mws=(len(step.memory) + 31) // 32,
         )
         self.steps.append(es)
         ri = es.rw_indices
@@ -461,6 +467,8 @@ class CircuitInputBuilder:
         self.calls.append(child)
         cp = self._checkpoint()
 
+        cont_steps = []
+
         def cont(tag):
             c = ExecStep(
                 pc=step.pc, op=step.op, gas_left=step.gas,
@@ -469,6 +477,7 @@ class CircuitInputBuilder:
                 exec_state=tag,
             )
             self.steps.append(c)
+            cont_steps.append(c)
             return c.rw_indices
 
         # --- row 2: access list, balance transfer, first child ctx ------
@@ -500,6 +509,12 @@ class CircuitInputBuilder:
         # --- rows 3-4: remaining ctx + caller resume-state saves --------
         resume_log = logs[j] if j < len(logs) else None
         resume_gas = resume_log.gas if resume_log else 0
+        # caller's memory word count at resume (incl. the CALL's own
+        # in/out-region expansion), packed into the STACK_POINTER save's
+        # high half (framework convention; the circuit's mws chain
+        # restores it on the Restore row)
+        resume_mws = (len(resume_log.memory) + 31) // 32 if resume_log else 0
+        es.mws_after = resume_mws  # the CALL1 row's mws-chain witness
         # child leftover L = the child's exit step's post-step gas
         k_exit = j - 1
         while k_exit > i and logs[k_exit].depth != call.depth + 1:
@@ -515,7 +530,8 @@ class CircuitInputBuilder:
             (CallContextField.IS_SUCCESS, int(success)),
             (CallContextField.DEPTH, child.depth),
             (CallContextField.PROGRAM_COUNTER, step.pc + 1),
-            (CallContextField.STACK_POINTER, sp + nargs - 1),
+            (CallContextField.STACK_POINTER,
+             sp + nargs - 1 + (resume_mws << 128)),
         ]:
             ri.append(self.call_context(child.call_id, fld, v, rw=RW.WRITE))
 
@@ -528,6 +544,8 @@ class CircuitInputBuilder:
             ri.append(self.call_context(child.call_id, fld, v, rw=RW.WRITE))
         ri.append(self.account(RW.READ, to, AccountField.CODE_HASH,
                                child.code_hash, child.code_hash))
+        for c_ in cont_steps:  # CALL2-4 rows carry the caller resume mws
+            c_.mws = c_.mws_after = resume_mws
 
         # --- child frame -------------------------------------------------
         end_i = self._walk(logs, i + 1, child)
@@ -540,6 +558,7 @@ class CircuitInputBuilder:
             pc=step.pc, op=step.op, gas_left=leftover, gas_cost=0,
             rw_counter_start=self.rwc, stack_pointer=sp + nargs - 1,
             call_id=child.call_id, depth=child.depth, exec_state="Restore",
+            mws=resume_mws, mws_after=resume_mws,
         )
         self.steps.append(rs)
         ri = rs.rw_indices
@@ -547,7 +566,8 @@ class CircuitInputBuilder:
             (CallContextField.CALLER_ID, call.call_id),
             (CallContextField.IS_SUCCESS, int(success)),
             (CallContextField.PROGRAM_COUNTER, step.pc + 1),
-            (CallContextField.STACK_POINTER, sp + nargs - 1),
+            (CallContextField.STACK_POINTER,
+             sp + nargs - 1 + (resume_mws << 128)),
             (CallContextField.GAS_LEFT, save_gas),
             (CallContextField.CODE_HASH, call.code_hash),
             (CallContextField.CALLER_SELF_ADDRESS, call.address),
@@ -601,11 +621,13 @@ class CircuitInputBuilder:
             chunk = mem[32 * waddr : 32 * waddr + 32]
             return int.from_bytes(chunk.ljust(32, b"\x00"), "big")
 
+        post_mws = (len(nxt.memory) + 31) // 32
+        es.mws_after = post_mws  # PRE1 row's mws-chain witness
         row2 = ExecStep(
             pc=step.pc, op=step.op, gas_left=step.gas,
             gas_cost=step.gas_cost, rw_counter_start=self.rwc,
             stack_pointer=sp, call_id=cid, depth=call.depth,
-            exec_state=state,
+            exec_state=state, mws=post_mws, mws_after=post_mws,
         )
         self.steps.append(row2)
         ri = row2.rw_indices
@@ -713,7 +735,8 @@ class CircuitInputBuilder:
         # the failure is a clear NotImplementedError here instead of an
         # opaque MockProver error later:
         _CIRCUIT_ES = {"ErrorInvalidJump", "ErrorStack",
-                       "ErrorInvalidOpcode", "ErrorOutOfGasConstant"}
+                       "ErrorInvalidOpcode", "ErrorOutOfGasConstant",
+                       "ErrorWriteProtection"}
         if es_name not in _CIRCUIT_ES:
             raise NotImplementedError(
                 f"{es_name} has no EVM-circuit state yet")
@@ -728,7 +751,8 @@ class CircuitInputBuilder:
             pc=step.pc, op=step.op, gas_left=step.gas,
             gas_cost=step.gas_cost, rw_counter_start=self.rwc,
             stack_pointer=sp, exec_state=es_name, call_id=call.call_id,
-            depth=call.depth,
+            depth=call.depth, mws=(len(step.memory) + 31) // 32,
+            mws_after=(len(step.memory) + 31) // 32,
         )
         if es_name == "ErrorInvalidJump":
             # the attempted destination (top of stack) is read so the
@@ -750,6 +774,9 @@ class CircuitInputBuilder:
             pc=step.pc, op=step.op, gas_left=step.gas, gas_cost=step.gas_cost,
             rw_counter_start=self.rwc, stack_pointer=sp,
             call_id=cid, depth=call.depth,
+            mws=(len(step.memory) + 31) // 32,
+            mws_after=(len(nxt.memory) + 31) // 32 if nxt
+            else (len(step.memory) + 31) // 32,
         )
         ri = es.rw_indices
 
@@ -835,24 +862,48 @@ class CircuitInputBuilder:
             ri.append(self.storage(RW.WRITE, call.address, key, val, prev))
             self.sdb.set_storage(call.address, key, val)
         elif name == "MLOAD":
+            # uniformly TWO word reads (wa, wa+1): the circuit's one-hot
+            # byte-alignment gadget recombines value = (M[wa]||M[wa+1])
+            # [s : s+32]; an aligned load reads an untouched (zero or
+            # stale) second word it then ignores (execution/memory.rs's
+            # word-aligned rework, done mask-style here)
             off = top(0)
+            if off >= 1 << 24:
+                raise NotImplementedError("MLOAD offset >= 2^24")
             ri.append(self.stack_read(cid, sp, off))
             w0 = off // 32
-            nwords = 1 if off % 32 == 0 else 2
-            for w in range(w0, w0 + nwords):
+            for w in range(w0, w0 + 2):
                 v = mem_word(nxt.memory if nxt else step.memory, w)
                 ri.append(self.memory_word(cid, RW.READ, w, v, v))
             ri.append(self.stack_write(cid, sp, nxt_top(), prev=off))
         elif name in ("MSTORE", "MSTORE8"):
             off, val = top(0), top(1)
+            if off >= 1 << 24:
+                raise NotImplementedError(f"{name} offset >= 2^24")
             ri.append(self.stack_read(cid, sp, off))
             ri.append(self.stack_read(cid, sp + 1, val))
             w0 = off // 32
-            nwords = 1 if (name == "MSTORE8" or off % 32 == 0) else 2
+            # MSTORE: always two word writes (aligned second = identity
+            # write, sound: new == prev); MSTORE8: one
+            nwords = 1 if name == "MSTORE8" else 2
             for w in range(w0, w0 + nwords):
                 prev_w = mem_word(step.memory, w)
                 new_w = mem_word(nxt.memory, w) if nxt else prev_w
                 ri.append(self.memory_word(cid, RW.WRITE, w, new_w, prev_w))
+        elif name == "MSIZE":
+            ri.append(self.stack_write(cid, sp - 1, nxt_top()))
+        elif name == "CALLDATALOAD":
+            off = top(0)
+            if not call.is_root:
+                raise NotImplementedError(
+                    "CALLDATALOAD in a child frame (memory-backed "
+                    "calldata pending)")
+            if off >= 1 << 24:
+                raise NotImplementedError("CALLDATALOAD offset >= 2^24")
+            ri.append(self.call_context(
+                cid, CallContextField.CALL_DATA_LENGTH, len(call.calldata)))
+            ri.append(self.stack_read(cid, sp, off))
+            ri.append(self.stack_write(cid, sp, nxt_top(), prev=off))
         elif name in ("CALLDATACOPY", "CODECOPY", "RETURNDATACOPY"):
             doff, soff, ln = top(0), top(1), top(2)
             for k in range(3):
