@@ -282,3 +282,45 @@ def test_write_protection_nonstatic_rejected(circuit):
                    if s.exec_state == "ErrorWriteProtection")
     asg.set_int(ev_cfg.istc, err_row, 0)
     assert MockProver(cs2, asg).verify(), "non-static write-prot accepted"
+
+
+def test_oog_memory_dynamic_proven(circuit):
+    """MSTORE at offset 1000 with gas for the static part only: the
+    quadratic-expansion OOG state proves (the circuit recomputes the real
+    requirement from the offset)."""
+    cs = circuit[0]
+    # PUSH2 1000; PUSH1 0 (value); swap order: MSTORE pops off, value
+    code = bytes([0x60, 1, 0x61, 0x03, 0xE8, 0x52, 0x00])
+    # intrinsic 21000 + PUSH1(3) + PUSH2(3) = 21006; MSTORE needs
+    # 3 + mexp(33 words) = well over the 5 we leave
+    builder = build(code, gas=21011)
+    assert "ErrorOutOfGasMemory" in _states(builder)
+    MockProver(cs, witness(circuit, builder, code)).assert_satisfied()
+
+
+def test_oog_memory_huge_offset_proven(circuit):
+    """MLOAD at 2^100: the huge-offset fast path (no 2^100-word
+    decomposition; the claim off >= 2^24 is proven instead)."""
+    cs = circuit[0]
+    code = bytes([0x73] + [0x10] + [0] * 12, ) + bytes([0x51, 0x00])
+    # PUSH20 0x10<<96...; simpler: PUSH13 2^96 region
+    code = bytes([0x6C] + [0x01] + [0] * 12) + bytes([0x51, 0x00])
+    builder = build(code, gas=100_000)
+    assert "ErrorOutOfGasMemory" in _states(builder)
+    MockProver(cs, witness(circuit, builder, code)).assert_satisfied()
+
+
+def test_oog_memory_with_ample_gas_rejected(circuit):
+    """Repainting a huge-offset OOG row's gas_left above the 2^30 floor
+    must break the lt binding (claiming OOG with ample gas)."""
+    cs, _, _, ev_cfg = circuit
+    code = bytes([0x6C] + [0x01] + [0] * 12) + bytes([0x51, 0x00])
+    builder = build(code, gas=100_000)
+    asg = witness(circuit, builder, code)
+    row = next(r for r, s in enumerate(builder.steps)
+               if s.exec_state == "ErrorOutOfGasMemory")
+    # claim the offset was small (lie in w0 + take the normal path)
+    asg.set_int(ev_cfg.bigb, row, 0)
+    asg.set_int(ev_cfg.eg_nb, row, 1)
+    asg.set_int(ev_cfg.mgate, row, 1)
+    assert MockProver(cs, asg).verify(), "fake OOG-mem variant accepted"

@@ -162,6 +162,9 @@ class ES(IntEnum):
     ERR_WRITE_PROT = 59  # error_write_protection.rs: write op in a
     #                      static context (SSTORE / LOGn / CREATE* /
     #                      SELFDESTRUCT; value-bearing CALL pending)
+    ERR_OOG_MEM = 60  # error_oog_memory_copy.rs-family: dynamic OOG on
+    #                   MLOAD/MSTORE/MSTORE8 (quadratic expansion term),
+    #                   incl. the huge-offset fast path
 
 
 NSTATES = len(ES)
@@ -232,10 +235,10 @@ STATIC_GAS_STATES = [
 ]
 NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0, ES.RESTORE: 8,
        ES.ERR_INVALID_JUMP: 1, ES.ERR_STACK: 0, ES.ERR_INVALID_OP: 0,
-       ES.ERR_OOG: 0, ES.ERR_WRITE_PROT: 0}
+       ES.ERR_OOG: 0, ES.ERR_WRITE_PROT: 0, ES.ERR_OOG_MEM: 1}
 NRW.update({s: spec[3] for s, spec in OP_STATES.items()})
 ERRS = (ES.ERR_INVALID_JUMP, ES.ERR_STACK, ES.ERR_INVALID_OP, ES.ERR_OOG,
-        ES.ERR_WRITE_PROT)
+        ES.ERR_WRITE_PROT, ES.ERR_OOG_MEM)
 CALL_OPS = (0xF1, 0xF2, 0xF4, 0xFA)
 
 
@@ -333,6 +336,11 @@ class EvmConfig:
     cl_lt_a: object = None
     cl_lt_b: object = None
     wp_op: Column = None  # fixed: static-context write opcodes (op+1)
+    bigb: Column = None   # ERR_OOG_MEM huge-offset variant bit
+    eg_nb: Column = None
+    mgate: Column = None
+    m8b: Column = None
+    ltg_24: object = None
 
 
 def _word(cs) -> tuple:
@@ -622,7 +630,25 @@ def configure(
     mrdl, mrdb, mrd2l, mrd2b = (cs.advice_column() for _ in range(4))
     ML, MS, M8 = S[ES.MLOAD], S[ES.MSTORE], S[ES.MSTORE8]
     MEM3 = ML + MS + M8
-    mem2 = ML + MS
+    # the addressing/expansion machinery also runs on ErrorOutOfGasMemory
+    # rows (dynamic-OOG claims must recompute the real expansion cost),
+    # except in the huge-offset variant (bigb) where the wa decomposition
+    # cannot exist; mgate materializes the combined enable
+    S_eogm = S[ES.ERR_OOG_MEM]
+    bigb = cs.advice_column()   # ERR_OOG_MEM: huge-offset variant bit
+    eg_nb = cs.advice_column()  # S_eogm * (1 - bigb), materialized
+    mgate = cs.advice_column()  # MEM3 + eg_nb, materialized
+    m8b = cs.advice_column()    # [opcode == MSTORE8] on mgate rows
+    cs.create_gate("ev_mem_gate", [
+        qs * bigb.cur() * (one - bigb.cur()),
+        qs * (eg_nb.cur() - S_eogm * (one - bigb.cur())),
+        qs * (mgate.cur() - MEM3 - eg_nb.cur()),
+        mgate.cur() * m8b.cur() * (one - m8b.cur()),
+        mgate.cur() * m8b.cur() * (opcode.cur() - Const(0x53)),
+        mgate.cur() * (one - m8b.cur()) * (opcode.cur() - Const(0x51))
+        * (opcode.cur() - Const(0x52)),
+    ])
+    MG = mgate.cur()
     mk = [msk.columns[j].cur() for j in range(32)]
     sb = [srb.columns[j].cur() for j in range(64)]
     vb = [vlb.columns[j].cur() for j in range(32)]
@@ -636,17 +662,17 @@ def configure(
     for i in range(3):
         mwa_rec = mwa_rec + Const(1 << (8 * i)) * mby[i].cur()
     cs.create_vector_gate("ev_msk_bool",
-                          (MEM3 + S[ES.PUSH]) * msk.q() * (msk.q() - one), 32)
+                          (MG + S[ES.PUSH]) * msk.q() * (msk.q() - one), 32)
     cs.create_gate("ev_mem_addr", [
-        MEM3 * (msum - one),
-        MEM3 * (w[0][0].cur() - Const(32) * mwa.cur() - s_expr),
-        MEM3 * w[0][1].cur(),
-        (MEM3 + S[ES.CALLDATALOAD]) * (
-            (MEM3 * mwa.cur() + S[ES.CALLDATALOAD] * w[0][0].cur())
+        MG * (msum - one),
+        MG * (w[0][0].cur() - Const(32) * mwa.cur() - s_expr),
+        MG * w[0][1].cur(),
+        (MG + S[ES.CALLDATALOAD]) * (
+            (MG * mwa.cur() + S[ES.CALLDATALOAD] * w[0][0].cur())
             - mwa_rec),
     ])
     rt8.lookup(cs, "ev_mby_range",
-               [(MEM3 + S[ES.CALLDATALOAD]) * c.cur() for c in mby])
+               [(MG + S[ES.CALLDATALOAD]) * c.cur() for c in mby])
     rt8.lookup(cs, "ev_srb_range", [MEM3 * c for c in sb])
     rt8.lookup(cs, "ev_vlb_range",
                [(MS + M8 + S[ES.CALLDATALOAD] + S[ES.PUSH]) * c
@@ -707,9 +733,10 @@ def configure(
     # memory expansion (quadratic gas): words_needed = wa + 1 + [s != 0]
     # for the word ops, wa + 1 for MSTORE8; mws' = max(mws, needed);
     # gas = 3 + 3*(mws'-mws) + floor(mws'^2/512) - floor(mws^2/512)
-    iz["moff"] = IsZero.configure(cs, MEM3, s_expr, "ev_iz_moff")
-    m_needed = mwa.cur() + one + mem2 * (one - iz["moff"].expr())
-    mlt = LtGadget.configure(cs, MEM3, mws.cur(), m_needed, rt8,
+    iz["moff"] = IsZero.configure(cs, MG, s_expr, "ev_iz_moff")
+    m_needed = mwa.cur() + one \
+        + (one - m8b.cur()) * (one - iz["moff"].expr())
+    mlt = LtGadget.configure(cs, MG, mws.cur(), m_needed, rt8,
                              n_limbs=4, name="ev_mexp_lt")
     mqd_rec = Const(0)
     mqd2_rec = Const(0)
@@ -717,22 +744,39 @@ def configure(
         mqd_rec = mqd_rec + Const(1 << (8 * i)) * mqd[i].cur()
         mqd2_rec = mqd2_rec + Const(1 << (8 * i)) * mqd2[i].cur()
     cs.create_gate("ev_mexp", [
-        MEM3 * (mwsw.cur()
-                - mlt.expr() * m_needed
-                - (one - mlt.expr()) * mws.cur()),
-        MEM3 * (mws.cur() * mws.cur() - Const(512) * mqd_rec
-                - mrdl.cur() - Const(256) * mrdb.cur()),
-        MEM3 * (mwsw.cur() * mwsw.cur() - Const(512) * mqd2_rec
-                - mrd2l.cur() - Const(256) * mrd2b.cur()),
-        MEM3 * mrdb.cur() * (one - mrdb.cur()),
-        MEM3 * mrd2b.cur() * (one - mrd2b.cur()),
+        MG * (mwsw.cur()
+              - mlt.expr() * m_needed
+              - (one - mlt.expr()) * mws.cur()),
+        MG * (mws.cur() * mws.cur() - Const(512) * mqd_rec
+              - mrdl.cur() - Const(256) * mrdb.cur()),
+        MG * (mwsw.cur() * mwsw.cur() - Const(512) * mqd2_rec
+              - mrd2l.cur() - Const(256) * mrd2b.cur()),
+        MG * mrdb.cur() * (one - mrdb.cur()),
+        MG * mrd2b.cur() * (one - mrd2b.cur()),
+        # the real ops' gas; error rows bind og_gas instead (ev_eogm)
         MEM3 * (gc.cur() - Const(3)
                 - Const(3) * (mwsw.cur() - mws.cur())
                 - mqd2_rec + mqd_rec),
     ])
     rt8.lookup(cs, "ev_mexp_range", [
-        MEM3 * mrdl.cur(), MEM3 * mrd2l.cur(),
-    ] + [MEM3 * c.cur() for c in mqd] + [MEM3 * c.cur() for c in mqd2])
+        MG * mrdl.cur(), MG * mrd2l.cur(),
+    ] + [MG * c.cur() for c in mqd] + [MG * c.cur() for c in mqd2])
+    # ErrorOutOfGasMemory: the claimed requirement og_gas is the REAL
+    # static+expansion cost (normal variant), or the huge-offset floor
+    # (off >= 2^24 makes the expansion cost exceed any block's gas)
+    iz["eogm_hi"] = IsZero.configure(cs, S_eogm, w[0][1].cur(),
+                                     "ev_iz_eogmhi")
+    ltg_24 = LtGadget.configure(cs, S_eogm * bigb.cur(), w[0][0].cur(),
+                                Const(1 << 24), rt8, n_limbs=16,
+                                name="ev_eogm_lt24")
+    cs.create_gate("ev_eogm", [
+        eg_nb.cur() * (og_gas.cur() - Const(3)
+                       - Const(3) * (mwsw.cur() - mws.cur())
+                       - mqd2_rec + mqd_rec),
+        S_eogm * bigb.cur() * (og_gas.cur() - Const(1 << 30)),
+        # the huge-offset claim must be true: NOT(hi == 0 and lo < 2^24)
+        S_eogm * bigb.cur() * iz["eogm_hi"].expr() * ltg_24.expr(),
+    ])
     # MSIZE pushes 32 * mws (no expansion)
     cs.create_gate("ev_msize", [
         S[ES.MSIZE] * (w[0][0].cur() - Const(32) * mws.cur()),
@@ -1505,6 +1549,7 @@ def configure(
                     ES.ERR_INVALID_OP: rwc.cur() + opn.cur(),
                     ES.ERR_OOG: rwc.cur() + opn.cur(),
                     ES.ERR_WRITE_PROT: rwc.cur() + opn.cur(),
+                    ES.ERR_OOG_MEM: rwc.cur() + one + opn.cur(),
                     ES.SHA3: rwc.cur() + Const(3) + opn.cur(),
                     ES.COPY: rwc.cur() + Const(3) + opn.cur(),
                     ES.LOG: rwc.cur() + Const(3) + opn.cur()
@@ -1877,8 +1922,9 @@ def configure(
     S_ej, S_es = S[ES.ERR_INVALID_JUMP], S[ES.ERR_STACK]
     S_eio, S_eog = S[ES.ERR_INVALID_OP], S[ES.ERR_OOG]
     S_ewp = S[ES.ERR_WRITE_PROT]
-    err_any = S_ej + S_es + S_eio + S_eog + S_ewp
+    err_any = S_ej + S_es + S_eio + S_eog + S_ewp + S_eogm
     use(ES.ERR_INVALID_JUMP, 0, stack_rd(spc, wc(0)))  # attempted dest
+    use(ES.ERR_OOG_MEM, 0, stack_rd(spc, wc(0)))  # the memory offset
     is_jumpi = opcode.cur() - Const(0x56)  # 0/1 given the opcode bind
     # JUMPI error rows also read the condition, which must be nonzero
     # (a false condition falls through and cannot error)
@@ -1899,8 +1945,9 @@ def configure(
         + (one - es_ov.cur()) * (sp.cur() + es_pop.cur())
     ltg_es = LtGadget.configure(cs, S_es, es_lhs, es_rhs, rt8, n_limbs=2,
                                 name="ev_eslt")
-    ltg_og = LtGadget.configure(cs, S_eog, gas_left.cur(), og_gas.cur(),
-                                rt8, n_limbs=4, name="ev_oglt")
+    ltg_og = LtGadget.configure(cs, S_eog + S_eogm, gas_left.cur(),
+                                og_gas.cur(), rt8, n_limbs=4,
+                                name="ev_oglt")
     err_polys = [
         err_any * (gc.cur() - gas_left.cur()),  # remainder consumed
         # a nested errored frame pops as UNSUCCESSFUL: the Restore row's
@@ -1919,7 +1966,7 @@ def configure(
         S_ej * is_jumpi * iz["ej_clo"].expr() * iz["ej_chi"].expr(),
         # stack violation / gas shortfall must actually hold
         S_es * (ltg_es.expr() - one),
-        S_eog * (ltg_og.expr() - one),
+        (S_eog + S_eogm) * (ltg_og.expr() - one),
     ]
     if bytecode_len_table is not None:
         bytecode_len_table.lookup(
@@ -2006,7 +2053,8 @@ def configure(
         pw_i, pw_o, p_cnt,
         msk, srb, vlb, mwa, mby, mws, mwsw, mqd, mqd2,
         mrdl, mrdb, mrd2l, mrd2b, mlt, inr, cl_lt_a, cl_lt_b,
-        wp_op=wp_op,
+        wp_op=wp_op, bigb=bigb, eg_nb=eg_nb, mgate=mgate, m8b=m8b,
+        ltg_24=ltg_24,
     )
 
 
@@ -2022,6 +2070,7 @@ _ERROR_ES = {
     "ErrorInvalidOpcode": ES.ERR_INVALID_OP,
     "ErrorOutOfGasConstant": ES.ERR_OOG,
     "ErrorWriteProtection": ES.ERR_WRITE_PROT,
+    "ErrorOutOfGasMemory": ES.ERR_OOG_MEM,
 }
 
 
@@ -2200,6 +2249,41 @@ def assign(
                 asg.set_int(cfg.opn, r,
                             steps[r + 1].rw_counter_start
                             - step.rw_counter_start - len(step.rw_indices))
+            if st == ES.ERR_OOG_MEM:
+                off = vals[0].value
+                put_word(0, off)
+                if off >> 128 == 0 and off < (1 << 24):
+                    wa, s_off = divmod(off, 32)
+                    asg.set_int(cfg.eg_nb, r, 1)
+                    asg.set_int(cfg.mgate, r, 1)
+                    asg.set_int(cfg.m8b, r, int(step.op == 0x53))
+                    asg.set_int(cfg.mwa, r, wa)
+                    for i in range(3):
+                        asg.set_int(cfg.mby[i], r, (wa >> (8 * i)) & 0xFF)
+                    asg.set_int(cfg.msk.columns[s_off], r, 1)
+                    _set_inv(asg, cfg.iz["moff"], r, s_off)
+                    needed = wa + 1 + (1 if (s_off and step.op != 0x53)
+                                       else 0)
+                    cfg.mlt.assign_rows(asg, r, [step.mws], [needed])
+                    nxt_mws = max(step.mws, needed)
+                    asg.set_int(cfg.mwsw, r, nxt_mws)
+                    qd, rd = divmod(step.mws * step.mws, 512)
+                    qd2, rd2 = divmod(nxt_mws * nxt_mws, 512)
+                    for i in range(6):
+                        asg.set_int(cfg.mqd[i], r, (qd >> (8 * i)) & 0xFF)
+                        asg.set_int(cfg.mqd2[i], r, (qd2 >> (8 * i)) & 0xFF)
+                    asg.set_int(cfg.mrdl, r, rd & 0xFF)
+                    asg.set_int(cfg.mrdb, r, rd >> 8)
+                    asg.set_int(cfg.mrd2l, r, rd2 & 0xFF)
+                    asg.set_int(cfg.mrd2b, r, rd2 >> 8)
+                    need_gas = 3 + 3 * (nxt_mws - step.mws) + qd2 - qd
+                else:
+                    asg.set_int(cfg.bigb, r, 1)
+                    _set_inv(asg, cfg.iz["eogm_hi"], r, off >> 128)
+                    cfg.ltg_24.assign_rows(asg, r, [off & M128], [1 << 24])
+                    need_gas = 1 << 30
+                asg.set_int(cfg.og_gas, r, need_gas)
+                cfg.ltg_og.assign_rows(asg, r, [step.gas_left], [need_gas])
             if st == ES.ERR_INVALID_JUMP:
                 dest = vals[0].value
                 put_word(0, dest)
@@ -2321,6 +2405,8 @@ def assign(
             for i, b in enumerate(src):
                 asg.set_int(cfg.srb.columns[i], r, b)
             # memory-expansion gadget
+            asg.set_int(cfg.mgate, r, 1)
+            asg.set_int(cfg.m8b, r, int(st == ES.MSTORE8))
             needed = wa + 1 + (1 if (s_off and st != ES.MSTORE8) else 0)
             _set_inv(asg, cfg.iz["moff"], r, s_off)
             cfg.mlt.assign_rows(asg, r, [step.mws], [needed])

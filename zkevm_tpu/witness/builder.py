@@ -736,16 +736,21 @@ class CircuitInputBuilder:
         # opaque MockProver error later:
         _CIRCUIT_ES = {"ErrorInvalidJump", "ErrorStack",
                        "ErrorInvalidOpcode", "ErrorOutOfGasConstant",
-                       "ErrorWriteProtection"}
+                       "ErrorWriteProtection", "ErrorOutOfGasMemory"}
         if es_name not in _CIRCUIT_ES:
             raise NotImplementedError(
                 f"{es_name} has no EVM-circuit state yet")
         if es_name == "ErrorOutOfGasConstant" and \
                 step.gas >= OPCODES[step.op].gas:
-            # dynamic-gas OOG (EXP/SSTORE sentry/memory expansion/CALL):
-            # the circuit's gas_left < static_gas check is unsatisfiable
-            raise NotImplementedError(
-                "dynamic-gas OOG error states not yet implemented")
+            # dynamic-gas OOG: MLOAD/MSTORE/MSTORE8 route to the
+            # memory-expansion error state (quadratic gadget recomputes
+            # the real requirement in-circuit); other dynamic-gas ops
+            # (EXP/SSTORE sentry/CALL/copies) are still pending
+            if step.op in (0x51, 0x52, 0x53):
+                es_name = "ErrorOutOfGasMemory"
+            else:
+                raise NotImplementedError(
+                    "dynamic-gas OOG error states not yet implemented")
         sp = STACK_CAP - len(step.stack)
         es = ExecStep(
             pc=step.pc, op=step.op, gas_left=step.gas,
@@ -763,6 +768,11 @@ class CircuitInputBuilder:
             if step.op == 0x57:
                 es.rw_indices.append(
                     self.stack_read(call.call_id, sp + 1, step.stack[-2]))
+        if es_name == "ErrorOutOfGasMemory":
+            # the offset is read so the circuit can recompute the real
+            # expansion requirement (or prove the huge-offset fast path)
+            es.rw_indices.append(
+                self.stack_read(call.call_id, sp, step.stack[-1]))
         self.steps.append(es)
 
     def _gen_step(self, step: GethExecStep, nxt, call: Call) -> None:
