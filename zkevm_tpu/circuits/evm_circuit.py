@@ -165,6 +165,8 @@ class ES(IntEnum):
     ERR_OOG_MEM = 60  # error_oog_memory_copy.rs-family: dynamic OOG on
     #                   MLOAD/MSTORE/MSTORE8 (quadratic expansion term),
     #                   incl. the huge-offset fast path
+    LOG_TOP = 61  # LOG1-4 continuation row: topic stack-reads land on
+    #               the LOG row; this row emits the TX_LOG topic writes
 
 
 NSTATES = len(ES)
@@ -235,7 +237,8 @@ STATIC_GAS_STATES = [
 ]
 NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0, ES.RESTORE: 8,
        ES.ERR_INVALID_JUMP: 1, ES.ERR_STACK: 0, ES.ERR_INVALID_OP: 0,
-       ES.ERR_OOG: 0, ES.ERR_WRITE_PROT: 0, ES.ERR_OOG_MEM: 1}
+       ES.ERR_OOG: 0, ES.ERR_WRITE_PROT: 0, ES.ERR_OOG_MEM: 1,
+       ES.LOG_TOP: 4}
 NRW.update({s: spec[3] for s, spec in OP_STATES.items()})
 ERRS = (ES.ERR_INVALID_JUMP, ES.ERR_STACK, ES.ERR_INVALID_OP, ES.ERR_OOG,
         ES.ERR_WRITE_PROT, ES.ERR_OOG_MEM)
@@ -406,6 +409,10 @@ def configure(
     os_op, os_pop, os_push, os_gas = (cs.fixed_column() for _ in range(4))
     rt4 = rt4 or RangeTable.configure(cs, 4)
 
+    # in-range bit group (CALLDATALOAD byte padding, PUSH immediate
+    # length, LOG topic count) — allocated early: the transition gate
+    # reads inr[0] as the LOG continuation bit
+    inr = cs.advice_group("ev_inr", 32)
     one = Const(1)
     qs, qt, qf, ql = q_step.cur(), q_trans.cur(), q_first.cur(), q_last.cur()
     S = [sel.columns[s].cur() for s in range(NSTATES)]
@@ -463,7 +470,14 @@ def configure(
         qt * S[s] * allowed(opcode_states + [ES.END_TX] + ERRL)
         for s in opcode_states
         if s not in EXITS + (ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4,
-                             ES.PRE1)
+                             ES.PRE1, ES.LOG)
+    ] + [
+        # LOG with topics continues into the LOG_TOP row; LOG0 exits
+        # normally (the inr[0] bit is the topic-count prefix)
+        qt * S[ES.LOG] * inr.columns[0].cur() * allowed([ES.LOG_TOP]),
+        qt * S[ES.LOG] * (one - inr.columns[0].cur())
+        * allowed(opcode_states + [ES.END_TX] + ERRL),
+        qt * S[ES.LOG_TOP] * allowed(opcode_states + [ES.END_TX] + ERRL),
     ])
     # error rows fork on is-root like exits (the ev_exit_transitions
     # gate below, once the depth IsZero gadget exists): root -> EndTx,
@@ -513,7 +527,7 @@ def configure(
         # constrained gadget covers the MLOAD/MSTORE/MSTORE8 states)
         (S[ES.RETURN] + S[ES.REVERT]) * (gc.cur() - gcase),
         (S[ES.BEGIN_TX] + S[ES.END_TX] + S[ES.END_BLOCK]
-         + S[ES.RESTORE]) * gc.cur(),
+         + S[ES.RESTORE] + S[ES.LOG_TOP]) * gc.cur(),
     ])
 
     # -- word semantics ---------------------------------------------------
@@ -786,7 +800,6 @@ def configure(
     # CALLDATALOAD (root frame): per-byte TxTable lookups at off+i with
     # zero-padding beyond calldata length; vlb holds the value bytes
     CDL = S[ES.CALLDATALOAD]
-    inr = cs.advice_group("ev_inr", 32)
     ib = [inr.columns[j].cur() for j in range(32)]
     cnt = Const(0)
     for j in range(32):
@@ -1412,7 +1425,11 @@ def configure(
     # (rt4 nibble bb0 + the carries[0] bit), memexp gas term in aux[0].
     ZERO2 = Const(0)
     S3, CP, LG = S[ES.SHA3], S[ES.COPY], S[ES.LOG]
+    LGT = S[ES.LOG_TOP]
     cpl = S3 + CP + LG
+    # LOG topic count: the first four inr bits (free on LOG rows; the
+    # CALLDATALOAD/PUSH consumers gate their own uses)
+    lg_cnt = ib[0] + ib[1] + ib[2] + ib[3]
     slack = bb0.cur() + Const(16) * carries[0].cur()
     c_cd, c_cc = carries[1].cur(), carries[2].cur()
     rdc = one - c_cd - c_cc
@@ -1423,16 +1440,23 @@ def configure(
         cpl * (Const(32) * opn.cur() - slack - w[1][0].cur()),
         S3 * (gc.cur() - Const(30) - Const(6) * opn.cur() - aux[0].cur()),
         CP * (gc.cur() - Const(3) - Const(3) * opn.cur() - aux[0].cur()),
-        LG * (gc.cur() - Const(375) - Const(8) * w[1][0].cur()
-              - aux[0].cur()),
+        LG * (gc.cur() - Const(375) - Const(375) * lg_cnt
+              - Const(8) * w[1][0].cur() - aux[0].cur()),
         # COPY opcode selection bits (CALLDATACOPY/CODECOPY/RETURNDATACOPY)
         CP * c_cd * c_cc,
         CP * (opcode.cur() - Const(0x37) * c_cd - Const(0x39) * c_cc
               - Const(0x3E) * rdc),
         CP * w[2][1].cur(),  # src offset < 2^128
-        # LOG v1 scope: LOG0 only; forbidden in static frames
-        LG * (opcode.cur() - Const(0xA0)),
+        # LOG0-4: topic count bound through the inr bit prefix
+        LG * (opcode.cur() - Const(0xA0) - lg_cnt),
         qs * istc.cur() * LG,
+    ] + [
+        LG * ib[i] * (one - ib[i]) for i in range(4)
+    ] + [
+        LG * ib[i + 1] * (one - ib[i]) for i in range(3)
+    ] + [
+        # a continuation row shares the opcode; topic-less LOGs skip it
+        qt * LG * ib[0] * (opcode.rot(1) - opcode.cur()),
         # LOG: the emitting account address split into halves for TX_LOG
         LG * (callee.cur() - w[2][0].cur() - TWO128 * w[2][1].cur()),
     ])
@@ -1461,7 +1485,8 @@ def configure(
             LG, LG * MEMC, LG * TXLC, LG * cid.cur(), ZERO2,
             LG * tx_id.cur(), LG * aux[1].cur(), LG * w[0][0].cur(),
             LG * aux[1].cur(), LG * w[1][0].cur(),
-            LG * (rwc.cur() + Const(2)), LG * opn.cur(), ZERO2, ZERO2,
+            LG * (rwc.cur() + Const(2) + lg_cnt), LG * opn.cur(),
+            ZERO2, ZERO2,
         ])
         # sha256 precompile input: memory -> RLC_SHA event; the event's
         # digest halves (sha256-table-bound in the copy circuit) must
@@ -1490,9 +1515,12 @@ def configure(
                ES.JUMP: w[0][0].cur(),
                ES.JUMPI: jnz * w[0][0].cur() + (one - jnz) * (pc.cur() + one),
                ES.CALL4: Const(0),  # child starts at pc 0
+               ES.LOG: pc.cur() + one - inr.columns[0].cur(),
+               ES.LOG_TOP: pc.cur() + one,
                ES.RESTORE: w[3][0].cur()}  # saved resume pc
     sp_next = {ES.BEGIN_TX: Const(STACK_CAP), ES.END_TX: Const(STACK_CAP),
                ES.END_BLOCK: Const(STACK_CAP),
+               ES.LOG_TOP: sp.cur() + opcode.cur() - Const(0xA0),
                ES.CALL4: Const(STACK_CAP),  # child starts empty
                ES.RESTORE: w[4][0].cur()}  # saved resume sp
     for x in CONT:
@@ -1552,8 +1580,11 @@ def configure(
                     ES.ERR_OOG_MEM: rwc.cur() + one + opn.cur(),
                     ES.SHA3: rwc.cur() + Const(3) + opn.cur(),
                     ES.COPY: rwc.cur() + Const(3) + opn.cur(),
-                    ES.LOG: rwc.cur() + Const(3) + opn.cur()
-                    + w[1][0].cur(),
+                    ES.LOG: rwc.cur() + Const(2)
+                    + (opcode.cur() - Const(0xA0)) + opn.cur() + one
+                    + (one - inr.columns[0].cur()) * w[1][0].cur(),
+                    ES.LOG_TOP: rwc.cur() + opcode.cur() - Const(0xA0)
+                    + w[1][0].rot(-1),
                     # REVERT: the journal's compensating writes are
                     # emitted right after the frame's rows (builder
                     # _revert_to); opn carries their count. Bounded by
@@ -1909,14 +1940,27 @@ def configure(
     use(ES.COPY, 0, stack_rd(spc, wc(0)))
     use(ES.COPY, 1, stack_rd(spc + one, wc(2)))
     use(ES.COPY, 2, stack_rd(spc + Const(2), wc(1)))
-    # LOG0: off/len reads + the TX_LOG address row after the word reads
+    # LOG0-4: off/len reads, topic reads (inr-gated), the TX_LOG address
+    # row after the word reads; topic TX_LOG writes land on the LOG_TOP
+    # continuation row (data rows ride the copy circuit)
     TXL = int(Target.TX_LOG)
     use(ES.LOG, 0, stack_rd(spc, wc(0)))
     use(ES.LOG, 1, stack_rd(spc + one, wc(1)))
-    slots[2].append((ES.LOG,
-                     [one, rwc.cur() + Const(2) + opn.cur(),
+    lg_tw = [w[4], w[5], pcell[0], pcell[1]]  # topic word cells
+    for ti in range(4):
+        use(ES.LOG, 2 + ti,
+            stack_rd(spc + Const(2 + ti),
+                     (lg_tw[ti][0].cur(), lg_tw[ti][1].cur())),
+            en=ib[ti])
+    slots[6].append((ES.LOG,
+                     [one, rwc.cur() + Const(2) + lg_cnt + opn.cur(),
                       one, Const(TXL), tx_id.cur(), aux[1].cur(), ZERO,
                       ZERO, w[2][0].cur(), w[2][1].cur(), ZERO, ZERO]))
+    for ti in range(4):
+        use(ES.LOG_TOP, ti,
+            [one, Const(TXL), tx_id.cur(), aux[1].rot(-1), one, Const(ti),
+             lg_tw[ti][0].rot(-1), lg_tw[ti][1].rot(-1), ZERO, ZERO],
+            en=inr.columns[ti].rot(-1))
 
     # -- error states (execution/error_*.rs; root-frame scope) -------------
     S_ej, S_es = S[ES.ERR_INVALID_JUMP], S[ES.ERR_STACK]
@@ -2061,7 +2105,7 @@ def configure(
 _CALL_CONT = {"CallB": ES.CALL2, "CallC": ES.CALL3, "CallD": ES.CALL4,
               "Restore": ES.RESTORE,
               "PreCall1": ES.PRE1, "PreEcrecover": ES.PRE_EC,
-              "PreSha256": ES.PRE_SHA}
+              "PreSha256": ES.PRE_SHA, "LogTopics": ES.LOG_TOP}
 
 
 _ERROR_ES = {
@@ -2588,17 +2632,25 @@ def assign(
             asg.set_int(cfg.aux[0], r, step.gas_cost - 3 - 3 * nw)
         elif st == ES.LOG:
             off, ln = vals[0].value, vals[1].value
-            nw = len(vals) - 3 - ln
-            log_row = vals[2 + nw]
+            ntop = step.op - 0xA0
+            nw = len(vals) - 3 - ntop
+            log_row = vals[2 + ntop + nw]
             put_word(0, off)
             put_word(1, ln)
             put_word(2, callee)
             put_word(3, off // 32)
+            tw_cfg = [cfg.w[4], cfg.w[5], cfg.pcell[0], cfg.pcell[1]]
+            for ti in range(ntop):
+                tv = vals[2 + ti].value
+                asg.set_int(cfg.inr.columns[ti], r, 1)
+                asg.set_int(tw_cfg[ti][0], r, tv & M128)
+                asg.set_int(tw_cfg[ti][1], r, tv >> 128)
             asg.set_int(cfg.opn, r, nw)
             slack_v = 32 * nw - ln
             asg.set_int(cfg.bb0, r, slack_v & 15)
             asg.set_int(cfg.carries[0], r, slack_v >> 4)
-            asg.set_int(cfg.aux[0], r, step.gas_cost - 375 - 8 * ln)
+            asg.set_int(cfg.aux[0], r,
+                        step.gas_cost - 375 - 375 * ntop - 8 * ln)
             asg.set_int(cfg.aux[1], r, log_row.address)
         elif st in (ES.ADDMOD, ES.MULMOD):
             a, b_, N = vals[0].value, vals[1].value, vals[2].value

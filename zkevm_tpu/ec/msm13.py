@@ -163,6 +163,20 @@ def add_l(p: G1L, q: G1L):
     return out, same.any().astype(jnp.uint32)
 
 
+def add_l_e(p: G1L, q: G1L):
+    """Full Jacobian add returning the ELEMENTWISE doubling flag (bool,
+    batch-shaped) — the associative-scan combine needs per-lane flags."""
+    out, _ = add_l(p, q)
+    # re-derive `same` elementwise: h = u2-u1, rh = s2-s1 recomputed is
+    # as costly as the add; instead detect the add's degenerate output:
+    # add-2007-bl yields z3 = ((z1+z2)^2-z1z1-z2z2)*h = 2*z1*z2*h, which
+    # is 0 iff h == 0 (inputs non-identity); same = z3==0 & !opposite
+    # (opposite sets the out.inf flag), masked to both-real lanes
+    both = ~p.inf & ~q.inf
+    z3_zero = is_zero13(LZ, out.z)
+    return out, (z3_zero & ~out.inf & both)
+
+
 def double_l(p: G1L) -> G1L:
     """Jacobian doubling (dbl-2009-l) in row space, fused reductions."""
     x, y, z = lz.to_rows(p.x), lz.to_rows(p.y), lz.to_rows(p.z)
@@ -213,21 +227,59 @@ def _window_sums(px, py, sd, c):
     # prefix values after >= 1 real leaf: never identity for honest input
 
     # --- exclusive lane offsets + grand totals ---------------------------
-    def lstep(carry, lane):
-        acc, flag = carry
-        prev = acc
-        lx, ly, lzz = lane
-        new, f = add_l(acc, G1L(lx, ly, lzz, jnp.zeros(lx.shape[1:], bool)))
-        return (new, flag | f), (prev.x, prev.y, prev.z, prev.inf)
+    # Two-level blocked scan over the Lw lane axis: within-block
+    # exclusive scans (batch G*A) then a scan of block totals (batch
+    # G*1), then one full-batch combine — ~2*sqrt(Lw) sequential bodies
+    # instead of Lw (the old per-lane loop was the MSM's dominant
+    # wall-clock term at k=20: 4096 tiny dispatches/pass). Both levels
+    # are lax.scan, so the compiled graph stays COMPACT (an unrolled
+    # log-depth associative scan blew XLA's compile memory).
+    A = 1
+    while A * A < Lw:
+        A *= 2
+    Bz = Lw // A  # Lw = A blocks of Bz lanes
 
-    linit = (identity_l((G,)), flag)
-    lanes = (jnp.moveaxis(totals.x, 2, 0), jnp.moveaxis(totals.y, 2, 0),
-             jnp.moveaxis(totals.z, 2, 0))
-    (grand, flag), offs = jax.lax.scan(lstep, linit, lanes)
-    ox = jnp.moveaxis(offs[0], 0, 2)
-    oy = jnp.moveaxis(offs[1], 0, 2)
-    oz = jnp.moveaxis(offs[2], 0, 2)
-    oinf = jnp.moveaxis(offs[3], 0, 1)  # (G, Lw)
+    def exscan(x, y, z, nblk, blen):
+        """Exclusive prefix scan of (L, G, nblk, blen) over blen.
+        Returns (offsets (L,G,nblk,blen), totals (L,G,nblk), flag)."""
+        def step(carry, lane):
+            acc, fl = carry
+            prev = acc
+            lx, ly, lzz = lane
+            new, f = add_l(acc, G1L(lx, ly, lzz,
+                                    jnp.zeros(lx.shape[1:], bool)))
+            return (new, fl | f), (prev.x, prev.y, prev.z, prev.inf)
+
+        init = (identity_l((G, nblk)), jnp.uint32(0))
+        lanes_in = (jnp.moveaxis(x, 3, 0), jnp.moveaxis(y, 3, 0),
+                    jnp.moveaxis(z, 3, 0))
+        (tot, f), offs = jax.lax.scan(step, init, lanes_in)
+        return (G1L(jnp.moveaxis(offs[0], 0, 3),
+                    jnp.moveaxis(offs[1], 0, 3),
+                    jnp.moveaxis(offs[2], 0, 3),
+                    jnp.moveaxis(offs[3], 0, 2)), tot, f)
+
+    tx_ = totals.x.reshape(L, G, A, Bz)
+    ty_ = totals.y.reshape(L, G, A, Bz)
+    tz_ = totals.z.reshape(L, G, A, Bz)
+    within_o, blk_tot, f1 = exscan(tx_, ty_, tz_, A, Bz)
+    blk_o, grand1, f2 = exscan(
+        blk_tot.x[:, :, None], blk_tot.y[:, :, None],
+        blk_tot.z[:, :, None], 1, A)
+    grand = G1L(grand1.x[:, :, 0], grand1.y[:, :, 0], grand1.z[:, :, 0],
+                grand1.inf[:, 0])
+    # off[lane a*Bz+b] = blk_off[a] + within_off[a, b] (one batched add)
+    bo_b = G1L(
+        jnp.broadcast_to(blk_o.x[:, :, 0, :, None], (L, G, A, Bz)),
+        jnp.broadcast_to(blk_o.y[:, :, 0, :, None], (L, G, A, Bz)),
+        jnp.broadcast_to(blk_o.z[:, :, 0, :, None], (L, G, A, Bz)),
+        jnp.broadcast_to(blk_o.inf[:, 0, :, None], (G, A, Bz)))
+    off_full, f3 = add_l(bo_b, within_o)
+    flag = flag | f1 | f2 | f3
+    ox = off_full.x.reshape(L, G, Lw)
+    oy = off_full.y.reshape(L, G, Lw)
+    oz = off_full.z.reshape(L, G, Lw)
+    oinf = off_full.inf.reshape(G, Lw)
 
     # --- PS at the B-1 boundary positions --------------------------------
     pos = _searchsorted_rows(sd, B)     # (G, B-1); -1 => identity prefix
@@ -247,40 +299,26 @@ def _window_sums(px, py, sd, c):
     flag = flag | f
     ps = select_l(is_neg, identity_l(ps.batch_shape), ps)
 
-    # --- sum over boundaries: blocked scan + tree ------------------------
+    # --- sum over boundaries: pure log-depth tree ------------------------
     K = B - 1
-    blk = 1
-    while blk < min(K, 1024):
-        blk *= 2
-    pad = (-K) % blk
+    m_ = 1
+    while m_ < K:
+        m_ *= 2
+    pad = m_ - K
 
     def padded(a, fill=0):
         cfg = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
         return jnp.pad(a, cfg, constant_values=fill)
 
-    sx = padded(ps.x).reshape(L, G, -1, blk)
-    sy = padded(ps.y).reshape(L, G, -1, blk)
-    sz = padded(ps.z).reshape(L, G, -1, blk)
-    sinf = padded(ps.inf, True).reshape(G, -1, blk)
-
-    def bstep(carry, blkv):
-        acc, fl = carry
-        new, f = add_l(acc, G1L(blkv[0], blkv[1], blkv[2], blkv[3]))
-        return (new, fl | f), None
-
-    binit = (identity_l((G, blk)), flag)
-    (bacc, flag), _ = jax.lax.scan(
-        bstep, binit,
-        (jnp.moveaxis(sx, 2, 0), jnp.moveaxis(sy, 2, 0),
-         jnp.moveaxis(sz, 2, 0), jnp.moveaxis(sinf, 1, 0)))
-    m = blk
-    while m > 1:
-        m //= 2
+    bacc = G1L(padded(ps.x), padded(ps.y), padded(ps.z),
+               padded(ps.inf, True))
+    while m_ > 1:
+        m_ //= 2
         bacc, f = add_l(
-            G1L(bacc.x[:, :, :m], bacc.y[:, :, :m], bacc.z[:, :, :m],
-                bacc.inf[:, :m]),
-            G1L(bacc.x[:, :, m:], bacc.y[:, :, m:], bacc.z[:, :, m:],
-                bacc.inf[:, m:]))
+            G1L(bacc.x[:, :, :m_], bacc.y[:, :, :m_], bacc.z[:, :, :m_],
+                bacc.inf[:, :m_]),
+            G1L(bacc.x[:, :, m_:], bacc.y[:, :, m_:], bacc.z[:, :, m_:],
+                bacc.inf[:, m_:]))
         flag = flag | f
     s_sum = G1L(bacc.x[:, :, 0], bacc.y[:, :, 0], bacc.z[:, :, 0],
                 bacc.inf[:, 0])

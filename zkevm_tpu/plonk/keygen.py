@@ -62,7 +62,8 @@ class ProvingKey:
     lblind_ext: jnp.ndarray
     l0_coeff: jnp.ndarray
     llast_coeff: jnp.ndarray
-    identity_base: list  # per perm column j: (n,16) np of delta^j * omega^i
+    lblind_coeff: jnp.ndarray = None
+    identity_base: list = None  # per perm column j: (n,16) np of delta^j * omega^i
 
 
 def build_sigmas(cs: ConstraintSystem, n: int) -> list[np.ndarray]:
@@ -193,5 +194,6 @@ def keygen(params: ParamsKZG, cs: ConstraintSystem, fixed_assignment: Assignment
         lblind_ext=domain.coeff_to_extended(lblind_coeff),
         l0_coeff=l0_coeff,
         llast_coeff=llast_coeff,
+        lblind_coeff=lblind_coeff,
         identity_base=identity_base,
     )

@@ -396,70 +396,93 @@ def create_proof(
     tr.common_point(random_comm)
     y = tr.challenge()
 
-    # extended-domain arrays for every column the constraints reference
-    ext_cols = {}
+    # -- part-chunked quotient evaluation (halo2 evaluate_h shape) -------
+    # Evaluating every referenced column over the FULL extended coset at
+    # once materializes (advice + fixed + 3-per-lookup aux) extended
+    # arrays — thousands of columns x extended_n, past the chip's HBM for
+    # lookup-heavy circuits. The extended coset splits into
+    # P = extended_n/n INTERLEAVED parts (part j = points g*W^j*<w_n>,
+    # full index i = m*P + j): a unit Expr rotation shifts the full index
+    # by P, which stays inside the part as a unit row shift — so every
+    # constraint evaluates per part on n-sized arrays with rot_scale=1.
+    from zkevm_tpu.plonk.protocol import aux
+
+    P = domain.extended_n // n
+    coeff_map = {}
     for c, coeff in pk.fixed_coeff.items():
-        ext_cols[c] = pk.fixed_ext[c]
-    for c, coeff in advice_coeff.items():
-        ext_cols[c] = domain.coeff_to_extended(coeff)
+        coeff_map[c] = coeff
+    coeff_map.update(advice_coeff)
     for c, inst in zip(cs.instance_columns, instances):
         arr = np.zeros((n, ff.L), np.uint32)
         for i, v in enumerate(inst):
             arr[i] = FR.encode(v)
-        ext_cols[c] = domain.coeff_to_extended(nttmod.intt(jnp.asarray(arr), k))
+        coeff_map[c] = nttmod.intt(jnp.asarray(arr), k)
     for i, sig_col in enumerate(protocol.sigma_cols):
-        ext_cols[sig_col] = pk.sigma_ext[i]
+        coeff_map[sig_col] = pk.sigma_coeff[i]
     l0c, llastc, lblindc = protocol.virtual_cols
-    ext_cols[l0c] = pk.l0_ext
-    ext_cols[llastc] = pk.llast_ext
-    ext_cols[lblindc] = pk.lblind_ext
+    coeff_map[l0c] = pk.l0_coeff
+    coeff_map[llastc] = pk.llast_coeff
+    if pk.lblind_coeff is not None:
+        coeff_map[lblindc] = pk.lblind_coeff
+    else:  # older proving keys carry only the extended form
+        coeff_map[lblindc] = domain.extended_to_coeff(pk.lblind_ext)[:n]
     aux_coeffs = {}
     for i, ld in enumerate(lookup_data):
-        from zkevm_tpu.plonk.protocol import aux
-
         aux_coeffs[aux(f"lookup_a_perm{i}")] = ld["ap_coeff"]
         aux_coeffs[aux(f"lookup_s_perm{i}")] = ld["sp_coeff"]
         aux_coeffs[aux(f"lookup_z{i}")] = lookup_z_coeff[i]
     for ci in range(len(protocol.perm_chunks)):
-        from zkevm_tpu.plonk.protocol import aux
-
         aux_coeffs[aux(f"perm_z{ci}")] = perm_z_coeff[ci]
-    for c, coeff in aux_coeffs.items():
-        ext_cols[c] = domain.coeff_to_extended(coeff)
+    coeff_map.update(aux_coeffs)
 
-    rot_scale = domain.extended_n // n
-    ext_ctx = EvalContext(ext_cols, ch_mont, rot_scale=rot_scale, n=domain.extended_n)
-    # coset points g * W^i as the DomainX array
-    coset_pts = nttmod._power_table(domain.extended_omega, domain.extended_n)
-    gc = jnp.asarray(FR.encode(domain.g_coset))
-    ext_ctx.set_domain_x(ff.mont_mul(FR, jnp.asarray(coset_pts), gc))
-
+    cols_order = list(coeff_map)
+    big = jnp.stack([jnp.asarray(coeff_map[c]) for c in cols_order])
+    wn_pows = jnp.asarray(nttmod._power_table(domain.omega, n))
     y_m = jnp.asarray(FR.encode(y))
-    zero_m = jnp.zeros((domain.extended_n, ff.L), jnp.uint32)
-    h_ext = zero_m
-    for con, width in protocol.constraints:
-        v = con.evaluate(ext_ctx)
-        if width:
-            # vector constraint: (ext_n, W, 16); fold lanes in order —
-            # equivalent to W sequential scalar folds (verifier's view)
-            ypows = np.stack(
-                [FR.encode(pow(y, width - 1 - z, FR_MOD)) for z in range(width)]
-            )
-            fold = ff.mont_mul(FR, v, jnp.asarray(ypows)[None])
-            m = 1
-            while m < width:
-                m *= 2
-            if m != width:  # pad lane axis with zeros (additive identity)
-                pad = jnp.zeros((fold.shape[0], m - width, ff.L), jnp.uint32)
-                fold = jnp.concatenate([fold, pad], axis=1)
-            while m > 1:  # tree-sum the lane axis (log2 W adds)
-                m //= 2
-                fold = ff.add(FR, fold[:, :m], fold[:, m:])
-            yw = jnp.asarray(FR.encode(pow(y, width, FR_MOD)))
-            h_ext = ff.add(FR, ff.mont_mul(FR, h_ext, yw), fold[:, 0])
-        else:
-            v = jnp.broadcast_to(v, (domain.extended_n, ff.L))
-            h_ext = ff.add(FR, ff.mont_mul(FR, h_ext, y_m), v)
+
+    def _h_part(part_vals, domain_x):
+        cols_j = {c: part_vals[idx] for idx, c in enumerate(cols_order)}
+        ctx = EvalContext(cols_j, ch_mont, rot_scale=1, n=n)
+        ctx.set_domain_x(domain_x)
+        hj = jnp.zeros((n, ff.L), jnp.uint32)
+        for con, width in protocol.constraints:
+            v = con.evaluate(ctx)
+            if width:
+                # vector constraint: (n, W, 16); fold lanes in order —
+                # equivalent to W sequential scalar folds (verifier view)
+                ypows = np.stack(
+                    [FR.encode(pow(y, width - 1 - z, FR_MOD))
+                     for z in range(width)]
+                )
+                fold = ff.mont_mul(FR, v, jnp.asarray(ypows)[None])
+                m = 1
+                while m < width:
+                    m *= 2
+                if m != width:  # pad lanes with zeros (additive identity)
+                    pad = jnp.zeros((fold.shape[0], m - width, ff.L),
+                                    jnp.uint32)
+                    fold = jnp.concatenate([fold, pad], axis=1)
+                while m > 1:  # tree-sum the lane axis (log2 W adds)
+                    m //= 2
+                    fold = ff.add(FR, fold[:, :m], fold[:, m:])
+                yw = jnp.asarray(FR.encode(pow(y, width, FR_MOD)))
+                hj = ff.add(FR, ff.mont_mul(FR, hj, yw), fold[:, 0])
+            else:
+                v = jnp.broadcast_to(v, (n, ff.L))
+                hj = ff.add(FR, ff.mont_mul(FR, hj, y_m), v)
+        return hj
+
+    h_part_fn = jax.jit(_h_part)
+    h_parts = []
+    for j in range(P):
+        shift = domain.g_coset * pow(domain.extended_omega, j, FR_MOD) \
+            % FR_MOD
+        scale = jnp.asarray(nttmod._power_table(shift, n))
+        part_vals = nttmod.ntt(ff.mont_mul(FR, big, scale[None]), k)
+        domain_x = ff.mont_mul(FR, wn_pows, jnp.asarray(FR.encode(shift)))
+        h_parts.append(h_part_fn(part_vals, domain_x))
+    # interleave: full[m*P + j] = parts[j][m]
+    h_ext = jnp.stack(h_parts, axis=1).reshape(domain.extended_n, ff.L)
     h_ext = domain.divide_by_vanishing_poly(h_ext)
     h_coeff_full = domain.extended_to_coeff(h_ext)
     # deg(h) <= d(n-1) - n < (d-1)n for gate degree d, so exactly d-1
@@ -481,7 +504,7 @@ def create_proof(
 
     _DEBUG.clear()
     _DEBUG.update(
-        ext_ctx=ext_ctx, protocol=protocol, x=x, y=y, domain=domain,
+        ext_ctx=None, protocol=protocol, x=x, y=y, domain=domain,
         challenges=challenges_int, theta=theta, beta=beta, gamma=gamma,
     )
 

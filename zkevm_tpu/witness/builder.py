@@ -789,6 +789,7 @@ class CircuitInputBuilder:
             else (len(step.memory) + 31) // 32,
         )
         ri = es.rw_indices
+        deferred_steps: list = []  # continuation rows (LogTopics)
 
         def top(k=0):
             return step.stack[-1 - k]
@@ -936,6 +937,10 @@ class CircuitInputBuilder:
             ))
             ri.append(self.stack_write(cid, sp + 1, nxt_top()))
         elif name.startswith("LOG") and name != "LOG":  # LOG0..LOG4
+            # LOG row: off/len + topic stack reads + memory words + the
+            # TX_LOG address row; LOG1-4 then emit a "LogTopics"
+            # continuation row carrying the TX_LOG topic writes (the
+            # EVM circuit's 8-slot budget; data rows ride the CopyTable)
             ntopics = step.op - 0xA0
             off, ln = top(0), top(1)
             ri.append(self.stack_read(cid, sp, off))
@@ -955,16 +960,26 @@ class CircuitInputBuilder:
                 rw=RW.WRITE, tag=Target.TX_LOG, id=self.tx_id,
                 address=log_id, field=0, value=call.address,
             ))
-            for k in range(ntopics):
-                ri.append(self._push(
-                    rw=RW.WRITE, tag=Target.TX_LOG, id=self.tx_id,
-                    address=log_id, field=1, storage_key=k, value=top(2 + k),
-                ))
+            if ntopics:
+                row_b = ExecStep(
+                    pc=step.pc, op=step.op,
+                    gas_left=step.gas - step.gas_cost, gas_cost=0,
+                    rw_counter_start=self.rwc, stack_pointer=sp + 2,
+                    exec_state="LogTopics", call_id=cid, depth=call.depth,
+                    mws=es.mws_after, mws_after=es.mws_after,
+                )
+                for k in range(ntopics):
+                    row_b.rw_indices.append(self._push(
+                        rw=RW.WRITE, tag=Target.TX_LOG, id=self.tx_id,
+                        address=log_id, field=1, storage_key=k,
+                        value=top(2 + k),
+                    ))
+                deferred_steps.append(row_b)
             for k, b in enumerate(data):
-                ri.append(self._push(
+                self._push(
                     rw=RW.WRITE, tag=Target.TX_LOG, id=self.tx_id,
                     address=log_id, field=2, storage_key=k, value=b,
-                ))
+                )
             self.copy_events.append(CopyEvent(
                 src_type=CopyDataType.MEMORY, src_id=cid, src_addr=off,
                 src_addr_end=off + ln, dst_type=CopyDataType.TX_LOG,
@@ -1002,6 +1017,7 @@ class CircuitInputBuilder:
                 ri.append(self.stack_write(cid, new_sp, nxt_top(info.pushes - 1 - k)))
 
         self.steps.append(es)
+        self.steps.extend(deferred_steps)
 
     def _copy_to_memory(self, es, call, name, doff, soff, ln, step, nxt):
         """Copy event + destination memory word writes for the *COPY ops
