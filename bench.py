@@ -32,6 +32,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 REFERENCE_MSM_PTS_PER_S = 5e6  # see module docstring
 REFERENCE_NTT_ELEMS_PER_S = 2.6e7
 
+# Wall-clock budget for the whole bench (driver timeout protection).
+# Phases check remaining budget before starting a compile-heavy path and
+# fall back to a cheaper engine / skip secondary metrics rather than let
+# the driver's timeout kill the run with no JSON line at all (round 4's
+# failure mode: rc=124, no number captured).
+BENCH_T0 = time.time()
+BENCH_BUDGET_S = float(os.environ.get("ZKEVM_TPU_BENCH_BUDGET", "2400"))
+
+
+def _remaining() -> float:
+    return BENCH_BUDGET_S - (time.time() - BENCH_T0)
+
 
 def _drain(x):
     """Force completion HONESTLY: fetch a small dependent slice to host.
@@ -110,6 +122,13 @@ def bench_msm(platform, rng):
     params = _setup_cached(k)
     if params.pippenger is None:
         engine = os.environ.get("ZKEVM_TPU_MSM", "l13")
+        if engine == "l13" and _remaining() < 700:
+            # l13's cold compile measured ~310 s on the chip; with less
+            # than ~700 s left prefer the cheap-compile engine so the
+            # run still produces a number (see BENCH_BUDGET_S).
+            print("[bench] budget low -> falling back to ps engine",
+                  file=sys.stderr)
+            engine = "ps"
         if engine == "l13":
             # lazy-13 MXU-hybrid MSM (ec/msm13.py) — the round-4 design:
             # row-space schoolbook products on the VPU, the entire
@@ -118,8 +137,24 @@ def bench_msm(platform, rng):
 
             lanes = int(os.environ.get("ZKEVM_TPU_MSM_LANES", "4096"))
             wg = int(os.environ.get("ZKEVM_TPU_MSM_WGROUP", "8"))
-            params.pippenger = Msm13(group_t.from_g1(params.g1_powers),
-                                     c=16, lanes=lanes, wgroup=wg)
+            # cache the one-time u16-Montgomery -> lazy-13 affine SRS
+            # conversion (batch inversion over 2^k points) on disk
+            l13_path = f"/root/.cache/zkevm_srs_k{k}_777_l13.npz"
+            if os.path.exists(l13_path):
+                d13 = np.load(l13_path)
+                m = Msm13.__new__(Msm13)
+                m.ax13 = jnp.asarray(d13["ax13"])
+                m.ay13 = jnp.asarray(d13["ay13"])
+                m.points = group_t.from_g1(params.g1_powers)
+                m.c, m.lanes, m.wgroup = 16, lanes, wg
+                m.n = m.points.x.shape[1]
+                params.pippenger = m
+            else:
+                params.pippenger = Msm13(group_t.from_g1(params.g1_powers),
+                                         c=16, lanes=lanes, wgroup=wg)
+                np.savez(l13_path,
+                         ax13=np.asarray(params.pippenger.ax13),
+                         ay13=np.asarray(params.pippenger.ay13))
         elif engine == "ps":
             # sort+prefix-sum MSM over the u16 CIOS core (round 2/3)
             from zkevm_tpu.ec.psmsm import PsMSM
@@ -162,7 +197,22 @@ def main():
     rng = np.random.default_rng(0)
 
     msm_k, msm_rate = bench_msm(platform, rng)
-    ntt_k, ntt_batch, ntt_rate = bench_ntt(platform, rng)
+    extra = {}
+    # NTT is secondary: never let its (cold ~900 s) compile cost the
+    # headline JSON line
+    if _remaining() > 300:
+        try:
+            ntt_k, ntt_batch, ntt_rate = bench_ntt(platform, rng)
+            extra = {
+                f"ntt_k{ntt_k}_batch{ntt_batch}_elems_per_s":
+                    round(ntt_rate, 1),
+                "ntt_vs_baseline":
+                    round(ntt_rate / REFERENCE_NTT_ELEMS_PER_S, 4),
+            }
+        except Exception as e:  # pragma: no cover
+            extra = {"ntt_error": f"{type(e).__name__}: {str(e)[:120]}"}
+    else:
+        extra = {"ntt_skipped": "bench budget low"}
 
     print(
         json.dumps(
@@ -171,10 +221,7 @@ def main():
                 "value": round(msm_rate, 1),
                 "unit": "points/s",
                 "vs_baseline": round(msm_rate / REFERENCE_MSM_PTS_PER_S, 4),
-                "extra": {
-                    f"ntt_k{ntt_k}_batch{ntt_batch}_elems_per_s": round(ntt_rate, 1),
-                    "ntt_vs_baseline": round(ntt_rate / REFERENCE_NTT_ELEMS_PER_S, 4),
-                },
+                "extra": extra,
             }
         )
     )

@@ -34,9 +34,10 @@ CODE = bytes([
     0x3A, 0x50, 0x58, 0x50, 0x47, 0x50,
     0x60, 3, 0x60, 2, 0x0A, 0x50,        # 2^3 via the ExpTable
     0x60, 0, 0x35, 0x50, 0x60, 5, 0x35, 0x50,  # CALLDATALOAD per-byte
-    # LOG3: topics 1,2,3 over mem[30..32) (two-row LOG state: topic
-    # reads on the LOG row, TX_LOG topic writes on the LogTopics row)
-    0x60, 3, 0x60, 2, 0x60, 1, 0x60, 2, 0x60, 30, 0xA3,
+    # LOG3: topics 1,2,3 over mem[0..2) (two-row LOG state: topic
+    # reads on the LOG row, TX_LOG topic writes on the LogTopics row;
+    # offset is 32-aligned — the copy circuit's word-anchored layout)
+    0x60, 3, 0x60, 2, 0x60, 1, 0x60, 2, 0x60, 0, 0xA3,
     0x00,
 ])
 CALLDATA2 = bytes([0xDE, 0xAD])

@@ -150,8 +150,7 @@ def test_revert_rolls_back_child_writes():
 def test_staticcall_write_violation():
     # STATICCALL(gas, to, in=(0,0), out=(0,0)) into a storage writer.
     # The TRACER must reject the write and revert the child; the builder
-    # fails fast (child-frame ErrorWriteProtection has no circuit state
-    # yet — see _gen_error_step's scope guards).
+    # emits an ErrorWriteProtection step for the violating SSTORE.
     code = bytes([0x60, 0, 0x60, 0, 0x60, 0, 0x60, 0,
                   0x61, 0xB0, 0xB2, 0x61, 0xFF, 0xFF, 0xFA, 0x00])
     sdb, cdb = setup_contract(code, other_code=CALL_B)
@@ -160,9 +159,9 @@ def test_staticcall_write_violation():
     assert not tr.failed
     assert sdb.get_storage(OTHER, 1) == 0
     builder = CircuitInputBuilder(pre, cdb)
-    with pytest.raises(NotImplementedError):
-        builder.handle_tx(tr, caller=CALLER, callee=CALLEE, value=0,
-                          calldata=b"")
+    builder.handle_tx(tr, caller=CALLER, callee=CALLEE, value=0,
+                      calldata=b"")
+    assert any(s.exec_state == "ErrorWriteProtection" for s in builder.steps)
 
 
 def test_failed_root_tx_reverts_transfer():

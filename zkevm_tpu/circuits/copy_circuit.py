@@ -123,6 +123,14 @@ class CopyConfig:
     iz_rlc: object = None  # IsZero(t_dst - RLC_ACC) under d_free
     d_sha: Column = None  # dst is RLC_SHA (sha256-precompile-bound)
     iz_sha: object = None  # IsZero(t_dst - RLC_SHA) under d_free
+    # v3: BYTECODE destinations (CREATE init-code / code deposit,
+    # reference create.rs + begin_tx.rs is_create): per-byte
+    # BytecodeTable lookup keyed (dst_id lo, aux_id hi, didx). no_mem
+    # marks the TX_CALLDATA->BYTECODE root-create shape where NEITHER
+    # side is memory: the bytecode side takes over the row anchoring
+    # (addresses start at 0) and both sides bind per byte.
+    d_code: Column = None
+    no_mem: Column = None
 
 
 def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
@@ -135,8 +143,8 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
     (is_ev, is_first, s_mem, s_code, s_free, d_mem, d_log, d_free,
      t_src, t_dst, src_id, src_id_hi, dst_id, aux_id, wa, oaddr,
      rwc_w, rwc_d, didx, byte, pbyte, is_code, is_pad) = cols
-    (maddr, a0c, alen, w0c, nwc, lst, s_cd, d_rlc, dlo, dhi, d_sha) = (
-        cs.advice_column() for _ in range(11))
+    (maddr, a0c, alen, w0c, nwc, lst, s_cd, d_rlc, dlo, dhi, d_sha,
+     d_code, no_mem) = (cs.advice_column() for _ in range(13))
     crlc = cs.advice_column(phase=1)
 
     one = Const(1)
@@ -147,13 +155,18 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
     cs.create_gate("cp_bool", [
         qa * c.cur() * (one - c.cur())
         for c in (is_ev, is_first, s_mem, s_code, s_free, d_mem, d_log,
-                  d_free, is_code, is_pad)
+                  d_free, is_code, is_pad, d_code, no_mem)
     ])
     cs.create_gate("cp_types", [
         qa * (s_mem.cur() + s_code.cur() + s_free.cur() - ev),
-        qa * (d_mem.cur() + d_log.cur() + d_free.cur() - ev),
-        # exactly one side is memory (the anchored side)
-        qa * (s_mem.cur() + d_mem.cur() - ev),
+        qa * (d_mem.cur() + d_log.cur() + d_free.cur() + d_code.cur()
+              - ev),
+        # exactly one side is memory (the anchored side) — except the
+        # no_mem shape (TX_CALLDATA -> BYTECODE), where the bytecode
+        # side anchors at address 0 and both sides bind per byte
+        qa * (s_mem.cur() + d_mem.cur() + no_mem.cur() - ev),
+        qa * no_mem.cur() * (one - d_code.cur()),
+        qa * no_mem.cur() * a0c.cur(),  # memless events anchor at 0
         first * (one - ev),
         (qa - qw) * first,  # is_first only on word anchors
         # numeric tags for the CopyTable surface
@@ -161,13 +174,15 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
         qa * s_code.cur() * (t_src.cur() - Const(CopyDataType.BYTECODE)),
         qa * d_mem.cur() * (t_dst.cur() - Const(CopyDataType.MEMORY)),
         qa * d_log.cur() * (t_dst.cur() - Const(CopyDataType.TX_LOG)),
+        qa * d_code.cur() * (t_dst.cur() - Const(CopyDataType.BYTECODE)),
     ])
 
     # -- per-event constancy ---------------------------------------------
     # within a word group (rows 1..31), and across continuation anchors
     per_event = [is_ev, s_mem, s_code, s_free, d_mem, d_log, d_free,
                  t_src, t_dst, src_id, src_id_hi, dst_id, aux_id,
-                 a0c, alen, w0c, nwc, s_cd, d_rlc, dlo, dhi]
+                 a0c, alen, w0c, nwc, s_cd, d_rlc, dlo, dhi,
+                 d_code, no_mem]
     inner = qa - qw  # non-anchor region rows
     cont = qw * ev * (one - first)  # continuation anchors
     cs.create_gate("cp_const", [
@@ -324,6 +339,16 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
             src_id.cur(), src_id_hi.cur(), oaddr.cur(), byte.cur(),
             is_code.cur(),
         )
+        # -- per-byte DST bytecode lookup (CREATE init code / deposit):
+        # dst code hash in (dst_id lo, aux_id hi), byte index = didx
+        en_dc = qa * d_code.cur() * np_
+        bytecode_table.lookup(
+            cs, "cp_code_byte_dst", en_dc,
+            dst_id.cur(), aux_id.cur(), didx.cur(), byte.cur(),
+            is_code.cur(),
+        )
+    else:
+        cs.create_gate("cp_no_bytecode_table", [qa * d_code.cur()])
 
     fc = is_first.cur()
     table = CopyTable([
@@ -339,7 +364,7 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
         d_log, d_free, t_src, t_dst, src_id, src_id_hi, dst_id, aux_id,
         wa, oaddr, rwc_w, rwc_d, didx, byte, pbyte, is_code, is_pad,
         q_gend, maddr, a0c, alen, w0c, nwc, lst, s_cd, d_rlc, crlc,
-        dlo, dhi, table, iz_cd, iz_rlc, d_sha, iz_sha,
+        dlo, dhi, table, iz_cd, iz_rlc, d_sha, iz_sha, d_code, no_mem,
     )
 
 
@@ -391,10 +416,16 @@ def assign(
     g = 0  # next free group
     for ev in events:
         src_is_mem = ev.src_type == CopyDataType.MEMORY
-        if not src_is_mem and ev.dst_type != CopyDataType.MEMORY:
+        dst_is_code = ev.dst_type == CopyDataType.BYTECODE
+        mem_less = not src_is_mem and dst_is_code  # TX_CALLDATA->BYTECODE
+        if not src_is_mem and ev.dst_type != CopyDataType.MEMORY \
+                and not mem_less:
             raise NotImplementedError("one event side must be memory")
         if src_is_mem and ev.dst_type == CopyDataType.MEMORY:
             raise NotImplementedError("memory->memory copies (v1 gap)")
+        if mem_less:
+            assert ev.dst_addr == 0 and ev.src_addr == 0, \
+                "memless copy events anchor at address 0"
         off = ev.src_addr if src_is_mem else ev.dst_addr
         end = (ev.src_addr_end - ev.src_addr) + off
         other0 = ev.dst_addr if src_is_mem else ev.src_addr
@@ -423,11 +454,19 @@ def assign(
             dg = int.from_bytes(hashlib.sha256(data).digest(), "big")
             dlo_v, dhi_v = dg & M128, dg >> 128
 
-        mem_id = ev.src_id if src_is_mem else ev.dst_id
-        # word rows by rw counter (builder: consecutive from rw_counter_start)
-        words = [by_rwc[ev.rw_counter_start + i] for i in range(nw)]
-        for w in words:
-            assert w.tag == Target.MEMORY and w.id == mem_id
+        if mem_less:
+            # no memory side: synthesize the word-group bytes from the
+            # event payload (both sides bind per byte via table lookups)
+            data_all = bytes(b for b, _ in ev.bytes_).ljust(nw * WORD,
+                                                            b"\x00")
+            words = None
+        else:
+            mem_id = ev.src_id if src_is_mem else ev.dst_id
+            # word rows by rw counter (builder: consecutive from
+            # rw_counter_start)
+            words = [by_rwc[ev.rw_counter_start + i] for i in range(nw)]
+            for w in words:
+                assert w.tag == Target.MEMORY and w.id == mem_id
 
         # per-byte dst rows for TX_LOG: locate the first DATA row
         rwc_d0 = 0
@@ -445,13 +484,21 @@ def assign(
 
         t_src, t_dst = ev.src_type, ev.dst_type
         sid_lo, sid_hi = ev.src_id & M128, ev.src_id >> 128
+        # BYTECODE dst ids are 256-bit code hashes: lo half in dst_id,
+        # hi half in aux_id (unused by code events otherwise)
+        did_lo = ev.dst_id & M128 if dst_is_code else ev.dst_id
+        did_hi = ev.dst_id >> 128 if dst_is_code else 0
         cur_d = -1  # running non-pad counters (didx / rwc_d chains)
         cur_rwc = rwc_d0 - 1
         pads_ev, bytes_ev = [], []
         for gi in range(nw):
-            word = words[gi]
-            vb = int(word.value).to_bytes(32, "big")
-            pb = int(word.value_prev).to_bytes(32, "big")
+            if mem_less:
+                vb = data_all[gi * WORD : (gi + 1) * WORD]
+                pb = bytes(WORD)
+            else:
+                word = words[gi]
+                vb = int(word.value).to_bytes(32, "big")
+                pb = int(word.value_prev).to_bytes(32, "big")
             for j in range(WORD):
                 r = (g + gi) * WORD + j
                 mb = WORD * (w0 + gi) + j  # memory byte address
@@ -462,18 +509,26 @@ def assign(
                 asg.set_int(cfg.s_mem, r, int(src_is_mem))
                 asg.set_int(cfg.s_code, r, int(ev.src_type == CopyDataType.BYTECODE))
                 asg.set_int(cfg.s_free, r, int(not src_is_mem and ev.src_type != CopyDataType.BYTECODE))
-                asg.set_int(cfg.d_mem, r, int(not src_is_mem))
+                asg.set_int(cfg.d_mem, r, int(ev.dst_type == CopyDataType.MEMORY))
                 asg.set_int(cfg.d_log, r, int(ev.dst_type == CopyDataType.TX_LOG))
-                asg.set_int(cfg.d_free, r, int(src_is_mem and ev.dst_type != CopyDataType.TX_LOG))
+                asg.set_int(cfg.d_code, r, int(dst_is_code))
+                asg.set_int(cfg.no_mem, r, int(mem_less))
+                asg.set_int(cfg.d_free, r, int(
+                    src_is_mem
+                    and ev.dst_type != CopyDataType.TX_LOG
+                    and not dst_is_code))
                 asg.set_int(cfg.t_src, r, t_src)
                 asg.set_int(cfg.t_dst, r, t_dst)
                 asg.set_int(cfg.src_id, r, sid_lo)
                 asg.set_int(cfg.src_id_hi, r, sid_hi)
-                asg.set_int(cfg.dst_id, r, ev.dst_id)
-                asg.set_int(cfg.aux_id, r, ev.dst_addr if ev.dst_type == CopyDataType.TX_LOG else 0)
+                asg.set_int(cfg.dst_id, r, did_lo)
+                asg.set_int(cfg.aux_id, r,
+                            ev.dst_addr if ev.dst_type == CopyDataType.TX_LOG
+                            else did_hi)
                 asg.set_int(cfg.wa, r, w0 + gi)
                 asg.set_int(cfg.oaddr, r, (other0 + (mb - off)) % FR_MOD)
-                asg.set_int(cfg.rwc_w, r, word.rw_counter)
+                asg.set_int(cfg.rwc_w, r,
+                            gi if mem_less else word.rw_counter)
                 if not pad:
                     cur_d += 1
                     cur_rwc += 1
@@ -481,7 +536,8 @@ def assign(
                 asg.set_int(cfg.rwc_d, r, cur_rwc % FR_MOD)
                 asg.set_int(cfg.byte, r, vb[j])
                 asg.set_int(cfg.pbyte, r, pb[j])
-                if not pad and ev.src_type == CopyDataType.BYTECODE:
+                if not pad and (ev.src_type == CopyDataType.BYTECODE
+                                or dst_is_code):
                     asg.set_int(cfg.is_code, r, int(ev.bytes_[mb - off][1]))
                 asg.set_int(cfg.is_pad, r, int(pad))
                 # v2 event structure
@@ -500,11 +556,13 @@ def assign(
                     asg.set_int(cfg.iz_cd.inv, r,
                                 _inv(t_src - CopyDataType.TX_CALLDATA))
                 if cfg.iz_rlc is not None and src_is_mem \
-                        and ev.dst_type != CopyDataType.TX_LOG:
+                        and ev.dst_type != CopyDataType.TX_LOG \
+                        and not dst_is_code:
                     asg.set_int(cfg.iz_rlc.inv, r,
                                 _inv(t_dst - CopyDataType.RLC_ACC))
                 if cfg.iz_sha is not None and src_is_mem \
-                        and ev.dst_type != CopyDataType.TX_LOG:
+                        and ev.dst_type != CopyDataType.TX_LOG \
+                        and not dst_is_code:
                     asg.set_int(cfg.iz_sha.inv, r,
                                 _inv(t_dst - CopyDataType.RLC_SHA))
                 pads_ev.append(pad)

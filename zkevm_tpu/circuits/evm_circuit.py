@@ -2129,6 +2129,12 @@ def _state_of(step: ExecStep) -> ES:
         return _CALL_CONT[step.exec_state]
     if step.exec_state == "CallNoExec":
         raise NotImplementedError("no-exec CALL rows not yet constrained")
+    if step.exec_state is not None and step.exec_state != "Exec":
+        # Hard-fail on any virtual-row tag we don't recognise: falling
+        # through to the opcode map would silently misdispatch (e.g. a
+        # precompile continuation row landing on ES.CALL1).
+        raise NotImplementedError(
+            f"exec_state {step.exec_state!r} not in EVM circuit scope")
     op = step.op
     if 0x60 <= op <= 0x7F:
         return ES.PUSH
@@ -2161,7 +2167,8 @@ def _state_of(step: ExecStep) -> ES:
          0x3D: ES.RETURNDATASIZE,
          0x20: ES.SHA3,
          0x37: ES.COPY, 0x39: ES.COPY, 0x3E: ES.COPY,
-         0xA0: ES.LOG}
+         0xA0: ES.LOG, 0xA1: ES.LOG, 0xA2: ES.LOG, 0xA3: ES.LOG,
+         0xA4: ES.LOG}
     if op not in m:
         raise NotImplementedError(f"opcode {op:#x} not in EVM circuit scope")
     return m[op]

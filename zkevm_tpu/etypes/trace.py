@@ -93,6 +93,7 @@ class GethExecTrace:
     struct_logs: list  # list[GethExecStep]
     refund: int = 0  # uncapped refund counter at tx end
     logs: list = field(default_factory=list)  # list[EventLog]
+    created: int | None = None  # deployed address for creation txs
 
 
 class TraceError(Exception):
@@ -215,10 +216,16 @@ class Interpreter:
 
     # -- frame execution ---------------------------------------------------
     def run_call(self, *, caller, address, code_address, calldata, value,
-                 gas, is_static=False, depth=1) -> tuple[bool, bytes, int]:
+                 gas, is_static=False, depth=1,
+                 init_code: bytes | None = None) -> tuple[bool, bytes, int]:
         """Execute one message call. Returns (success, returndata,
-        gas_left). Value has already been transferred by the caller."""
-        code = self.cdb.get(self.sdb.get_account(code_address).code_hash)
+        gas_left). Value has already been transferred by the caller.
+        `init_code` marks a creation frame: it runs instead of the
+        account's deployed code (which doesn't exist yet)."""
+        if init_code is not None:
+            code = init_code
+        else:
+            code = self.cdb.get(self.sdb.get_account(code_address).code_hash)
         f = _Frame(
             caller=caller, address=address, code_address=code_address,
             code=code, calldata=calldata, value=value, gas=gas,
@@ -568,6 +575,8 @@ class Interpreter:
             )
         elif name in ("CALL", "CALLCODE", "DELEGATECALL", "STATICCALL"):
             return self._call(f, name, log)
+        elif name in ("CREATE", "CREATE2"):
+            return self._create(f, name, log)
         elif name == "RETURN":
             off, ln = pop(), pop()
             self._charge(f, log, f.mem_expansion_cost([(off, ln)]))
@@ -583,6 +592,91 @@ class Interpreter:
             raise VmError("revert")
         else:
             raise TraceError(f"unsupported opcode {name} in mini tracer")
+        return None
+
+    def _create(self, f: _Frame, name: str, log: GethExecStep):
+        """CREATE / CREATE2 (reference: bus-mapping/src/evm/opcodes/create.rs
+        and core/vm create semantics). Shanghai rules: EIP-3860 initcode
+        word gas + 49152-byte cap, EIP-3541 0xEF rejection, EIP-170
+        24576-byte deposited-code cap, EIP-161 new-account nonce = 1."""
+        from zkevm_tpu.etypes.state import EMPTY_CODE_HASH
+        from zkevm_tpu.etypes.tx import rlp_encode
+        from zkevm_tpu.hash.keccak import keccak256
+
+        pop = f.stack.pop
+        if f.is_static:
+            raise VmError("write in static context")
+        value, off, ln = pop(), pop(), pop()
+        salt = pop() if name == "CREATE2" else None
+        words = _mem_words(ln)
+        base = f.mem_expansion_cost([(off, ln)]) + 2 * words  # EIP-3860
+        if name == "CREATE2":
+            base += 6 * words  # init-code keccak
+        if ln > 49152:
+            raise VmError("max initcode size exceeded")  # EIP-3860
+        self._charge(f, log, base)
+        f.mem_grow([(off, ln)])
+        init = bytes(f.memory[off : off + ln])
+        f.returndata = b""
+
+        sender = self.sdb.ensure(f.address)
+        if f.depth + 1 > MAX_DEPTH or sender.balance < value:
+            f.stack.append(0)
+            return None
+        if name == "CREATE":
+            preimage = rlp_encode([
+                f.address.to_bytes(20, "big"),
+                b"" if sender.nonce == 0 else
+                sender.nonce.to_bytes((sender.nonce.bit_length() + 7) // 8,
+                                      "big"),
+            ])
+        else:
+            preimage = (b"\xff" + f.address.to_bytes(20, "big")
+                        + salt.to_bytes(32, "big") + keccak256(init))
+        new_addr = int.from_bytes(keccak256(preimage)[12:], "big")
+        sender.nonce += 1  # caller nonce bumps even if the init frame fails
+        self._touch_account(new_addr)
+
+        avail = f.gas - log.gas_cost
+        forwarded = avail - avail // 64  # EIP-150: all but one 64th
+
+        tgt = self.sdb.get_account(new_addr)
+        if tgt.nonce != 0 or tgt.code_hash != EMPTY_CODE_HASH:
+            # address collision: the create fails consuming the forwarded
+            # gas (geth ErrContractAddressCollision)
+            log.gas_cost += forwarded
+            f.stack.append(0)
+            return None
+
+        snap = self._snapshot()
+        acc = self.sdb.ensure(new_addr)
+        acc.nonce = 1  # EIP-161
+        if value:
+            sender.balance -= value
+            acc.balance += value
+        ok, ret, left = self.run_call(
+            caller=f.address, address=new_addr, code_address=new_addr,
+            calldata=b"", value=value, gas=forwarded,
+            is_static=False, depth=f.depth + 1, init_code=init,
+        )
+        if ok:
+            # code deposit: EIP-3541 0xEF check, EIP-170 size cap, 200/byte
+            if ret[:1] == b"\xef":
+                ok, left = False, 0  # invalid creation code: burn all
+            elif len(ret) > 24576:
+                ok, left = False, 0  # max code size exceeded
+            elif 200 * len(ret) > left:
+                ok, left = False, 0  # code store out of gas
+            else:
+                left -= 200 * len(ret)
+                self.sdb.ensure(new_addr).code_hash = self.cdb.insert(ret)
+        if not ok:
+            # snapshot was taken after the nonce bump, so the bump
+            # survives the rollback (EVM: creator nonce is never undone)
+            self._rollback(snap)
+            f.returndata = ret  # revert data propagates from init frames
+        log.gas_cost += forwarded - left
+        f.stack.append(new_addr if ok else 0)
         return None
 
     def _call(self, f: _Frame, name: str, log: GethExecStep):
@@ -687,6 +781,7 @@ def trace_call(
     gas: int = 10_000_000,
     block_ctx: dict | None = None,
     gas_price: int = 0,
+    create: bool = False,
 ) -> GethExecTrace:
     """Execute the tx's root message call, emitting a struct log per
     opcode across all call depths. Runs the tx state prologue itself
@@ -708,17 +803,54 @@ def trace_call(
     sender = sdb.ensure(caller)
     assert sender.balance >= value, "insufficient balance"
     # intrinsic gas (geth ApplyMessage / IntrinsicGas): 21000 + calldata
-    # bytes at the EIP-2028 schedule, deducted BEFORE the interpreter runs
+    # bytes at the EIP-2028 schedule (+ 32000 and the EIP-3860 initcode
+    # word cost for creation txs), deducted BEFORE the interpreter runs
     intrinsic = 21000 + sum(4 if b == 0 else 16 for b in calldata)
+    if create:
+        intrinsic += 32000 + 2 * _mem_words(len(calldata))
     assert gas >= intrinsic, "intrinsic gas exceeds the gas limit"
+    if create:
+        # contract address = keccak(rlp([sender, nonce-before-bump]))[12:]
+        from zkevm_tpu.etypes.state import EMPTY_CODE_HASH
+        from zkevm_tpu.etypes.tx import rlp_encode
+        from zkevm_tpu.hash.keccak import keccak256
+
+        n = sender.nonce
+        preimage = rlp_encode([
+            caller.to_bytes(20, "big"),
+            b"" if n == 0 else n.to_bytes((n.bit_length() + 7) // 8, "big"),
+        ])
+        callee = int.from_bytes(keccak256(preimage)[12:], "big")
+        sdb.access_list_account.add(callee)
     sender.nonce += 1
     snap = interp._snapshot()
     sender.balance -= value
-    sdb.ensure(callee).balance += value
-    ok, ret, gas_left = interp.run_call(
-        caller=caller, address=callee, code_address=callee,
-        calldata=calldata, value=value, gas=gas - intrinsic,
-    )
+    tgt = sdb.ensure(callee)
+    tgt.balance += value
+    if not create:
+        ok, ret, gas_left = interp.run_call(
+            caller=caller, address=callee, code_address=callee,
+            calldata=calldata, value=value, gas=gas - intrinsic,
+        )
+    else:
+        from zkevm_tpu.etypes.state import EMPTY_CODE_HASH
+
+        if tgt.nonce != 0 or tgt.code_hash != EMPTY_CODE_HASH:
+            ok, ret, gas_left = False, b"", 0  # address collision
+        else:
+            tgt.nonce = 1  # EIP-161
+            ok, ret, gas_left = interp.run_call(
+                caller=caller, address=callee, code_address=callee,
+                calldata=b"", value=value, gas=gas - intrinsic,
+                init_code=calldata,
+            )
+            if ok:
+                if ret[:1] == b"\xef" or len(ret) > 24576 \
+                        or 200 * len(ret) > gas_left:
+                    ok, ret, gas_left = False, b"", 0
+                else:
+                    gas_left -= 200 * len(ret)
+                    tgt.code_hash = cdb.insert(ret)
     if not ok:
         interp._rollback(snap)
     return GethExecTrace(
@@ -728,4 +860,5 @@ def trace_call(
         struct_logs=interp.steps,
         refund=interp.refund,
         logs=interp.logs,
+        created=callee if create else None,
     )

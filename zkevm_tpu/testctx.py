@@ -178,7 +178,9 @@ class TestContext:
         if block:
             block_ctx.update(block)
 
-        def resolve(x: int) -> int:
+        def resolve(x: int | None) -> int | None:
+            if x is None:
+                return None  # contract-creation tx
             return addrs[x] if 0 <= x < len(addrs) else x
 
         built_txs, traces = [], []
@@ -199,7 +201,7 @@ class TestContext:
             tr = trace_call(
                 sdb, cdb, caller=frm, callee=to, calldata=tx.data,
                 value=tx.value, gas=tx.gas, gas_price=tx.gas_price,
-                block_ctx=block_ctx,
+                block_ctx=block_ctx, create=to is None,
             )
             built_txs.append(tx)
             traces.append(tr)
@@ -214,5 +216,6 @@ class TestContext:
         b = CircuitInputBuilder(self.sdb.clone(), self.cdb)
         for tx, tr in zip(self.txs, self.traces):
             b.handle_tx(tr, caller=tx.caller, callee=tx.to,
-                        value=tx.value, calldata=tx.data)
+                        value=tx.value, calldata=tx.data,
+                        create=tx.to is None)
         return b

@@ -84,6 +84,7 @@ class Call:
     is_root: bool
     is_success: bool
     start_log_index: int = 0
+    is_create: bool = False  # creation frame: code = init code
 
 
 class CopyDataType:
@@ -267,14 +268,27 @@ class CircuitInputBuilder:
 
     # -- tx entry ---------------------------------------------------------
     def handle_tx(
-        self, trace: GethExecTrace, *, caller: int, callee: int,
-        value: int = 0, calldata: bytes = b"",
+        self, trace: GethExecTrace, *, caller: int, callee: int | None,
+        value: int = 0, calldata: bytes = b"", create: bool = False,
     ) -> None:
         """Full tx replay: BeginTx (call-context reads, nonce bump, callee
         code-hash read, balance transfer) -> call tree -> EndTx
         (reference: gen_associated_steps BeginTx/EndTx, evm/opcodes.rs:532
-        + execution/begin_end_tx.rs)."""
+        + execution/begin_end_tx.rs).
+
+        `create=True` replays a contract-creation tx (reference:
+        begin_end_tx.rs is_create leg + evm/opcodes/create.rs for the
+        deposit): the root frame executes the tx data as init code
+        against its keccak hash in the bytecode table, a
+        TX_CALLDATA->BYTECODE copy event binds the two, and a successful
+        RETURN deposits the runtime code (account CODE_HASH write +
+        MEMORY->BYTECODE copy event, see `_gen_step`)."""
         logs = trace.struct_logs
+        init_hash = None
+        if create:
+            assert trace.created is not None, "creation trace missing address"
+            callee = trace.created
+            init_hash = self.cdb.insert(bytes(calldata))
         # per-tx warm-up mirrors the tracer's
         # EIP-2929 warm-up mirrors the tracer: origin, to, precompiles
         self.sdb.access_list_account = {caller, callee} | set(range(1, 10))
@@ -288,9 +302,12 @@ class CircuitInputBuilder:
         root = Call(
             call_id=self.next_call_id, caller_id=0, depth=1,
             caller_address=caller, address=callee, code_address=callee,
-            code_hash=self.sdb.get_account(callee).code_hash, value=value,
-            calldata=bytes(calldata), is_static=False, is_root=True,
-            is_success=not trace.failed,
+            code_hash=(init_hash if create
+                       else self.sdb.get_account(callee).code_hash),
+            value=value,
+            calldata=(b"" if create else bytes(calldata)),
+            is_static=False, is_root=True,
+            is_success=not trace.failed, is_create=create,
         )
         self.next_call_id += 1
         self.calls.append(root)
@@ -309,12 +326,33 @@ class CircuitInputBuilder:
             self.account(RW.WRITE, caller, AccountField.NONCE, cal.nonce + 1, cal.nonce)
         )
         cal.nonce += 1
-        ch = self.sdb.get_account(callee).code_hash
-        ri.append(self.account(RW.READ, callee, AccountField.CODE_HASH, ch, ch))
+        if create:
+            # init-code binding: tx data bytes == the bytecode-table
+            # entry the root frame executes (begin_tx.rs is_create copy)
+            init = bytes(calldata)
+            self.copy_events.append(CopyEvent(
+                src_type=CopyDataType.TX_CALLDATA, src_id=self.tx_id,
+                src_addr=0, src_addr_end=len(init),
+                dst_type=CopyDataType.BYTECODE, dst_id=init_hash,
+                dst_addr=0, rw_counter_start=self.rwc,
+                bytes_=[(b, _is_code_at(init, k))
+                        for k, b in enumerate(init)],
+            ))
+        else:
+            ch = self.sdb.get_account(callee).code_hash
+            ri.append(self.account(RW.READ, callee, AccountField.CODE_HASH, ch, ch))
         assert caller != callee, "self-transfer not supported yet"
         # the value transfer is reversible: a failed tx keeps the nonce
         # bump but rolls the transfer (and all execution writes) back
         cp = self._checkpoint()
+        if create:
+            # EIP-161: the new contract account starts at nonce 1
+            # (reverted with the rest on a failed creation tx)
+            tgt = self.sdb.ensure(callee)
+            assert tgt.nonce == 0, "creation address collision"
+            ri.append(self.account(RW.WRITE, callee, AccountField.NONCE,
+                                   1, 0, reversible=True))
+            tgt.nonce = 1
         cee = self.sdb.ensure(callee)
         prev_cal, prev_cee = cal.balance, cee.balance
         assert cal.balance >= value, "insufficient balance"
@@ -372,6 +410,8 @@ class CircuitInputBuilder:
             name = OPCODES[step.op].name
             if name in ("CALL", "CALLCODE", "DELEGATECALL", "STATICCALL"):
                 i = self._handle_call_op(logs, i, call)
+            elif name in ("CREATE", "CREATE2"):
+                i = self._handle_create_op(logs, i, call)
             else:
                 nxt = logs[i + 1] if i + 1 < len(logs) else None
                 if nxt is not None and nxt.depth < d:
@@ -577,6 +617,217 @@ class CircuitInputBuilder:
         ri.append(self.stack_write(call.call_id, sp + nargs - 1, int(success)))
         return j
 
+
+    def _handle_create_op(self, logs, i, call: Call) -> int:
+        """CREATE / CREATE2 (reference: bus-mapping/src/evm/opcodes/
+        create.rs + evm_circuit/execution/create.rs), laid out like the
+        CALL family's multi-row scheme:
+
+            row 1 ("CreateA"): 3/4 stack arg reads + init-code memory
+                               word reads (CopyTable anchor)
+            row 2 ("CreateB"): caller nonce write, new-address access-
+                               list row, new-account nonce write,
+                               balance-transfer pair, first child ctx
+            row 3 ("CallC")  : child ctx + caller resume pc/sp saves
+            row 4 ("CallD")  : resume gas/code-hash/self-addr saves
+            ... init frame rows (code = init, bound by the
+                MEMORY->BYTECODE copy event) ...
+            "Restore" row    : ctx reads + the address result write
+
+        The deposit rows live on the init frame's RETURN (see _gen_step).
+        """
+        from zkevm_tpu.etypes.tx import rlp_encode
+        from zkevm_tpu.hash.keccak import keccak256
+
+        step = logs[i]
+        name = OPCODES[step.op].name
+        is2 = name == "CREATE2"
+        sp = STACK_CAP - len(step.stack)
+        es = ExecStep(
+            pc=step.pc, op=step.op, gas_left=step.gas,
+            gas_cost=step.gas_cost, rw_counter_start=self.rwc,
+            stack_pointer=sp, call_id=call.call_id, depth=call.depth,
+            exec_state="CreateA", mws=(len(step.memory) + 31) // 32,
+        )
+        self.steps.append(es)
+        ri = es.rw_indices
+
+        def top(k=0):
+            return step.stack[-1 - k]
+
+        nargs = 4 if is2 else 3
+        for k in range(nargs):
+            ri.append(self.stack_read(call.call_id, sp + k, top(k)))
+        value, off, ln = top(0), top(1), top(2)
+        salt = top(3) if is2 else None
+        init = bytes(step.memory[off : off + ln].ljust(ln, b"\0")) \
+            if ln else b""
+        init_hash = self.cdb.insert(init)
+
+        # address derivation (the builder recomputes; on success it must
+        # match the traced result)
+        sender = self.sdb.ensure(call.address)
+        if is2:
+            pre = (b"\xff" + call.address.to_bytes(20, "big")
+                   + salt.to_bytes(32, "big") + keccak256(init))
+        else:
+            n = sender.nonce
+            pre = rlp_encode([
+                call.address.to_bytes(20, "big"),
+                b"" if n == 0 else
+                n.to_bytes((n.bit_length() + 7) // 8, "big"),
+            ])
+        new_addr = int.from_bytes(keccak256(pre)[12:], "big")
+
+        # return point: next step at this depth
+        j = i + 1
+        while j < len(logs) and logs[j].depth > call.depth:
+            j += 1
+        executed = j > i + 1
+        result = logs[j].stack[-1] if j < len(logs) else 0
+        success = bool(result)
+        if success:
+            assert result == new_addr, "created-address mismatch"
+        if not executed:
+            raise NotImplementedError(
+                "no-exec CREATE (depth limit / balance / collision)")
+
+        # init-code memory word reads anchoring the copy event
+        rwc0 = self.rwc
+        for w in range(off // 32, -(-(off + ln) // 32) if ln else off // 32):
+            v = int.from_bytes(
+                step.memory[32 * w : 32 * w + 32].ljust(32, b"\0"), "big")
+            ri.append(self.memory_word(call.call_id, RW.READ, w, v, v))
+        if ln:
+            self.copy_events.append(CopyEvent(
+                src_type=CopyDataType.MEMORY, src_id=call.call_id,
+                src_addr=off, src_addr_end=off + ln,
+                dst_type=CopyDataType.BYTECODE, dst_id=init_hash,
+                dst_addr=0, rw_counter_start=rwc0,
+                bytes_=[(b, _is_code_at(init, k))
+                        for k, b in enumerate(init)],
+            ))
+
+        child = Call(
+            call_id=self.next_call_id, caller_id=call.call_id,
+            depth=call.depth + 1, caller_address=call.address,
+            address=new_addr, code_address=new_addr, code_hash=init_hash,
+            value=value, calldata=b"", is_static=False, is_root=False,
+            is_success=success, is_create=True,
+        )
+        self.next_call_id += 1
+        self.calls.append(child)
+
+        cont_steps = []
+
+        def cont(tag):
+            c = ExecStep(
+                pc=step.pc, op=step.op, gas_left=step.gas,
+                gas_cost=step.gas_cost, rw_counter_start=self.rwc,
+                stack_pointer=sp, call_id=call.call_id, depth=call.depth,
+                exec_state=tag,
+            )
+            self.steps.append(c)
+            cont_steps.append(c)
+            return c.rw_indices
+
+        # --- row 2: nonces, access list, transfer, first child ctx ------
+        ri = cont("CreateB")
+        ri.append(self.account(RW.WRITE, call.address, AccountField.NONCE,
+                               sender.nonce + 1, sender.nonce))
+        sender.nonce += 1
+        ai, _warm = self.access_account(new_addr)
+        ri.append(ai)
+        # the child-frame state changes (incl. its nonce init and the
+        # value transfer) revert if the init frame fails
+        cp = self._checkpoint()
+        tgt = self.sdb.ensure(new_addr)
+        from zkevm_tpu.etypes.state import EMPTY_CODE_HASH
+
+        if tgt.nonce != 0 or tgt.code_hash != EMPTY_CODE_HASH:
+            raise NotImplementedError("CREATE address collision")
+        ri.append(self.account(RW.WRITE, new_addr, AccountField.NONCE,
+                               1, 0, reversible=True))
+        tgt.nonce = 1
+        ps = sender.balance
+        sender.balance -= value
+        ri.append(self.account(RW.WRITE, call.address,
+                               AccountField.BALANCE, sender.balance, ps,
+                               reversible=True))
+        pr = tgt.balance
+        tgt.balance += value
+        ri.append(self.account(RW.WRITE, new_addr, AccountField.BALANCE,
+                               tgt.balance, pr, reversible=True))
+        for fld, v in [
+            (CallContextField.CALLER_ID, call.call_id),
+            (CallContextField.CALLER_ADDRESS, call.address),
+            (CallContextField.CALLEE_ADDRESS, new_addr),
+        ]:
+            ri.append(self.call_context(child.call_id, fld, v, rw=RW.WRITE))
+
+        # --- rows 3-4: remaining ctx + caller resume saves ---------------
+        resume_log = logs[j] if j < len(logs) else None
+        resume_gas = resume_log.gas if resume_log else 0
+        resume_mws = (len(resume_log.memory) + 31) // 32 if resume_log else 0
+        es.mws_after = resume_mws
+        k_exit = j - 1
+        while k_exit > i and logs[k_exit].depth != call.depth + 1:
+            k_exit -= 1
+        leftover = logs[k_exit].gas - logs[k_exit].gas_cost
+        save_gas = resume_gas - leftover
+
+        ri = cont("CallC")
+        for fld, v in [
+            (CallContextField.VALUE, value),
+            (CallContextField.CALL_DATA_LENGTH, 0),
+            (CallContextField.IS_STATIC, 0),
+            (CallContextField.IS_SUCCESS, int(success)),
+            (CallContextField.DEPTH, child.depth),
+            (CallContextField.PROGRAM_COUNTER, step.pc + 1),
+            (CallContextField.STACK_POINTER,
+             sp + nargs - 1 + (resume_mws << 128)),
+        ]:
+            ri.append(self.call_context(child.call_id, fld, v, rw=RW.WRITE))
+
+        ri = cont("CallD")
+        for fld, v in [
+            (CallContextField.GAS_LEFT, save_gas),
+            (CallContextField.CODE_HASH, call.code_hash),
+            (CallContextField.CALLER_SELF_ADDRESS, call.address),
+        ]:
+            ri.append(self.call_context(child.call_id, fld, v, rw=RW.WRITE))
+        for c_ in cont_steps:
+            c_.mws = c_.mws_after = resume_mws
+
+        # --- init frame --------------------------------------------------
+        end_i = self._walk(logs, i + 1, child)
+        assert end_i == j, f"init frame mismatch: {end_i} != {j}"
+        if not success:
+            self._revert_to(cp)
+
+        # --- restore row -------------------------------------------------
+        rs = ExecStep(
+            pc=step.pc, op=step.op, gas_left=leftover, gas_cost=0,
+            rw_counter_start=self.rwc, stack_pointer=sp + nargs - 1,
+            call_id=child.call_id, depth=child.depth, exec_state="Restore",
+            mws=resume_mws, mws_after=resume_mws,
+        )
+        self.steps.append(rs)
+        ri = rs.rw_indices
+        for fld, v in [
+            (CallContextField.CALLER_ID, call.call_id),
+            (CallContextField.IS_SUCCESS, int(success)),
+            (CallContextField.PROGRAM_COUNTER, step.pc + 1),
+            (CallContextField.STACK_POINTER,
+             sp + nargs - 1 + (resume_mws << 128)),
+            (CallContextField.GAS_LEFT, save_gas),
+            (CallContextField.CODE_HASH, call.code_hash),
+            (CallContextField.CALLER_SELF_ADDRESS, call.address),
+        ]:
+            ri.append(self.call_context(child.call_id, fld, v))
+        ri.append(self.stack_write(call.call_id, sp + nargs - 1,
+                                   new_addr if success else 0))
+        return j
 
     # -- precompile calls (reference: evm_circuit/execution/precompiles/
     # + bus-mapping/src/evm/opcodes/precompiles/) ------------------------
@@ -999,7 +1250,39 @@ class CircuitInputBuilder:
             off, ln = top(0), top(1)
             ri.append(self.stack_read(cid, sp, off))
             ri.append(self.stack_read(cid, sp + 1, ln))
-            if ln:
+            if call.is_create and name == "RETURN":
+                # code deposit (create.rs CodeStore leg): the returned
+                # bytes become the account's code — CODE_HASH write +
+                # a MEMORY->BYTECODE copy event binding memory bytes to
+                # the deployed bytecode-table entry
+                if not call.is_success:
+                    raise NotImplementedError(
+                        "failed code deposit (0xEF / size cap / "
+                        "code-store OOG) has no circuit state yet")
+                data = bytes(step.memory[off : off + ln].ljust(ln, b"\0")) \
+                    if ln else b""
+                dep_hash = self.cdb.insert(data)
+                acc = self.sdb.ensure(call.address)
+                prev_ch = acc.code_hash
+                acc.code_hash = dep_hash
+                rwc0 = self.rwc
+                for w in range(off // 32,
+                               -(-(off + ln) // 32) if ln else off // 32):
+                    v = mem_word(step.memory, w)
+                    ri.append(self.memory_word(cid, RW.READ, w, v, v))
+                ri.append(self.account(
+                    RW.WRITE, call.address, AccountField.CODE_HASH,
+                    dep_hash, prev_ch, reversible=True))
+                if ln:
+                    self.copy_events.append(CopyEvent(
+                        src_type=CopyDataType.MEMORY, src_id=cid,
+                        src_addr=off, src_addr_end=off + ln,
+                        dst_type=CopyDataType.BYTECODE, dst_id=dep_hash,
+                        dst_addr=0, rw_counter_start=rwc0,
+                        bytes_=[(b, _is_code_at(data, k))
+                                for k, b in enumerate(data)],
+                    ))
+            elif ln:
                 data = bytes(step.memory[off : off + ln].ljust(ln, b"\0"))
                 self.copy_events.append(CopyEvent(
                     src_type=CopyDataType.MEMORY, src_id=cid, src_addr=off,
