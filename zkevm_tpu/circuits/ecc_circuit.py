@@ -91,6 +91,10 @@ class EccConfig:
     sc: list
     add_table: EccTable
     mul_table: EccTable
+    # word surfaces (128-bit halves) for the EVM precompile-call states
+    add_word_table: EccTable = None
+    mul_word_table: EccTable = None
+    wsplit_bytes: dict = None  # nm -> (b_lo[5], b_hi[6]) split columns
 
 
 def _slot(polys, sel, terms, out, m_limbs, f, cq, fmax):
@@ -328,6 +332,35 @@ def configure(cs: ConstraintSystem, rt8: RangeTable) -> EccConfig:
         polys.append(f5 * (fq.r[i].cur() - st["r3y"][i].cur()))
     # f6 row: spare (keeps MUL_POST aligned; no constraints)
 
+    # --- word surfaces: each value as 128-bit halves on the region-start
+    # rows (the EVM precompile-call states PRE_ECA/PRE_ECM bind RwTable
+    # words, which are hi/lo; same ranged middle-limb split as the sig
+    # circuit's addr_word_table — an unranged split cell would let a
+    # forging witness pick arbitrary halves):
+    #   l1 = l1a + 2^40*l1b (both byte-decomposed + range-checked),
+    #   lo = l0 + 2^88*l1a,  hi = l1b + 2^48*l2.
+    qa0, qm0 = q_add[0].cur(), q_mul[0].cur()
+    sel_w = qa0 + qm0
+    wsplit, wsplit_bytes = {}, {}
+    for nm in ("p1x", "p1y", "p2x", "p2y", "kl", "r3x", "r3y"):
+        b_lo = [cs.advice_column() for _ in range(5)]   # l1a bytes
+        b_hi = [cs.advice_column() for _ in range(6)]   # l1b bytes
+        wsplit_bytes[nm] = (b_lo, b_hi)
+        rt8.lookup(cs, f"ecc_w40_{nm}", [sel_w * c.cur() for c in b_lo])
+        rt8.lookup(cs, f"ecc_w48_{nm}", [sel_w * c.cur() for c in b_hi])
+        l1a = Const(0)
+        for jj, c in enumerate(b_lo):
+            l1a = l1a + Const(1 << (8 * jj)) * c.cur()
+        l1b = Const(0)
+        for jj, c in enumerate(b_hi):
+            l1b = l1b + Const(1 << (8 * jj)) * c.cur()
+        polys.append(sel_w * (st[nm][1].cur() - l1a
+                              - Const(1 << 40) * l1b))
+        wsplit[nm] = (
+            st[nm][0].cur() + Const(1 << 88) * l1a,
+            l1b + Const(1 << 48) * st[nm][2].cur(),
+        )
+
     cs.create_gate("ecc_region", polys)
 
     add_table = EccTable(
@@ -342,8 +375,18 @@ def configure(cs: ConstraintSystem, rt8: RangeTable) -> EccConfig:
            for nm in ("p1x", "p1y", "kl", "r3x", "r3y")
            for c in st[nm]]
     )
+    add_word_table = EccTable(
+        [qa0] + [qa0 * h
+                 for nm in ("p1x", "p1y", "p2x", "p2y", "r3x", "r3y")
+                 for h in wsplit[nm]]
+    )
+    mul_word_table = EccTable(
+        [qm0] + [qm0 * h for nm in ("p1x", "p1y", "kl", "r3x", "r3y")
+                 for h in wsplit[nm]]
+    )
     return EccConfig(q_add, q_mul, q_b, q_first_blk, q_seg, q_chain, q_fq,
-                     fq, st, bit, acc, sf, sc, add_table, mul_table)
+                     fq, st, bit, acc, sf, sc, add_table, mul_table,
+                     add_word_table, mul_word_table, wsplit_bytes)
 
 
 @dataclass
@@ -440,6 +483,20 @@ def _assign_add_block(asg, cfg, base, x1, y1, x2, y2):
     return x3, y3
 
 
+def _assign_wsplit(asg: Assignment, cfg: EccConfig, row: int,
+                   chain: dict) -> None:
+    """Middle-limb split bytes for the word surface on a start row."""
+    if cfg.wsplit_bytes is None:
+        return
+    for nm, (b_lo, b_hi) in cfg.wsplit_bytes.items():
+        l = to_limbs(chain[nm])
+        l1a, l1b = l[1] & ((1 << 40) - 1), l[1] >> 40
+        for jj, c in enumerate(b_lo):
+            asg.set_int(c, row, (l1a >> (8 * jj)) & 0xFF)
+        for jj, c in enumerate(b_hi):
+            asg.set_int(c, row, (l1b >> (8 * jj)) & 0xFF)
+
+
 def assign(
     cs: ConstraintSystem,
     cfg: EccConfig,
@@ -465,6 +522,7 @@ def assign(
             asg.set_int(cfg.q_add[rr], row, 1)
             if rr < ADD_ROWS:
                 asg.set_int(cfg.q_fq, row, 1)
+        _assign_wsplit(asg, cfg, base, chain)
         _assign_curve_check(asg, cfg, base, x1, y1)
         _assign_curve_check(asg, cfg, base + 3, x2, y2)
         rx3, ry3 = _assign_add_block(asg, cfg, base + 6, x1, y1, x2, y2)
@@ -490,6 +548,7 @@ def assign(
         for i in range(MUL_PRE + MUL_POST):
             off = i if i < MUL_PRE else BLK * NBITS + i
             asg.set_int(cfg.q_mul[i], base + off, 1)
+        _assign_wsplit(asg, cfg, base, chain)
         _assign_curve_check(asg, cfg, base, px, py)
         Xv, Yv = K_PTQ = K_B
         a1 = 0

@@ -167,6 +167,10 @@ class ES(IntEnum):
     #                   incl. the huge-offset fast path
     LOG_TOP = 61  # LOG1-4 continuation row: topic stack-reads land on
     #               the LOG row; this row emits the TX_LOG topic writes
+    PRE_ECA = 62  # ecAdd (0x06): EcAddTable word-surface lookup
+    #               (execution/precompiles/ec_add.rs)
+    PRE_ECM = 63  # ecMul (0x07): EcMulTable word-surface lookup
+    #               (execution/precompiles/ec_mul.rs)
 
 
 NSTATES = len(ES)
@@ -226,6 +230,8 @@ OP_STATES = {
     ES.PRE1: (None, 0, 0, 7),     # nrw 6+has_value (chain override)
     ES.PRE_EC: (None, 0, 0, 7),   # warm + 4 in words + out word + result
     ES.PRE_SHA: (None, 0, 0, 3),  # warm + out + result (+opn copy reads)
+    ES.PRE_ECA: (None, 0, 0, 8),  # warm + 4 in + 2 out words + result
+    ES.PRE_ECM: (None, 0, 0, 7),  # warm + 3 in + 2 out words + result
 }
 STATIC_GAS_STATES = [
     s for s in OP_STATES
@@ -233,7 +239,7 @@ STATIC_GAS_STATES = [
                  ES.ACCT_INFO,
                  ES.EXP, ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4,
                  ES.RETURN, ES.REVERT, ES.SHA3, ES.COPY, ES.LOG,
-                 ES.PRE1, ES.PRE_EC, ES.PRE_SHA)
+                 ES.PRE1, ES.PRE_EC, ES.PRE_SHA, ES.PRE_ECA, ES.PRE_ECM)
 ]
 NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0, ES.RESTORE: 8,
        ES.ERR_INVALID_JUMP: 1, ES.ERR_STACK: 0, ES.ERR_INVALID_OP: 0,
@@ -365,6 +371,8 @@ def configure(
     copy_table=None,
     bytecode_len_table=None,
     sig_word_table=None,
+    ecadd_word_table=None,
+    ecmul_word_table=None,
 ) -> EvmConfig:
     q_step = cs.fixed_column()
     q_first = cs.fixed_column()
@@ -442,7 +450,8 @@ def configure(
     # explicit rule); keeping them out of the generic successor lists is
     # what enforces that.
     opcode_states = [s for s in OP_STATES
-                     if s not in (ES.PRE_EC, ES.PRE_SHA)]
+                     if s not in (ES.PRE_EC, ES.PRE_SHA,
+                                  ES.PRE_ECA, ES.PRE_ECM)]
     def allowed(next_states):
         acc = Const(0)
         for t in next_states:
@@ -462,10 +471,11 @@ def configure(
     ] + [
         qt * S[a] * allowed([b]) for a, b in CALL_CHAIN.items()
     ] + [
-        qt * S[ES.PRE1] * allowed([ES.PRE_EC, ES.PRE_SHA]),
+        qt * S[ES.PRE1] * allowed([ES.PRE_EC, ES.PRE_SHA,
+                                   ES.PRE_ECA, ES.PRE_ECM]),
     ] + [
         qt * S[s] * allowed(opcode_states + [ES.END_TX] + ERRL)
-        for s in (ES.PRE_EC, ES.PRE_SHA)
+        for s in (ES.PRE_EC, ES.PRE_SHA, ES.PRE_ECA, ES.PRE_ECM)
     ] + [
         qt * S[s] * allowed(opcode_states + [ES.END_TX] + ERRL)
         for s in opcode_states
@@ -1332,7 +1342,8 @@ def configure(
     # Row 2 (PRE_EC / PRE_SHA): warm access-list row, word-aligned io
     # (aux[2]/vcell = in/out word indices), table lookup, result push.
     P1, PEC, PSH = S[ES.PRE1], S[ES.PRE_EC], S[ES.PRE_SHA]
-    PEX = PEC + PSH
+    PEA, PEM = S[ES.PRE_ECA], S[ES.PRE_ECM]
+    PEX = PEC + PSH + PEA + PEM
     # fresh cells (several existing cells — vcell, byv, bzc, waen — are
     # qs-globally pinned by other states' materialization gates)
     pw_i = cs.advice_column()   # input base word index
@@ -1363,6 +1374,8 @@ def configure(
         # row 2: the stack `to` word pins the precompile address
         PEC * (w[1][0].rot(-1) - one),
         PSH * (w[1][0].rot(-1) - Const(2)),
+        PEA * (w[1][0].rot(-1) - Const(6)),
+        PEM * (w[1][0].rot(-1) - Const(7)),
         PEX * w[1][1].rot(-1),
         # io offsets word-aligned, high halves zero
         PEX * (Const(32) * pw_i.cur() - p_ioff[0]),
@@ -1383,10 +1396,20 @@ def configure(
         PSH * carries[0].cur() * (one - carries[0].cur()),
         PSH * (Const(2) * p_cnt.cur() - opn.cur())
         * (Const(2) * p_cnt.cur() - opn.cur() - one),
+        # ecAdd: in 128 (4 words), out 64 (2 words); ecMul: in 96, out 64
+        # (EIP-196 fixed io; the builder rejects other shapes)
+        PEA * (p_iln[0] - Const(128)),
+        PEM * (p_iln[0] - Const(96)),
+        (PEA + PEM) * p_iln[1],
+        (PEA + PEM) * (p_oln[0] - Const(64)),
+        (PEA + PEM) * p_oln[1],
         # gas: warm access (100) + cost (+ aux[0] memexp witness)
         PEC * (gc.cur() - Const(3100) - aux[0].cur()),
         PSH * (gc.cur() - Const(160) - Const(12) * p_cnt.cur()
                - aux[0].cur()),
+        # EIP-1108 prices: ecAdd 150, ecMul 6000 (+100 warm access)
+        PEA * (gc.cur() - Const(250) - aux[0].cur()),
+        PEM * (gc.cur() - Const(6100) - aux[0].cur()),
         # ecrecover: v word = 27 + parity, clean high half
         PEC * par_v * (par_v - one),
         PEC * w[1][1].cur(),
@@ -1413,6 +1436,31 @@ def configure(
         ])
     else:
         cs.create_gate("ev_no_sig_word_table", [qs * PEC])
+    if ecadd_word_table is not None:
+        # input words x1,y1,x2,y2 in w[0..3]; output x3,y3 in w[4..5]
+        ecadd_word_table.lookup(cs, "ev_pre_ecadd", [
+            PEA,
+            PEA * w[0][0].cur(), PEA * w[0][1].cur(),
+            PEA * w[1][0].cur(), PEA * w[1][1].cur(),
+            PEA * w[2][0].cur(), PEA * w[2][1].cur(),
+            PEA * w[3][0].cur(), PEA * w[3][1].cur(),
+            PEA * w[4][0].cur(), PEA * w[4][1].cur(),
+            PEA * w[5][0].cur(), PEA * w[5][1].cur(),
+        ])
+    else:
+        cs.create_gate("ev_no_ecadd_word_table", [qs * PEA])
+    if ecmul_word_table is not None:
+        # input point px,py in w[0..1], scalar k in w[2]; output in w[4..5]
+        ecmul_word_table.lookup(cs, "ev_pre_ecmul", [
+            PEM,
+            PEM * w[0][0].cur(), PEM * w[0][1].cur(),
+            PEM * w[1][0].cur(), PEM * w[1][1].cur(),
+            PEM * w[2][0].cur(), PEM * w[2][1].cur(),
+            PEM * w[4][0].cur(), PEM * w[4][1].cur(),
+            PEM * w[5][0].cur(), PEM * w[5][1].cur(),
+        ])
+    else:
+        cs.create_gate("ev_no_ecmul_word_table", [qs * PEM])
     # PRE_SHA's digest binding flows through the CopyTable (the copy
     # circuit proves memory bytes -> RLC -> Sha256Table -> digest, and
     # the event row carries the digest halves) — same chain as SHA3's
@@ -1534,6 +1582,9 @@ def configure(
     pc_next[ES.PRE_SHA] = pc.cur() + one
     sp_next[ES.PRE_EC] = sp.cur() + Const(5) + is_sub.rot(-1)
     sp_next[ES.PRE_SHA] = sp.cur() + Const(5) + is_sub.rot(-1)
+    for _ps in (ES.PRE_ECA, ES.PRE_ECM):
+        pc_next[_ps] = pc.cur() + one
+        sp_next[_ps] = sp.cur() + Const(5) + is_sub.rot(-1)
     for x in EXITS + ERRS:  # next row (EndTx or Restore) re-binds everything
         pc_next[x] = pc.rot(1)
         sp_next[x] = sp.rot(1)
@@ -1810,6 +1861,32 @@ def configure(
                        ZERO, ZERO, *wc(4), *pc_(0)])
     use(ES.PRE_EC, 6, stack_wr(spc + Const(5) + hvp, (one, ZERO),
                                pc_(1)))
+    # PRE_ECA (ecAdd): warm + 4 input word reads + 2 output writes + result
+    use(ES.PRE_ECA, 0, [one, Const(ALAT), tx_id.cur(), Const(6), ZERO,
+                        ZERO, one, ZERO, one, ZERO])
+    for kk in range(4):
+        use(ES.PRE_ECA, 1 + kk,
+            [ZERO, Const(MEM), cid.cur(), pw_i.cur() + Const(kk),
+             ZERO, ZERO, *wc(kk), *wc(kk)])
+    use(ES.PRE_ECA, 5, [one, Const(MEM), cid.cur(), pw_o.cur(),
+                        ZERO, ZERO, *wc(4), *pc_(0)])
+    use(ES.PRE_ECA, 6, [one, Const(MEM), cid.cur(), pw_o.cur() + one,
+                        ZERO, ZERO, *wc(5), *pc_(1)])
+    use(ES.PRE_ECA, 7, stack_wr(spc + Const(5) + hvp, (one, ZERO),
+                                pc_(2)))
+    # PRE_ECM (ecMul): warm + 3 input word reads + 2 output writes + result
+    use(ES.PRE_ECM, 0, [one, Const(ALAT), tx_id.cur(), Const(7), ZERO,
+                        ZERO, one, ZERO, one, ZERO])
+    for kk in range(3):
+        use(ES.PRE_ECM, 1 + kk,
+            [ZERO, Const(MEM), cid.cur(), pw_i.cur() + Const(kk),
+             ZERO, ZERO, *wc(kk), *wc(kk)])
+    use(ES.PRE_ECM, 4, [one, Const(MEM), cid.cur(), pw_o.cur(),
+                        ZERO, ZERO, *wc(4), *pc_(0)])
+    use(ES.PRE_ECM, 5, [one, Const(MEM), cid.cur(), pw_o.cur() + one,
+                        ZERO, ZERO, *wc(5), *pc_(1)])
+    use(ES.PRE_ECM, 6, stack_wr(spc + Const(5) + hvp, (one, ZERO),
+                                pc_(2)))
     # PRE_SHA: warm access; the opn input-word reads live in the copy
     # event's rwc range; then output word + result at rwc+1+opn/+2+opn
     use(ES.PRE_SHA, 0, [one, Const(ALAT), tx_id.cur(), Const(2),
@@ -2105,7 +2182,8 @@ def configure(
 _CALL_CONT = {"CallB": ES.CALL2, "CallC": ES.CALL3, "CallD": ES.CALL4,
               "Restore": ES.RESTORE,
               "PreCall1": ES.PRE1, "PreEcrecover": ES.PRE_EC,
-              "PreSha256": ES.PRE_SHA, "LogTopics": ES.LOG_TOP}
+              "PreSha256": ES.PRE_SHA, "LogTopics": ES.LOG_TOP,
+              "PreEcAdd": ES.PRE_ECA, "PreEcMul": ES.PRE_ECM}
 
 
 _ERROR_ES = {
@@ -2841,6 +2919,22 @@ def assign(
             asg.set_int(cfg.m_div, r, q_)
             asg.set_int(cfg.m_mod, r, c1)
             put_pcell(2, zr)
+        elif st in (ES.PRE_ECA, ES.PRE_ECM):
+            # ecAdd vals: [access, x1, y1, x2, y2, out0, out1, result]
+            # ecMul vals: [access, px, py, k, out0, out1, result]
+            nin = 4 if st == ES.PRE_ECA else 3
+            for kk in range(nin):
+                put_word(kk, vals[1 + kk].value)
+            out0, out1 = vals[1 + nin], vals[2 + nin]
+            put_word(4, out0.value)
+            put_word(5, out1.value)
+            put_pcell(0, out0.value_prev)
+            put_pcell(1, out1.value_prev)
+            asg.set_int(cfg.pw_i, r, vals[1].address)
+            asg.set_int(cfg.pw_o, r, out0.address)
+            put_pcell(2, _group_prev(rws, vals[3 + nin]))
+            base_g = 250 if st == ES.PRE_ECA else 6100
+            asg.set_int(cfg.aux[0], r, step.gas_cost - base_g)
         elif st == ES.PRE_SHA:
             # vals: [access, <opn copy-range reads>, out word, result]
             outv = vals[-2]

@@ -136,7 +136,11 @@ def configure(
                           block_table=picfg.table, exp_table=excfg.table,
                           copy_table=cpcfg.table,
                           sig_word_table=(scfg.addr_word_table
-                                          if full else None))
+                                          if full else None),
+                          ecadd_word_table=(ecccfg.add_word_table
+                                            if full else None),
+                          ecmul_word_table=(ecccfg.mul_word_table
+                                            if full else None))
     return SuperConfig(params, ch, ktcfg, bccfg, stcfg, txcfg, rlpcfg,
                        evcfg, cpcfg, picfg, wacfg, bwcfg, excfg,
                        pt=ptcfg, mpt=mcfg, sig=scfg, sha=shcfg, me=mecfg,
