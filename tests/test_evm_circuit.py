@@ -54,11 +54,14 @@ def circuit():
     bt_cols = [cs.fixed_column() for _ in range(4)]
     block_table = BlockTable([c.cur() for c in bt_cols])
     ex_cfg = ec.configure(cs, wa_cfg.table)
+    from zkevm_tpu.circuits.tables import BytecodeLenTable
+
     ev_cfg = evm.configure(
         cs, RwTable.from_state(st_cfg), BytecodeTable.from_config(bc_cfg),
         rw_count=st_cfg.count_surface, rt8=rt8,
         word_table=wa_cfg.table, bitwise_table=bw_cfg.table,
         block_table=block_table, exp_table=ex_cfg.table,
+        bytecode_len_table=BytecodeLenTable.from_config(bc_cfg),
     )
     return cs, st_cfg, bc_cfg, ev_cfg, wa_cfg, bw_cfg, bt_cols, ex_cfg
 
@@ -663,3 +666,66 @@ def test_forged_call_success_rejected(circuit):
     asg.set_int(ev_cfg.aux[1], row, 1)
     fails = MockProver(cs, asg).verify()
     assert fails, "forged call success accepted"
+
+
+NEG1 = (1 << 256) - 1  # -1 two's-complement
+
+
+def _slt_code():
+    """SLT/SGT both branches + CODESIZE + EXTCODESIZE(self)."""
+    code = bytearray()
+    code += bytes([0x7F]) + NEG1.to_bytes(32, "big")      # PUSH32 -1
+    code += bytes([0x60, 1, 0x12, 0x50])                  # 1 SLT(-1<1=... ) POP
+    code += bytes([0x60, 1])
+    code += bytes([0x7F]) + NEG1.to_bytes(32, "big")
+    code += bytes([0x12, 0x50])                           # SLT(a=-1,b=1)=1 POP
+    code += bytes([0x60, 3])
+    code += bytes([0x7F]) + NEG1.to_bytes(32, "big")
+    code += bytes([0x13, 0x50])                           # SGT(a=-1,b=3)=0 POP
+    code += bytes([0x38, 0x50])                           # CODESIZE POP
+    code += bytes([0x61, CALLEE >> 8, CALLEE & 0xFF, 0x3B, 0x50])  # EXTCODESIZE
+    code += bytes([0x00])
+    return bytes(code)
+
+
+def test_signed_compare_codesize_proven(circuit):
+    cs = circuit[0]
+    code = _slt_code()
+    builder, h = build(code=code, value=0)
+    # tracer sanity: the comparisons behaved signed
+    slt_steps = [i for i, s_ in enumerate(builder.steps)
+                 if s_.op == 0x12 and s_.exec_state is None]
+    assert slt_steps
+    asg = witness(circuit, builder, h, code=code)
+    MockProver(cs, asg).assert_satisfied()
+
+
+def test_forged_signed_compare_rejected(circuit):
+    """Claim the UNSIGNED result for SLT(-1, 1): msb pinning must break."""
+    code = _slt_code()
+    builder, h = build(code=code, value=0)
+    cs = circuit[0]
+    ev_cfg = circuit[3]
+    # second SLT: a=-1, b=1 -> signed lt = 1; forge result 0 (the
+    # unsigned answer is 1... forge to 0 and flip the grid accordingly)
+    r = [i for i, s_ in enumerate(builder.steps)
+         if s_.op == 0x12 and s_.exec_state is None][1]
+    asg = witness(circuit, builder, h, code=code)
+    cur = FR.decode(asg.cols[ev_cfg.w[2][0]][r])
+    asg.set_int(ev_cfg.w[2][0], r, 1 - cur)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged signed compare accepted"
+
+
+def test_forged_codesize_rejected(circuit):
+    code = _slt_code()
+    builder, h = build(code=code, value=0)
+    cs = circuit[0]
+    ev_cfg = circuit[3]
+    r = next(i for i, s_ in enumerate(builder.steps)
+             if s_.op == 0x38 and s_.exec_state is None)
+    asg = witness(circuit, builder, h, code=code)
+    cur = FR.decode(asg.cols[ev_cfg.w[0][0]][r])
+    asg.set_int(ev_cfg.w[0][0], r, cur + 1)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged CODESIZE accepted"

@@ -171,6 +171,14 @@ class ES(IntEnum):
     #               (execution/precompiles/ec_add.rs)
     PRE_ECM = 63  # ecMul (0x07): EcMulTable word-surface lookup
     #               (execution/precompiles/ec_mul.rs)
+    SLT_SGT = 64  # signed comparison (execution/signed_comparator.rs):
+    #               the shared 32-limb lt grid over bias-adjusted
+    #               operands x' = x + 2^255 - 2^256*msb(x), with both
+    #               msb bits pinned by 16-limb range gadgets
+    CODESIZE = 65  # execution/codesize.rs: own code length via the
+    #                bytecode length surface
+    EXTCODESIZE = 66  # execution/extcodesize.rs: account CODE_HASH read
+    #                   + bytecode length surface lookup
 
 
 NSTATES = len(ES)
@@ -232,11 +240,14 @@ OP_STATES = {
     ES.PRE_SHA: (None, 0, 0, 3),  # warm + out + result (+opn copy reads)
     ES.PRE_ECA: (None, 0, 0, 8),  # warm + 4 in + 2 out words + result
     ES.PRE_ECM: (None, 0, 0, 7),  # warm + 3 in + 2 out words + result
+    ES.SLT_SGT: (None, 3, 1, 3),
+    ES.CODESIZE: (0x38, 2, -1, 1),
+    ES.EXTCODESIZE: (None, 0, 0, 4),  # dynamic gas (2600 cold / 100 warm)
 }
 STATIC_GAS_STATES = [
     s for s in OP_STATES
     if s not in (ES.MLOAD, ES.MSTORE, ES.MSTORE8, ES.SLOAD, ES.SSTORE,
-                 ES.ACCT_INFO,
+                 ES.ACCT_INFO, ES.EXTCODESIZE,
                  ES.EXP, ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4,
                  ES.RETURN, ES.REVERT, ES.SHA3, ES.COPY, ES.LOG,
                  ES.PRE1, ES.PRE_EC, ES.PRE_SHA, ES.PRE_ECA, ES.PRE_ECM)
@@ -350,6 +361,8 @@ class EvmConfig:
     mgate: Column = None
     m8b: Column = None
     ltg_24: object = None
+    ltg_sa: object = None  # SLT/SGT msb-pinning gadgets
+    ltg_sb: object = None
 
 
 def _word(cs) -> tuple:
@@ -604,17 +617,34 @@ def configure(
     # CALL2 borrows the grid to byte-decompose the callee address word
     # (the CALL1 row's w1): to = the low 20 bytes
     call2_mode = S[ES.CALL2]
+    # SLT/SGT: same grid over BIAS-ADJUSTED operands (signed_comparator
+    # .rs role): x' = x + 2^255 - 2^256*msb(x_hi). The msb bits are
+    # pinned by 16-limb lt gadgets (x_hi < 2^127 iff msb = 0); an
+    # unpinned sign pair would let a forger fall back to the unsigned
+    # compare (both biases cancel in the diff).
+    slt_mode = S[ES.SLT_SGT]
+    rt8 = rt8 or RangeTable.configure(cs, 8)
+    ltg_sa = LtGadget.configure(cs, slt_mode, w[0][1].cur(),
+                                Const(1 << 127), rt8, n_limbs=16,
+                                name="ev_ltg_sa")
+    ltg_sb = LtGadget.configure(cs, slt_mode, w[1][1].cur(),
+                                Const(1 << 127), rt8, n_limbs=16,
+                                name="ev_ltg_sb")
+    s_a, s_b = one - ltg_sa.expr(), one - ltg_sb.expr()
+    adj_a = comb(w[0]) + Const(1 << 255) - Const((1 << 256) % FR_MOD) * s_a
+    adj_b = comb(w[1]) + Const(1 << 255) - Const((1 << 256) % FR_MOD) * s_b
     lhs = lt_mode * ((one - fge) * comb(w[0]) + fge * comb(w[1])) \
+        + slt_mode * ((one - fge) * adj_a + fge * adj_b) \
         + (sh_mode + sar_mode) * w[0][0].cur() + exp_mode * comb(w[1]) \
         + (by_mode + se_mode) * comb(w[0]) \
         + call2_mode * (w[1][0].rot(-1) + Const(1 << 128) * w[1][1].rot(-1))
     rhs = lt_mode * ((one - fge) * comb(w[1]) + fge * comb(w[0])) \
+        + slt_mode * ((one - fge) * adj_b + fge * adj_a) \
         + (sh_mode + sar_mode) * opn.cur() \
         + by_mode * Const(32) + se_mode * Const(31)
-    rt8 = rt8 or RangeTable.configure(cs, 8)
     ltg = LtGadget.configure(
-        cs, lt_mode + sh_mode + exp_mode + by_mode + se_mode + sar_mode
-        + call2_mode,
+        cs, lt_mode + slt_mode + sh_mode + exp_mode + by_mode + se_mode
+        + sar_mode + call2_mode,
         lhs, rhs, rt8, n_limbs=32, name="ev_ltg")
     to_expr = Const(0)  # the CALL callee address (valid on CALL2 rows)
     for _i in range(20):
@@ -629,6 +659,9 @@ def configure(
         S[ES.EQ] * w[2][1].cur(),
         S[ES.LT_GT] * (w[2][0].cur() - ltg.expr()),
         S[ES.LT_GT] * w[2][1].cur(),
+        S[ES.SLT_SGT] * (opcode.cur() - Const(0x12) - is_sub.cur()),
+        S[ES.SLT_SGT] * (w[2][0].cur() - ltg.expr()),
+        S[ES.SLT_SGT] * w[2][1].cur(),
         # jump destinations are sub-2^128 (valid-jump scope)
         (S[ES.JUMP] + S[ES.JUMPI]) * w[0][1].cur(),
     ])
@@ -1228,9 +1261,10 @@ def configure(
                - is_sub.cur() * (gas_left.cur() - Const(2))),
         PCG * w[0][1].cur(),
     ])
+    XCS = S[ES.EXTCODESIZE]
     cs.create_gate("ev_acct_info", [
-        ACI * (gc.cur() - Const(100)
-               - Const(COLD_ACCOUNT_EXTRA) * (one - warm.cur())),
+        (ACI + XCS) * (gc.cur() - Const(100)
+                       - Const(COLD_ACCOUNT_EXTRA) * (one - warm.cur())),
     ])
     if block_table is not None:
         block_table.lookup(cs, "ev_blockctx", BCX, opn.cur(),
@@ -1812,7 +1846,7 @@ def configure(
     use(ES.JUMPI, 1, stack_rd(spc + one, wc(1)))
     use(ES.ISZERO, 0, stack_rd(spc, wc(0)))
     use(ES.ISZERO, 1, stack_wr(spc, wc(1), wc(0)))
-    for s_cmp in (ES.EQ, ES.LT_GT, ES.MUL_DIV_MOD, ES.SHL_SHR,
+    for s_cmp in (ES.EQ, ES.LT_GT, ES.SLT_SGT, ES.MUL_DIV_MOD, ES.SHL_SHR,
                   ES.AND_OR_XOR):
         use(s_cmp, 0, stack_rd(spc, wc(0)))
         use(s_cmp, 1, stack_rd(spc + one, wc(1)))
@@ -1988,6 +2022,16 @@ def configure(
     use(ES.ACCT_INFO, 2, [ZERO, Const(ACC), ZERO, comb(w[0]), opn.cur(),
                           ZERO, *wc(1), *wc(1)])
     use(ES.ACCT_INFO, 3, stack_wr(spc, wc(1), wc(0)))
+    # CODESIZE: one push (own code length, len-table-bound)
+    use(ES.CODESIZE, 0, stack_wr(spc - one, wc(0), pc_(0)))
+    # EXTCODESIZE: addr read, access-list row, CODE_HASH read, len push
+    use(ES.EXTCODESIZE, 0, stack_rd(spc, wc(0)))
+    use(ES.EXTCODESIZE, 1, [one, Const(ALA), tx_id.cur(), comb(w[0]),
+                            ZERO, ZERO, one, ZERO, warm.cur(), ZERO])
+    use(ES.EXTCODESIZE, 2, [ZERO, Const(ACC), ZERO, comb(w[0]),
+                            Const(int(AccountField.CODE_HASH)), ZERO,
+                            *wc(1), *wc(1)])
+    use(ES.EXTCODESIZE, 3, stack_wr(spc, wc(2), wc(0)))
     # SELFBALANCE: callee-address context read, balance read, push
     use(ES.SELFBALANCE, 0, [ZERO, Const(CC), cid.cur(), ZERO,
                             Const(int(CallContextField.CALLEE_ADDRESS)),
@@ -2093,8 +2137,23 @@ def configure(
         bytecode_len_table.lookup(
             cs, "ev_ejmp_len", S_ej * ej_oob.cur(),
             code_hash.cur(), code_hash_hi.cur(), ej_len.cur())
+        # CODESIZE: own code length pushed (w0)
+        CSZ = S[ES.CODESIZE]
+        bytecode_len_table.lookup(
+            cs, "ev_codesize", CSZ,
+            code_hash.cur(), code_hash_hi.cur(), w[0][0].cur())
+        # EXTCODESIZE: the read account hash (w1) -> length pushed (w2)
+        bytecode_len_table.lookup(
+            cs, "ev_extcodesize", S[ES.EXTCODESIZE],
+            w[1][0].cur(), w[1][1].cur(), w[2][0].cur())
+        cs.create_gate("ev_codesize_hi", [
+            CSZ * w[0][1].cur(),
+            S[ES.EXTCODESIZE] * w[2][1].cur(),
+        ])
     else:  # no length surface: out-of-range jump errors unsupported
         err_polys.append(S_ej * ej_oob.cur())
+        err_polys.append(qs * S[ES.CODESIZE])
+        err_polys.append(qs * S[ES.EXTCODESIZE])
     cs.create_gate("ev_error", err_polys)
     bytecode_table.lookup(
         cs, "ev_ejmp_byte", S_ej * (one - ej_oob.cur()),
@@ -2175,7 +2234,7 @@ def configure(
         msk, srb, vlb, mwa, mby, mws, mwsw, mqd, mqd2,
         mrdl, mrdb, mrd2l, mrd2b, mlt, inr, cl_lt_a, cl_lt_b,
         wp_op=wp_op, bigb=bigb, eg_nb=eg_nb, mgate=mgate, m8b=m8b,
-        ltg_24=ltg_24,
+        ltg_24=ltg_24, ltg_sa=ltg_sa, ltg_sb=ltg_sb,
     )
 
 
@@ -2226,6 +2285,7 @@ def _state_of(step: ExecStep) -> ES:
          0x54: ES.SLOAD, 0x55: ES.SSTORE,
          0x5B: ES.JUMPDEST, 0x56: ES.JUMP, 0x57: ES.JUMPI,
          0x15: ES.ISZERO, 0x14: ES.EQ, 0x10: ES.LT_GT, 0x11: ES.LT_GT,
+         0x12: ES.SLT_SGT, 0x13: ES.SLT_SGT,
          0x33: ES.CALLER, 0x34: ES.CALLVALUE, 0x30: ES.ADDRESS,
          0x36: ES.CALLDATASIZE,
          0x02: ES.MUL_DIV_MOD, 0x04: ES.MUL_DIV_MOD, 0x06: ES.MUL_DIV_MOD,
@@ -2237,6 +2297,7 @@ def _state_of(step: ExecStep) -> ES:
          0x32: ES.TX_CTX, 0x3A: ES.TX_CTX,
          0x58: ES.PC_GAS, 0x5A: ES.PC_GAS,
          0x31: ES.ACCT_INFO, 0x3F: ES.ACCT_INFO,
+         0x38: ES.CODESIZE, 0x3B: ES.EXTCODESIZE,
          0x47: ES.SELFBALANCE,
          0x08: ES.ADDMOD, 0x09: ES.MULMOD, 0x0A: ES.EXP,
          0x1A: ES.BYTE, 0x0B: ES.SIGNEXTEND, 0x1D: ES.SAR,
@@ -2619,6 +2680,26 @@ def assign(
                 asg.set_int(cfg.ltg.lt, r, lt)
                 for i, c in enumerate(cfg.ltg.limbs):
                     asg.set_int(c, r, (diff >> (8 * i)) & 0xFF)
+        elif st == ES.SLT_SGT:
+            a, b_, res = vals[0].value, vals[1].value, vals[2].value
+            put_word(0, a)
+            put_word(1, b_)
+            put_word(2, res)
+            is_sgt = 1 if step.op == 0x13 else 0
+            asg.set_int(cfg.is_sub, r, is_sgt)
+            cfg.ltg_sa.assign_rows(asg, r, [a >> 128], [1 << 127])
+            cfg.ltg_sb.assign_rows(asg, r, [b_ >> 128], [1 << 127])
+            sa_, sb_ = (a >> 255) & 1, (b_ >> 255) & 1
+            adj_av = a + (1 << 255) - (sa_ << 256)
+            adj_bv = b_ + (1 << 255) - (sb_ << 256)
+            lhs_v, rhs_v = ((adj_bv, adj_av) if is_sgt
+                            else (adj_av, adj_bv))
+            lt = 1 if lhs_v < rhs_v else 0
+            assert res == lt
+            diff = lhs_v - rhs_v + lt * (1 << 256)
+            asg.set_int(cfg.ltg.lt, r, lt)
+            for i, c in enumerate(cfg.ltg.limbs):
+                asg.set_int(c, r, (diff >> (8 * i)) & 0xFF)
         elif st in (ES.CALLER, ES.CALLVALUE, ES.ADDRESS, ES.CALLDATASIZE,
                     ES.RETURNDATASIZE):
             put_word(0, vals[0].value)
@@ -2683,6 +2764,14 @@ def assign(
             asg.set_int(cfg.warm, r, vals[1].value_prev)
             put_word(1, vals[2].value)  # account field value
             asg.set_int(cfg.opn, r, dict(_opmap())[step.op])
+        elif st == ES.CODESIZE:
+            put_word(0, vals[0].value)
+            put_pcell(0, _group_prev(rws, vals[0]))
+        elif st == ES.EXTCODESIZE:
+            put_word(0, vals[0].value)  # address
+            asg.set_int(cfg.warm, r, vals[1].value_prev)
+            put_word(1, vals[2].value)  # account code hash
+            put_word(2, vals[3].value)  # code length
         elif st == ES.SELFBALANCE:
             put_word(2, vals[0].value)  # callee address
             put_word(0, vals[1].value)  # balance

@@ -40,7 +40,8 @@ from zkevm_tpu.circuits import rlp_circuit as rlp
 from zkevm_tpu.circuits import state_circuit as st
 from zkevm_tpu.circuits import tx_circuit as txc
 from zkevm_tpu.circuits import word_arith as wac
-from zkevm_tpu.circuits.tables import BytecodeTable, Challenges, RwTable
+from zkevm_tpu.circuits.tables import (BytecodeLenTable, BytecodeTable,
+                                       Challenges, RwTable)
 from zkevm_tpu.plonk.assign import Assignment
 from zkevm_tpu.plonk.cs import ConstraintSystem
 from zkevm_tpu.witness.block import Block, CircuitsParams
@@ -135,6 +136,8 @@ def configure(
                           word_table=wacfg.table, bitwise_table=bwcfg.table,
                           block_table=picfg.table, exp_table=excfg.table,
                           copy_table=cpcfg.table,
+                          bytecode_len_table=BytecodeLenTable.from_config(
+                              bccfg),
                           sig_word_table=(scfg.addr_word_table
                                           if full else None),
                           ecadd_word_table=(ecccfg.add_word_table
