@@ -729,3 +729,58 @@ def test_forged_codesize_rejected(circuit):
     asg.set_int(ev_cfg.w[0][0], r, cur + 1)
     fails = MockProver(cs, asg).verify()
     assert fails, "forged CODESIZE accepted"
+
+
+def _sdiv_code():
+    """SDIV/SMOD sign combos + division by zero."""
+    code = bytearray()
+    NEG7 = (1 << 256) - 7
+    NEG3 = (1 << 256) - 3
+    # SDIV(-7, 3) = -2   (pops a then b: push b first)
+    code += bytes([0x60, 3]) + bytes([0x7F]) + NEG7.to_bytes(32, "big")
+    code += bytes([0x05, 0x50])
+    # SDIV(-7, -3) = 2
+    code += bytes([0x7F]) + NEG3.to_bytes(32, "big")
+    code += bytes([0x7F]) + NEG7.to_bytes(32, "big")
+    code += bytes([0x05, 0x50])
+    # SMOD(-7, 3) = -1
+    code += bytes([0x60, 3]) + bytes([0x7F]) + NEG7.to_bytes(32, "big")
+    code += bytes([0x07, 0x50])
+    # SMOD(7, -3) = 1
+    code += bytes([0x7F]) + NEG3.to_bytes(32, "big") + bytes([0x60, 7])
+    code += bytes([0x07, 0x50])
+    # SDIV(-7, 0) = 0
+    code += bytes([0x60, 0]) + bytes([0x7F]) + NEG7.to_bytes(32, "big")
+    code += bytes([0x05, 0x50])
+    # SDIV(-2^255, -1) = -2^255 (the wrap case)
+    code += bytes([0x7F]) + ((1 << 256) - 1).to_bytes(32, "big")
+    code += bytes([0x7F]) + (1 << 255).to_bytes(32, "big")
+    code += bytes([0x05, 0x50])
+    code += bytes([0x00])
+    return bytes(code)
+
+
+def test_sdiv_smod_proven(circuit):
+    cs = circuit[0]
+    code = _sdiv_code()
+    builder, h = build(code=code, value=0)
+    asg = witness(circuit, builder, h, code=code)
+    MockProver(cs, asg).assert_satisfied()
+
+
+def test_forged_sdiv_sign_rejected(circuit):
+    """Claim the positive quotient for SDIV(-7, 3): the sign/abs
+    bindings must break."""
+    code = _sdiv_code()
+    builder, h = build(code=code, value=0)
+    cs = circuit[0]
+    ev_cfg = circuit[3]
+    r = next(i for i, s_ in enumerate(builder.steps)
+             if s_.op == 0x05 and s_.exec_state is None)
+    asg = witness(circuit, builder, h, code=code)
+    # forge res = +2 (true res = -2) and flip the sign cell to match
+    asg.set_int(ev_cfg.w[2][0], r, 2)
+    asg.set_int(ev_cfg.w[2][1], r, 0)
+    asg.set_int(ev_cfg.srv, r, 0)
+    fails = MockProver(cs, asg).verify()
+    assert fails, "forged SDIV sign accepted"

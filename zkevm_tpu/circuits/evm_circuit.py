@@ -179,6 +179,9 @@ class ES(IntEnum):
     #                bytecode length surface
     EXTCODESIZE = 66  # execution/extcodesize.rs: account CODE_HASH read
     #                   + bytecode length surface lookup
+    SDIV_SMOD = 67  # execution/sdiv_smod.rs: |a| = |q|*|b| + |r| on the
+    #                 WordArithTable with per-half abs/carry bindings and
+    #                 msb-pinned signs (shared with SLT_SGT)
 
 
 NSTATES = len(ES)
@@ -243,6 +246,7 @@ OP_STATES = {
     ES.SLT_SGT: (None, 3, 1, 3),
     ES.CODESIZE: (0x38, 2, -1, 1),
     ES.EXTCODESIZE: (None, 0, 0, 4),  # dynamic gas (2600 cold / 100 warm)
+    ES.SDIV_SMOD: (None, 5, 1, 3),
 }
 STATIC_GAS_STATES = [
     s for s in OP_STATES
@@ -361,8 +365,11 @@ class EvmConfig:
     mgate: Column = None
     m8b: Column = None
     ltg_24: object = None
-    ltg_sa: object = None  # SLT/SGT msb-pinning gadgets
+    ltg_sa: object = None  # SLT/SGT + SDIV/SMOD msb-pinning gadgets
     ltg_sb: object = None
+    sdv_k: list = None  # SDIV/SMOD abs-binding carry bits
+    srv: Column = None  # SDIV/SMOD materialized result sign
+    sdv_en: Column = None  # SDIV/SMOD word-table-lookup enable
 
 
 def _word(cs) -> tuple:
@@ -623,11 +630,13 @@ def configure(
     # unpinned sign pair would let a forger fall back to the unsigned
     # compare (both biases cancel in the diff).
     slt_mode = S[ES.SLT_SGT]
+    sdv_mode = S[ES.SDIV_SMOD]
+    sign_mode = slt_mode + sdv_mode
     rt8 = rt8 or RangeTable.configure(cs, 8)
-    ltg_sa = LtGadget.configure(cs, slt_mode, w[0][1].cur(),
+    ltg_sa = LtGadget.configure(cs, sign_mode, w[0][1].cur(),
                                 Const(1 << 127), rt8, n_limbs=16,
                                 name="ev_ltg_sa")
-    ltg_sb = LtGadget.configure(cs, slt_mode, w[1][1].cur(),
+    ltg_sb = LtGadget.configure(cs, sign_mode, w[1][1].cur(),
                                 Const(1 << 127), rt8, n_limbs=16,
                                 name="ev_ltg_sb")
     s_a, s_b = one - ltg_sa.expr(), one - ltg_sb.expr()
@@ -942,6 +951,49 @@ def configure(
         MDM * bzc.cur() * (one - m_mul) * w[2][0].cur(),
         MDM * bzc.cur() * (one - m_mul) * w[2][1].cur(),
     ])
+    # -- SDIV/SMOD (execution/sdiv_smod.rs): the unsigned division
+    # identity on ABSOLUTE values (|a| = |q|*|b| + |r|, |r| < |b| in the
+    # WordArithTable) plus per-half abs bindings with carry bits, signs
+    # pinned by the shared msb gadgets. Cells: a=w0, b=w1, res=w2,
+    # |a|=w3, |b|=w4, |res|=w5, other-abs (|r| for SDIV / |q| for
+    # SMOD) = pcell[0]; is_sub = SMOD flag (opcode 0x05 + 2*f).
+    SDV = sdv_mode
+    fsm = is_sub.cur()
+    sdv_k = [cs.advice_column() for _ in range(3)]
+    srv = cs.advice_column()  # materialized result sign
+    iz["sdv_blo"] = IsZero.configure(cs, SDV, w[1][0].cur(), "ev_iz_sdvblo")
+    iz["sdv_bhi"] = IsZero.configure(cs, SDV, w[1][1].cur(), "ev_iz_sdvbhi")
+    iz["sdv_rlo"] = IsZero.configure(cs, SDV, w[5][0].cur(), "ev_iz_sdvrlo")
+    iz["sdv_rhi"] = IsZero.configure(cs, SDV, w[5][1].cur(), "ev_iz_sdvrhi")
+    sdv_bz = iz["sdv_blo"].expr() * iz["sdv_bhi"].expr()
+    sdv_nzres = one - iz["sdv_rlo"].expr() * iz["sdv_rhi"].expr()
+    sdv_polys = [
+        SDV * (opcode.cur() - Const(0x05) - Const(2) * fsm),
+        # result sign: sign(a) xor sign(b) for SDIV, sign(a) for SMOD,
+        # masked to zero when |res| = 0
+        SDV * (srv.cur()
+               - ((one - fsm) * (s_a + s_b - Const(2) * s_a * s_b)
+                  + fsm * s_a) * sdv_nzres),
+        # b = 0: result is 0 (and the table lookup is gated off)
+        SDV * sdv_bz * w[2][0].cur(),
+        SDV * sdv_bz * w[2][1].cur(),
+        SDV * sdv_bz * w[5][0].cur(),
+        SDV * sdv_bz * w[5][1].cur(),
+    ]
+    for (sg_, ab_, se_, kc) in ((w[0], w[3], s_a, sdv_k[0]),
+                                (w[1], w[4], s_b, sdv_k[1]),
+                                (w[2], w[5], srv.cur(), sdv_k[2])):
+        sdv_polys += [
+            SDV * kc.cur() * (one - kc.cur()),
+            SDV * (one - se_) * (ab_[0].cur() - sg_[0].cur()),
+            SDV * (one - se_) * (ab_[1].cur() - sg_[1].cur()),
+            SDV * se_ * (sg_[0].cur() + ab_[0].cur()
+                         - Const(1 << 128) * kc.cur()),
+            SDV * se_ * (sg_[1].cur() + ab_[1].cur() + kc.cur()
+                         - Const(1 << 128)),
+        ]
+    cs.create_gate("ev_sdiv_smod", sdv_polys)
+
     # SHL/SHR: opcode = 0x1B + is_sub; shift validity via the ltg
     # decomposition shift_lo = s0 + 256*srest (s0 = opn cell)
     srest = Const(0)
@@ -970,6 +1022,7 @@ def configure(
         (vcell.cur() * w[3][0].cur(), p2lo.cur()),
         (vcell.cur() * w[3][1].cur(), p2hi.cur()),
     ])
+    sdv_en_col = None
     if word_table is not None:
         fsh = is_sub.cur()
         # MUL: d=a*b; DIV: dividend = q*b + r exactly, r < b in-table;
@@ -987,6 +1040,22 @@ def configure(
             ((one - m_mul) * w[0][0].cur() + m_mul * w[2][0].cur(),
              (one - m_mul) * w[0][1].cur() + m_mul * w[2][1].cur()),
         )
+        # SDIV/SMOD: |a| = |q|*|b| + |r|, |r| < |b| — the DIV-tag row
+        # over the abs cells; |q| and |r| swap between w5/pcell0 by the
+        # SMOD flag
+        sdv_en_c = sdv_en_col = cs.advice_column()
+        cs.create_gate("ev_sdv_en", [
+            qs * (sdv_en_c.cur() - SDV * (one - sdv_bz))])
+        qv_ = (((one - fsm) * w[5][0].cur() + fsm * pcell[0][0].cur()),
+               ((one - fsm) * w[5][1].cur() + fsm * pcell[0][1].cur()))
+        rv_ = ((fsm * w[5][0].cur() + (one - fsm) * pcell[0][0].cur()),
+               (fsm * w[5][1].cur() + (one - fsm) * pcell[0][1].cur()))
+        word_table.lookup(
+            cs, "ev_wa_sdv", sdv_en_c.cur(),
+            Const(2),
+            qv_, (w[4][0].cur(), w[4][1].cur()), rv_,
+            (w[3][0].cur(), w[3][1].cur()),
+        )
         # SHL: value * 2^s0 mod 2^256; SHR: value = q*2^s0 + r exactly
         # (vcell is shared with SAR, so gate by the SHL/SHR state too)
         word_table.lookup(
@@ -1000,7 +1069,7 @@ def configure(
              (one - fsh) * w[2][1].cur() + fsh * w[1][1].cur()),
         )
     else:
-        cs.create_gate("ev_no_word_table", [qs * (MDM + SHS)])
+        cs.create_gate("ev_no_word_table", [qs * (MDM + SHS + SDV)])
 
     # -- bitwise: AND/OR/XOR/NOT against the BitwiseTable ------------------
     AOX, NOTS = S[ES.AND_OR_XOR], S[ES.NOT]
@@ -1846,8 +1915,8 @@ def configure(
     use(ES.JUMPI, 1, stack_rd(spc + one, wc(1)))
     use(ES.ISZERO, 0, stack_rd(spc, wc(0)))
     use(ES.ISZERO, 1, stack_wr(spc, wc(1), wc(0)))
-    for s_cmp in (ES.EQ, ES.LT_GT, ES.SLT_SGT, ES.MUL_DIV_MOD, ES.SHL_SHR,
-                  ES.AND_OR_XOR):
+    for s_cmp in (ES.EQ, ES.LT_GT, ES.SLT_SGT, ES.MUL_DIV_MOD,
+                  ES.SDIV_SMOD, ES.SHL_SHR, ES.AND_OR_XOR):
         use(s_cmp, 0, stack_rd(spc, wc(0)))
         use(s_cmp, 1, stack_rd(spc + one, wc(1)))
         use(s_cmp, 2, stack_wr(spc + one, wc(2), wc(1)))
@@ -2234,7 +2303,8 @@ def configure(
         msk, srb, vlb, mwa, mby, mws, mwsw, mqd, mqd2,
         mrdl, mrdb, mrd2l, mrd2b, mlt, inr, cl_lt_a, cl_lt_b,
         wp_op=wp_op, bigb=bigb, eg_nb=eg_nb, mgate=mgate, m8b=m8b,
-        ltg_24=ltg_24, ltg_sa=ltg_sa, ltg_sb=ltg_sb,
+        ltg_24=ltg_24, ltg_sa=ltg_sa, ltg_sb=ltg_sb, sdv_k=sdv_k, srv=srv,
+        sdv_en=sdv_en_col,
     )
 
 
@@ -2289,6 +2359,7 @@ def _state_of(step: ExecStep) -> ES:
          0x33: ES.CALLER, 0x34: ES.CALLVALUE, 0x30: ES.ADDRESS,
          0x36: ES.CALLDATASIZE,
          0x02: ES.MUL_DIV_MOD, 0x04: ES.MUL_DIV_MOD, 0x06: ES.MUL_DIV_MOD,
+         0x05: ES.SDIV_SMOD, 0x07: ES.SDIV_SMOD,
          0x1B: ES.SHL_SHR, 0x1C: ES.SHL_SHR,
          0x16: ES.AND_OR_XOR, 0x17: ES.AND_OR_XOR, 0x18: ES.AND_OR_XOR,
          0x19: ES.NOT,
@@ -2721,6 +2792,43 @@ def assign(
                         else 0)
             if b_ and (is_div or is_mod):
                 put_word(3, a % b_ if is_div else a // b_)
+        elif st == ES.SDIV_SMOD:
+            a, b_, res = vals[0].value, vals[1].value, vals[2].value
+            put_word(0, a)
+            put_word(1, b_)
+            put_word(2, res)
+            is_smod = 1 if step.op == 0x07 else 0
+            asg.set_int(cfg.is_sub, r, is_smod)
+            cfg.ltg_sa.assign_rows(asg, r, [a >> 128], [1 << 127])
+            cfg.ltg_sb.assign_rows(asg, r, [b_ >> 128], [1 << 127])
+            sa_, sb_ = (a >> 255) & 1, (b_ >> 255) & 1
+            aa = (1 << 256) - a if sa_ else a
+            ab = (1 << 256) - b_ if sb_ else b_
+            qv = aa // ab if ab else 0
+            rv = aa % ab if ab else 0
+            absres = qv if not is_smod else rv
+            other = rv if not is_smod else qv
+            put_word(3, aa)
+            put_word(4, ab)
+            put_word(5, absres)
+            put_pcell(0, other)
+            sres = ((sa_ ^ sb_) if not is_smod else sa_) \
+                if absres != 0 else 0
+            asg.set_int(cfg.srv, r, sres)
+            # sanity: signed result matches the trace
+            want = ((1 << 256) - absres if sres else absres) if ab else 0
+            assert res == want, (res, want)
+            for (sv, av, sgn_), kc in zip(
+                    ((a, aa, sa_), (b_, ab, sb_), (res, absres, sres)),
+                    cfg.sdv_k):
+                if sgn_:
+                    asg.set_int(kc, r, 1 if (sv & M128) else 0)
+            _set_inv(asg, cfg.iz["sdv_blo"], r, b_ & M128)
+            _set_inv(asg, cfg.iz["sdv_bhi"], r, b_ >> 128)
+            _set_inv(asg, cfg.iz["sdv_rlo"], r, absres & M128)
+            _set_inv(asg, cfg.iz["sdv_rhi"], r, absres >> 128)
+            if ab and cfg.sdv_en is not None:
+                asg.set_int(cfg.sdv_en, r, 1)
         elif st == ES.SHL_SHR:
             shift, value, res = vals[0].value, vals[1].value, vals[2].value
             put_word(0, shift)
@@ -3176,6 +3284,15 @@ def word_arith_ops(steps: list[ExecStep], rws: RwMap) -> list:
                     q_, rem = divmod(x, 1 << (i_ & 0xFF))
                     ops.append(
                         WordArithOp(WordOp.DIVMOD, q_, 1 << (i_ & 0xFF), rem))
+            continue
+        if st == ES.SDIV_SMOD:
+            vals = [by_rwc[i] for i in step.rw_indices]
+            a, b = vals[0].value, vals[1].value
+            aa = (1 << 256) - a if a >> 255 else a
+            ab = (1 << 256) - b if b >> 255 else b
+            if ab:
+                q, rem = divmod(aa, ab)
+                ops.append(WordArithOp(WordOp.DIVMOD, q, ab, rem))
             continue
         if st not in (ES.MUL_DIV_MOD, ES.SHL_SHR):
             continue
