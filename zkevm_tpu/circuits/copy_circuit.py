@@ -131,6 +131,15 @@ class CopyConfig:
     # (addresses start at 0) and both sides bind per byte.
     d_code: Column = None
     no_mem: Column = None
+    # v3: MEMORY->MEMORY (MCOPY, EIP-5656; 32-aligned offsets and
+    # 32-multiple lengths — the builder guards). The DST side anchors
+    # the rows; the SRC side gets its own word-address/rw-counter
+    # chains and a second word READ lookup per anchor. The builder
+    # emits ALL source reads then all destination writes (as-if-
+    # intermediate overlap semantics), so both counters chain by +1.
+    mm: Column = None
+    wa_s: Column = None
+    rwc_s: Column = None
 
 
 def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
@@ -144,7 +153,8 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
      t_src, t_dst, src_id, src_id_hi, dst_id, aux_id, wa, oaddr,
      rwc_w, rwc_d, didx, byte, pbyte, is_code, is_pad) = cols
     (maddr, a0c, alen, w0c, nwc, lst, s_cd, d_rlc, dlo, dhi, d_sha,
-     d_code, no_mem) = (cs.advice_column() for _ in range(13))
+     d_code, no_mem, mm, wa_s, rwc_s) = (cs.advice_column()
+                                         for _ in range(16))
     crlc = cs.advice_column(phase=1)
 
     one = Const(1)
@@ -155,7 +165,7 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
     cs.create_gate("cp_bool", [
         qa * c.cur() * (one - c.cur())
         for c in (is_ev, is_first, s_mem, s_code, s_free, d_mem, d_log,
-                  d_free, is_code, is_pad, d_code, no_mem)
+                  d_free, is_code, is_pad, d_code, no_mem, mm)
     ])
     cs.create_gate("cp_types", [
         qa * (s_mem.cur() + s_code.cur() + s_free.cur() - ev),
@@ -163,10 +173,13 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
               - ev),
         # exactly one side is memory (the anchored side) — except the
         # no_mem shape (TX_CALLDATA -> BYTECODE), where the bytecode
-        # side anchors at address 0 and both sides bind per byte
-        qa * (s_mem.cur() + d_mem.cur() + no_mem.cur() - ev),
+        # side anchors at address 0 and both sides bind per byte, and
+        # the mm shape (MCOPY), where BOTH sides are memory
+        qa * (s_mem.cur() + d_mem.cur() + no_mem.cur() - ev - mm.cur()),
         qa * no_mem.cur() * (one - d_code.cur()),
         qa * no_mem.cur() * a0c.cur(),  # memless events anchor at 0
+        qa * mm.cur() * (one - s_mem.cur()),
+        qa * mm.cur() * (one - d_mem.cur()),
         first * (one - ev),
         (qa - qw) * first,  # is_first only on word anchors
         # numeric tags for the CopyTable surface
@@ -182,15 +195,16 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
     per_event = [is_ev, s_mem, s_code, s_free, d_mem, d_log, d_free,
                  t_src, t_dst, src_id, src_id_hi, dst_id, aux_id,
                  a0c, alen, w0c, nwc, s_cd, d_rlc, dlo, dhi,
-                 d_code, no_mem]
+                 d_code, no_mem, mm]
     inner = qa - qw  # non-anchor region rows
     cont = qw * ev * (one - first)  # continuation anchors
     cs.create_gate("cp_const", [
-        inner * (c.cur() - c.rot(-1)) for c in per_event + [wa]
+        inner * (c.cur() - c.rot(-1)) for c in per_event + [wa, wa_s]
     ] + [
         cont * (c.cur() - c.rot(-1)) for c in per_event
     ] + [
         cont * (wa.cur() - wa.rot(-1) - one),
+        cont * (wa_s.cur() - wa_s.rot(-1) - one),
     ])
     # address / counter chains (+1 per row; rwc_d/didx advance on non-pad)
     step1 = inner * ev + cont
@@ -228,6 +242,11 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
     # event's word reads/writes back-to-back from rw_counter_start)
     cs.create_gate("cp_rwc_chain", [
         cont * (rwc_w.cur() - rwc_w.rot(-1) - one),
+        cont * (rwc_s.cur() - rwc_s.rot(-1) - one),
+        # mm: src word address anchored to the per-byte src chain, and
+        # the write counters start right after the nwc read counters
+        qw * mm.cur() * (Const(WORD) * wa_s.cur() - oaddr.cur()),
+        qw * mm.cur() * (rwc_w.cur() - rwc_s.cur() - nwc.cur()),
     ])
     # event-last marker: the group-end row whose next anchor starts a new
     # event or is unused; binds non-pad count = len and word count = nwc
@@ -310,11 +329,20 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
     ZERO = Const(0)
     MEM = Const(int(Target.MEMORY))
 
-    en_r = qw * s_mem.cur()
+    en_r = qw * s_mem.cur() * (one - mm.cur())
     rw_table.lookup(cs, "cp_word_read", [
         en_r, en_r * rwc_w.cur(), ZERO, en_r * MEM, en_r * src_id.cur(),
         en_r * wa.cur(), ZERO, ZERO,
         en_r * v_lo, en_r * v_hi, en_r * v_lo, en_r * v_hi,
+    ])
+    # mm (MCOPY): the src word READ against its own addr/counter chains;
+    # aligned 32-multiple copies mean the dst new content == src content,
+    # so the same byte-composed halves serve both lookups
+    en_ms = qw * mm.cur()
+    rw_table.lookup(cs, "cp_word_read_mm", [
+        en_ms, en_ms * rwc_s.cur(), ZERO, en_ms * MEM,
+        en_ms * src_id.cur(), en_ms * wa_s.cur(), ZERO, ZERO,
+        en_ms * v_lo, en_ms * v_hi, en_ms * v_lo, en_ms * v_hi,
     ])
     en_w = qw * d_mem.cur()
     rw_table.lookup(cs, "cp_word_write", [
@@ -365,6 +393,7 @@ def configure(cs: ConstraintSystem, rw_table, bytecode_table=None,
         wa, oaddr, rwc_w, rwc_d, didx, byte, pbyte, is_code, is_pad,
         q_gend, maddr, a0c, alen, w0c, nwc, lst, s_cd, d_rlc, crlc,
         dlo, dhi, table, iz_cd, iz_rlc, d_sha, iz_sha, d_code, no_mem,
+        mm, wa_s, rwc_s,
     )
 
 
@@ -418,17 +447,24 @@ def assign(
         src_is_mem = ev.src_type == CopyDataType.MEMORY
         dst_is_code = ev.dst_type == CopyDataType.BYTECODE
         mem_less = not src_is_mem and dst_is_code  # TX_CALLDATA->BYTECODE
+        mem_mem = src_is_mem and ev.dst_type == CopyDataType.MEMORY
         if not src_is_mem and ev.dst_type != CopyDataType.MEMORY \
                 and not mem_less:
             raise NotImplementedError("one event side must be memory")
-        if src_is_mem and ev.dst_type == CopyDataType.MEMORY:
-            raise NotImplementedError("memory->memory copies (v1 gap)")
+        if mem_mem:
+            ln0 = ev.src_addr_end - ev.src_addr
+            assert ev.src_addr % WORD == 0 and ev.dst_addr % WORD == 0 \
+                and ln0 % WORD == 0, \
+                "MCOPY events must be 32-aligned with 32-multiple length"
         if mem_less:
             assert ev.dst_addr == 0 and ev.src_addr == 0, \
                 "memless copy events anchor at address 0"
-        off = ev.src_addr if src_is_mem else ev.dst_addr
+        # the DST side anchors mem->mem events; the memory side anchors
+        # everything else
+        anchor_src = src_is_mem and not mem_mem
+        off = ev.src_addr if anchor_src else ev.dst_addr
         end = (ev.src_addr_end - ev.src_addr) + off
-        other0 = ev.dst_addr if src_is_mem else ev.src_addr
+        other0 = ev.dst_addr if anchor_src else ev.src_addr
         w0, w1 = off // WORD, -(-end // WORD) if end > off else off // WORD
         nw = w1 - w0
         if nw == 0:
@@ -454,12 +490,21 @@ def assign(
             dg = int.from_bytes(hashlib.sha256(data).digest(), "big")
             dlo_v, dhi_v = dg & M128, dg >> 128
 
+        src_words = None
         if mem_less:
             # no memory side: synthesize the word-group bytes from the
             # event payload (both sides bind per byte via table lookups)
             data_all = bytes(b for b, _ in ev.bytes_).ljust(nw * WORD,
                                                             b"\x00")
             words = None
+        elif mem_mem:
+            # builder order: nw src READS then nw dst WRITES
+            src_words = [by_rwc[ev.rw_counter_start + i]
+                         for i in range(nw)]
+            words = [by_rwc[ev.rw_counter_start + nw + i]
+                     for i in range(nw)]
+            for w_ in src_words + words:
+                assert w_.tag == Target.MEMORY and w_.id == ev.src_id
         else:
             mem_id = ev.src_id if src_is_mem else ev.dst_id
             # word rows by rw counter (builder: consecutive from
@@ -516,7 +561,12 @@ def assign(
                 asg.set_int(cfg.d_free, r, int(
                     src_is_mem
                     and ev.dst_type != CopyDataType.TX_LOG
-                    and not dst_is_code))
+                    and not dst_is_code and not mem_mem))
+                asg.set_int(cfg.mm, r, int(mem_mem))
+                asg.set_int(cfg.wa_s, r,
+                            (ev.src_addr // WORD + gi) if mem_mem else gi)
+                asg.set_int(cfg.rwc_s, r,
+                            src_words[gi].rw_counter if mem_mem else gi)
                 asg.set_int(cfg.t_src, r, t_src)
                 asg.set_int(cfg.t_dst, r, t_dst)
                 asg.set_int(cfg.src_id, r, sid_lo)

@@ -182,6 +182,8 @@ class ES(IntEnum):
     SDIV_SMOD = 67  # execution/sdiv_smod.rs: |a| = |q|*|b| + |r| on the
     #                 WordArithTable with per-half abs/carry bindings and
     #                 msb-pinned signs (shared with SLT_SGT)
+    MCOPY = 68  # execution/mcopy.rs (EIP-5656): memory->memory CopyTable
+    #             event (32-aligned, 32-multiple length)
 
 
 NSTATES = len(ES)
@@ -247,13 +249,14 @@ OP_STATES = {
     ES.CODESIZE: (0x38, 2, -1, 1),
     ES.EXTCODESIZE: (None, 0, 0, 4),  # dynamic gas (2600 cold / 100 warm)
     ES.SDIV_SMOD: (None, 5, 1, 3),
+    ES.MCOPY: (0x5E, 3, 3, 3),  # dynamic gas; rws 3 + 2*opn
 }
 STATIC_GAS_STATES = [
     s for s in OP_STATES
     if s not in (ES.MLOAD, ES.MSTORE, ES.MSTORE8, ES.SLOAD, ES.SSTORE,
                  ES.ACCT_INFO, ES.EXTCODESIZE,
                  ES.EXP, ES.CALL1, ES.CALL2, ES.CALL3, ES.CALL4,
-                 ES.RETURN, ES.REVERT, ES.SHA3, ES.COPY, ES.LOG,
+                 ES.RETURN, ES.REVERT, ES.SHA3, ES.COPY, ES.LOG, ES.MCOPY,
                  ES.PRE1, ES.PRE_EC, ES.PRE_SHA, ES.PRE_ECA, ES.PRE_ECM)
 ]
 NRW = {ES.BEGIN_TX: 7, ES.END_TX: 1, ES.END_BLOCK: 0, ES.RESTORE: 8,
@@ -1576,8 +1579,9 @@ def configure(
     # (rt4 nibble bb0 + the carries[0] bit), memexp gas term in aux[0].
     ZERO2 = Const(0)
     S3, CP, LG = S[ES.SHA3], S[ES.COPY], S[ES.LOG]
+    MC = S[ES.MCOPY]
     LGT = S[ES.LOG_TOP]
-    cpl = S3 + CP + LG
+    cpl = S3 + CP + LG + MC
     # LOG topic count: the first four inr bits (free on LOG rows; the
     # CALLDATALOAD/PUSH consumers gate their own uses)
     lg_cnt = ib[0] + ib[1] + ib[2] + ib[3]
@@ -1591,6 +1595,10 @@ def configure(
         cpl * (Const(32) * opn.cur() - slack - w[1][0].cur()),
         S3 * (gc.cur() - Const(30) - Const(6) * opn.cur() - aux[0].cur()),
         CP * (gc.cur() - Const(3) - Const(3) * opn.cur() - aux[0].cur()),
+        MC * (gc.cur() - Const(3) - Const(3) * opn.cur() - aux[0].cur()),
+        # MCOPY: src offset 32-aligned too (pcell[2] = src word index)
+        MC * (w[2][0].cur() - Const(32) * pcell[2][0].cur()),
+        MC * w[2][1].cur(),
         LG * (gc.cur() - Const(375) - Const(375) * lg_cnt
               - Const(8) * w[1][0].cur() - aux[0].cur()),
         # COPY opcode selection bits (CALLDATACOPY/CODECOPY/RETURNDATACOPY)
@@ -1631,6 +1639,16 @@ def configure(
             CP * cid.cur(), ZERO2, CP * w[0][0].cur(),
             CP * w[2][0].cur(), CP * w[1][0].cur(),
             CP * (rwc.cur() + Const(3)), CP * opn.cur(), ZERO2, ZERO2,
+        ])
+        # (the CopyTable's rwc_first carries the DST-write start; the
+        # src reads occupy [rwc+3, rwc+3+opn) and the circuit pins
+        # rwc_w = rwc_s + n_words on mm anchors)
+        copy_table.lookup(cs, "ev_mcopy_copy", [
+            MC, MC * MEMC, MC * MEMC, MC * cid.cur(), ZERO2,
+            MC * cid.cur(), ZERO2, MC * w[0][0].cur(),
+            MC * w[2][0].cur(), MC * w[1][0].cur(),
+            MC * (rwc.cur() + Const(3) + opn.cur()), MC * opn.cur(),
+            ZERO2, ZERO2,
         ])
         copy_table.lookup(cs, "ev_log_copy", [
             LG, LG * MEMC, LG * TXLC, LG * cid.cur(), ZERO2,
@@ -1734,6 +1752,8 @@ def configure(
                     ES.ERR_OOG_MEM: rwc.cur() + one + opn.cur(),
                     ES.SHA3: rwc.cur() + Const(3) + opn.cur(),
                     ES.COPY: rwc.cur() + Const(3) + opn.cur(),
+                    ES.MCOPY: rwc.cur() + Const(3)
+                    + Const(2) * opn.cur(),
                     ES.LOG: rwc.cur() + Const(2)
                     + (opcode.cur() - Const(0xA0)) + opn.cur() + one
                     + (one - inr.columns[0].cur()) * w[1][0].cur(),
@@ -1779,7 +1799,7 @@ def configure(
             [(x, mws.rot(1)) for x in EXITS + ERRS]
             + [(x, mwsw.cur()) for x in
                (ES.MLOAD, ES.MSTORE, ES.MSTORE8, ES.SHA3, ES.COPY,
-                ES.LOG, ES.CALL1, ES.PRE1)]
+                ES.LOG, ES.MCOPY, ES.CALL1, ES.PRE1)]
             + [(ES.BEGIN_TX, Const(0)), (ES.END_TX, mws.rot(1)),
                (ES.END_BLOCK, Const(0)), (ES.CALL4, Const(0)),
                (ES.RESTORE, w[4][1].cur())]),
@@ -2130,6 +2150,10 @@ def configure(
     use(ES.COPY, 0, stack_rd(spc, wc(0)))
     use(ES.COPY, 1, stack_rd(spc + one, wc(2)))
     use(ES.COPY, 2, stack_rd(spc + Const(2), wc(1)))
+    # MCOPY: dst, src, len (same cell roles as COPY)
+    use(ES.MCOPY, 0, stack_rd(spc, wc(0)))
+    use(ES.MCOPY, 1, stack_rd(spc + one, wc(2)))
+    use(ES.MCOPY, 2, stack_rd(spc + Const(2), wc(1)))
     # LOG0-4: off/len reads, topic reads (inr-gated), the TX_LOG address
     # row after the word reads; topic TX_LOG writes land on the LOG_TOP
     # continuation row (data rows ride the copy circuit)
@@ -2351,6 +2375,7 @@ def _state_of(step: ExecStep) -> ES:
         return ES.SWAP
     m = {0x00: ES.STOP, 0x50: ES.POP, 0x01: ES.ADD_SUB, 0x03: ES.ADD_SUB,
          0x51: ES.MLOAD, 0x52: ES.MSTORE, 0x53: ES.MSTORE8,
+         0x5E: ES.MCOPY,
          0x59: ES.MSIZE, 0x35: ES.CALLDATALOAD,
          0x54: ES.SLOAD, 0x55: ES.SSTORE,
          0x5B: ES.JUMPDEST, 0x56: ES.JUMP, 0x57: ES.JUMPI,
@@ -2911,6 +2936,16 @@ def assign(
             asg.set_int(cfg.carries[0], r, slack_v >> 4)
             asg.set_int(cfg.carries[1], r, 1 if step.op == 0x37 else 0)
             asg.set_int(cfg.carries[2], r, 1 if step.op == 0x39 else 0)
+            asg.set_int(cfg.aux[0], r, step.gas_cost - 3 - 3 * nw)
+        elif st == ES.MCOPY:
+            doff, soff, ln = (vals[0].value, vals[1].value, vals[2].value)
+            nw = (len(vals) - 3) // 2
+            put_word(0, doff)
+            put_word(1, ln)
+            put_word(2, soff)
+            put_word(3, doff // 32)
+            put_pcell(2, soff // 32)
+            asg.set_int(cfg.opn, r, nw)
             asg.set_int(cfg.aux[0], r, step.gas_cost - 3 - 3 * nw)
         elif st == ES.LOG:
             off, ln = vals[0].value, vals[1].value

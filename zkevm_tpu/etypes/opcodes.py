@@ -172,6 +172,7 @@ _op(0x58, "PC", 0, 1, GAS_QUICK)
 _op(0x59, "MSIZE", 0, 1, GAS_QUICK)
 _op(0x5A, "GAS", 0, 1, GAS_QUICK)
 _op(0x5B, "JUMPDEST", 0, 0, 1)
+_op(0x5E, "MCOPY", 3, 0, GAS_FASTEST)  # EIP-5656 (Cancun)
 _op(0x5F, "PUSH0", 0, 1, GAS_QUICK)
 for i in range(32):
     _op(0x60 + i, f"PUSH{i+1}", 0, 1, GAS_FASTEST)

@@ -481,6 +481,13 @@ class Interpreter:
             self._charge(f, log, f.mem_expansion_cost([(off, 32)]))
             f.mem_grow([(off, 32)])
             f.memory[off : off + 32] = v.to_bytes(32, "big")
+        elif name == "MCOPY":
+            doff, soff, ln = pop(), pop(), pop()
+            self._charge(f, log, 3 * _mem_words(ln)
+                         + f.mem_expansion_cost([(doff, ln), (soff, ln)]))
+            f.mem_grow([(doff, ln), (soff, ln)])
+            src = bytes(f.memory[soff : soff + ln])  # as-if-intermediate
+            f.memory[doff : doff + ln] = src
         elif name == "MSTORE8":
             off, v = pop(), pop()
             self._charge(f, log, f.mem_expansion_cost([(off, 1)]))

@@ -1171,6 +1171,35 @@ class CircuitInputBuilder:
             for k in range(3):
                 ri.append(self.stack_read(cid, sp + k, top(k)))
             self._copy_to_memory(es, call, name, doff, soff, ln, step, nxt)
+        elif name == "MCOPY":
+            doff, soff, ln = top(0), top(1), top(2)
+            for k in range(3):
+                ri.append(self.stack_read(cid, sp + k, top(k)))
+            if ln:
+                if doff % 32 or soff % 32 or ln % 32:
+                    raise NotImplementedError(
+                        "unaligned MCOPY (word-anchored copy layout)")
+                nw = ln // 32
+                rwc0 = self.rwc
+                # ALL source reads first, then all destination writes:
+                # exactly the as-if-intermediate overlap semantics, and
+                # two clean +1 rw-counter chains for the copy circuit
+                for w in range(soff // 32, soff // 32 + nw):
+                    v = mem_word(step.memory, w)
+                    ri.append(self.memory_word(cid, RW.READ, w, v, v))
+                for w in range(doff // 32, doff // 32 + nw):
+                    prev_w = mem_word(step.memory, w)
+                    new_w = mem_word(nxt.memory, w) if nxt else prev_w
+                    ri.append(self.memory_word(cid, RW.WRITE, w, new_w,
+                                               prev_w))
+                data = bytes(step.memory[soff : soff + ln])
+                self.copy_events.append(CopyEvent(
+                    src_type=CopyDataType.MEMORY, src_id=cid,
+                    src_addr=soff, src_addr_end=soff + ln,
+                    dst_type=CopyDataType.MEMORY, dst_id=cid,
+                    dst_addr=doff, rw_counter_start=rwc0,
+                    bytes_=[(b, False) for b in data],
+                ))
         elif name == "SHA3":
             off, ln = top(0), top(1)
             ri.append(self.stack_read(cid, sp, off))
