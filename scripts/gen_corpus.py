@@ -446,6 +446,159 @@ def sha3_tests():
     return out
 
 
+def log_tests():
+    """LOG0-4: topics + data through the TX_LOG rows (the witness tier
+    checks rw consistency and the gas audit covers 375/topic + 8/byte);
+    a storage marker pins that execution completed."""
+    out = []
+    for n in range(5):
+        code = push(0x42) + push(0) + bytes([OPC["MSTORE"]])
+        for t in range(n, 0, -1):
+            code += push(0x1000 + t)
+        code += push(32) + push(0) + bytes([0xA0 + n])
+        code += push(1) + sstore(0) + bytes([OPC["STOP"]])
+        out.append(make_test(f"log{n}_word", code, {"0x0": "0x1"}))
+    return out
+
+
+def mcopy_tests():
+    """MCOPY (EIP-5656): aligned copy + overlap semantics."""
+    val = 0x00112233445566778899AABBCCDDEEFF00112233445566778899AABBCCDDEEFF
+    code = (push(val) + push(0) + bytes([OPC["MSTORE"]])
+            + push(32) + push(0) + push(64) + bytes([0x5E])  # MCOPY
+            + push(64) + bytes([OPC["MLOAD"]]) + sstore(0)
+            + bytes([OPC["STOP"]]))
+    out = [make_test("mcopy_aligned", code, {"0x0": hex(val)})]
+    # overlapping forward copy: src 0..64 -> dst 32..96
+    code = (push(1) + push(0) + bytes([OPC["MSTORE"]])
+            + push(2) + push(32) + bytes([OPC["MSTORE"]])
+            + push(64) + push(0) + push(32) + bytes([0x5E])
+            + push(32) + bytes([OPC["MLOAD"]]) + sstore(0)
+            + push(64) + bytes([OPC["MLOAD"]]) + sstore(1)
+            + bytes([OPC["STOP"]]))
+    out.append(make_test("mcopy_overlap", code,
+                         {"0x0": "0x1", "0x1": "0x2"}))
+    return out
+
+
+# -- tiny independent BN254 G1 affine math (for the 0x06/0x07 vectors) --
+_BN_P = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+
+
+def _bn_add(p1, p2):
+    (x1, y1), (x2, y2) = p1, p2
+    if p1 == p2:
+        lam = 3 * x1 * x1 * pow(2 * y1, _BN_P - 2, _BN_P) % _BN_P
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, _BN_P - 2, _BN_P) % _BN_P
+    x3 = (lam * lam - x1 - x2) % _BN_P
+    return x3, (lam * (x1 - x3) - y1) % _BN_P
+
+
+def _bn_mul(p, k):
+    acc = None
+    q = p
+    while k:
+        if k & 1:
+            acc = q if acc is None else _bn_add(acc, q)
+        q = _bn_add(q, q)
+        k >>= 1
+    return acc
+
+
+def ec_precompile_tests():
+    """ecAdd (0x06) / ecMul (0x07) with in-generator affine math."""
+    G = (1, 2)
+    G2 = _bn_add(G, G)
+    G3 = _bn_add(G, G2)
+    out = []
+    # ecAdd(G, 2G) = 3G
+    code = (push(G[0]) + push(0) + bytes([OPC["MSTORE"]])
+            + push(G[1]) + push(32) + bytes([OPC["MSTORE"]])
+            + push(G2[0]) + push(64) + bytes([OPC["MSTORE"]])
+            + push(G2[1]) + push(96) + bytes([OPC["MSTORE"]])
+            + push(64) + push(128) + push(128) + push(0) + push(0)
+            + push(6) + push(100000) + bytes([OPC["CALL"]])
+            + sstore(0)
+            + push(128) + bytes([OPC["MLOAD"]]) + sstore(1)
+            + push(160) + bytes([OPC["MLOAD"]]) + sstore(2)
+            + bytes([OPC["STOP"]]))
+    out.append(make_test("precompile_ecadd", code, {
+        "0x0": "0x1", "0x1": hex(G3[0]), "0x2": hex(G3[1])}))
+    # ecMul(2G, 5) = 10G
+    G10 = _bn_mul(G, 10)
+    code = (push(G2[0]) + push(0) + bytes([OPC["MSTORE"]])
+            + push(G2[1]) + push(32) + bytes([OPC["MSTORE"]])
+            + push(5) + push(64) + bytes([OPC["MSTORE"]])
+            + push(64) + push(96) + push(96) + push(0) + push(0)
+            + push(7) + push(150000) + bytes([OPC["CALL"]])
+            + sstore(0)
+            + push(96) + bytes([OPC["MLOAD"]]) + sstore(1)
+            + push(128) + bytes([OPC["MLOAD"]]) + sstore(2)
+            + bytes([OPC["STOP"]]))
+    out.append(make_test("precompile_ecmul", code, {
+        "0x0": "0x1", "0x1": hex(G10[0]), "0x2": hex(G10[1])}))
+    return out
+
+
+def create_tests():
+    """CREATE/CREATE2 (EIP-1014/3860 address+deposit semantics).
+
+    Factory-deployed addresses are derived from the FIXED factory
+    address, so expectations survive the parse-time sender remap; the
+    root-creation case asserts tx success + builder post-state only."""
+    from zkevm_tpu.hash.keccak import keccak256
+
+    out = []
+    # runtime [0x2A]; init = PUSH1 0x2A PUSH1 0 MSTORE8 ... RETURN 1 byte
+    init = bytes([0x60, 0x2A, 0x60, 0, 0x53, 0x60, 1, 0x60, 0, 0xF3])
+    word = int.from_bytes(init.ljust(32, b"\x00"), "big")
+
+    def factory(create2: bool, salt=0x5A):
+        code = push(word) + push(0) + bytes([OPC["MSTORE"]])
+        if create2:
+            code += push(salt)
+        code += push(len(init)) + push(0) + push(0)
+        code += bytes([0xF5 if create2 else 0xF0])
+        code += sstore(0)
+        # EXTCODESIZE of the created address (pushed by CREATE)
+        code += push(0) + bytes([OPC["SLOAD"], 0x3B]) + sstore(1)
+        code += bytes([OPC["STOP"]])
+        return code
+
+    # CREATE from the factory (nonce 0): address = keccak(rlp([fac, 0]))
+    fac = int(CONTRACT, 16)
+    created = int.from_bytes(
+        keccak256(b"\xd6\x94" + fac.to_bytes(20, "big") + b"\x80")[12:],
+        "big")
+    out.append(make_test("create_opcode", factory(False), {
+        "0x0": hex(created), "0x1": "0x1"}))
+    # CREATE2: keccak(0xff ++ fac ++ salt ++ keccak(init))
+    pre2 = (b"\xff" + fac.to_bytes(20, "big") + (0x5A).to_bytes(32, "big")
+            + keccak256(init))
+    created2 = int.from_bytes(keccak256(pre2)[12:], "big")
+    out.append(make_test("create2_opcode", factory(True), {
+        "0x0": hex(created2), "0x1": "0x1"}))
+    # reverting init: CREATE pushes 0, factory nonce still bumps
+    init_rev = bytes([0x60, 1, 0x60, 1, 0x55, 0x60, 0, 0x60, 0, 0xFD])
+    wrev = int.from_bytes(init_rev.ljust(32, b"\x00"), "big")
+    code = (push(wrev) + push(0) + bytes([OPC["MSTORE"]])
+            + push(len(init_rev)) + push(0) + push(0) + bytes([0xF0])
+            + sstore(0) + bytes([OPC["STOP"]]))
+    out.append(make_test("create_reverting_init", code, {"0x0": "0x0"}))
+    # root creation tx (to = empty): deploys; witness-tier post-state
+    # check covers the deployed account (no static address assertion —
+    # the sender is remapped at parse time)
+    name = "create_root_tx"
+    _, t = make_test(name, b"", {})
+    t["transaction"]["to"] = ""
+    t["transaction"]["data"] = ["0x" + init.hex()]
+    del t["pre"][CONTRACT]
+    t["_expect"]["post"] = {}
+    out.append((name, t))
+    return out
+
+
 def main():
     tests = {}
     groups = 0
@@ -465,7 +618,9 @@ def main():
         tests[name] = t
     for group in (memory_tests, calldata_tests, storage_tests,
                   control_tests, call_tests, error_tests,
-                  precompile_tests, context_tests, sha3_tests):
+                  precompile_tests, context_tests, sha3_tests,
+                  log_tests, mcopy_tests, ec_precompile_tests,
+                  create_tests):
         for name, t in group():
             tests[name] = t
         groups += 1

@@ -91,6 +91,15 @@ class TxFieldTag(IntEnum):
     TX_HASH = 14
     CALL_DATA = 15
     CHAIN_ID = 16
+    # typed transactions (EIP-2930/1559; reference tx_circuit.rs tx_type
+    # + the access-list table section)
+    TX_TYPE = 17
+    MAX_PRIORITY_FEE = 18
+    MAX_FEE = 19
+    ACCESS_LIST_ADDRESSES_LEN = 20
+    ACCESS_LIST_KEYS_LEN = 21
+    ACCESS_LIST_ADDRESS = 22  # AL region rows: index = item position
+    ACCESS_LIST_STORAGE_KEY = 23  # AL region rows: index = flat key pos
 
 
 # field-row order inside a tx block (row index -> tag)
@@ -100,7 +109,9 @@ FIELD_TAGS = [
     TxFieldTag.IS_CREATE, TxFieldTag.VALUE, TxFieldTag.CALL_DATA_LENGTH,
     TxFieldTag.CALL_DATA_GAS_COST, TxFieldTag.SIG_V, TxFieldTag.SIG_R,
     TxFieldTag.SIG_S, TxFieldTag.TX_SIGN_HASH, TxFieldTag.TX_HASH,
-    TxFieldTag.CHAIN_ID,
+    TxFieldTag.CHAIN_ID, TxFieldTag.TX_TYPE, TxFieldTag.MAX_PRIORITY_FEE,
+    TxFieldTag.MAX_FEE, TxFieldTag.ACCESS_LIST_ADDRESSES_LEN,
+    TxFieldTag.ACCESS_LIST_KEYS_LEN,
 ]
 NFIELDS = len(FIELD_TAGS)
 ROW = {t: i for i, t in enumerate(FIELD_TAGS)}
@@ -158,10 +169,18 @@ class TxConfig:
     q_sig: Column = None  # block-base row: the AddrTable lookup row
     q_sb: Column = None  # rows 0..127 of each block: the sig byte strip
     sb: Column = None  # hash(32) | z(32) | r(32) | s(32), big-endian
+    # access-list table region (EIP-2930/1559): fixed-tag subregions
+    # right after the calldata rows
+    al_addr_cap: int = 4  # address rows per tx slot
+    al_key_cap: int = 8  # storage-key rows per tx slot
+
+    @property
+    def al_cap(self) -> int:
+        return self.al_addr_cap + self.al_key_cap
 
     @property
     def block(self) -> int:
-        return NFIELDS + self.cd_cap + 2 * self.rlp_cap
+        return NFIELDS + self.cd_cap + self.al_cap + 2 * self.rlp_cap
 
 
 def configure(
@@ -173,7 +192,10 @@ def configure(
     rlp_cap: int = 160,
     rt8: RangeTable | None = None,
     addr_table=None,
+    al_addr_cap: int = 4,
+    al_key_cap: int = 8,
 ) -> TxConfig:
+    al_cap = al_addr_cap + al_key_cap
     q_blk = cs.fixed_column()
     q_blk_gt0 = cs.fixed_column()
     q_tt = cs.fixed_column()
@@ -264,8 +286,8 @@ def configure(
 
     # -- hash binding through the KeccakTable -----------------------------
     # unsigned stream end -> TxSignHash field row; signed -> TxHash.
-    u_last = NFIELDS + cd_cap + rlp_cap - 1
-    s_last = NFIELDS + cd_cap + 2 * rlp_cap - 1
+    u_last = NFIELDS + cd_cap + al_cap + rlp_cap - 1
+    s_last = NFIELDS + cd_cap + al_cap + 2 * rlp_cap - 1
     rot_u = -(u_last - ROW[TxFieldTag.TX_SIGN_HASH])
     rot_s = -(s_last - ROW[TxFieldTag.TX_HASH])
     qu = q_rlpu_last.cur() * real
@@ -294,7 +316,7 @@ def configure(
     # full statement is: CALLER_ADDRESS = ecrecover(sign_hash, v, r, s))
     q_sig = q_sb = sb = None
     if addr_table is not None:
-        block_rows = NFIELDS + cd_cap + 2 * rlp_cap
+        block_rows = NFIELDS + cd_cap + al_cap + 2 * rlp_cap
         assert block_rows >= 128, "tx block too small for the sig strip"
         q_sig = cs.fixed_column()
         q_sb = cs.fixed_column()
@@ -325,6 +347,9 @@ def configure(
         slo, shi = half_sums(96)
         fv = lambda t: value_lo.rot(ROW[t])
         fvh = lambda t: value_hi.rot(ROW[t])
+        ty = fv(TxFieldTag.TX_TYPE)
+        inv2 = pow(2, FR_MOD - 2, FR_MOD)
+        leg = Const(inv2) * (ty - one) * (ty - Const(2))  # 1 iff ty == 0
         qb, bb, vp = inv.cur(), inv.rot(1), inv.rot(2)
         cs.create_gate("tx_sig_bridge", [
             # byte strip == the field-row halves (exact: bytes are u8)
@@ -340,12 +365,16 @@ def configure(
             g * bb * (one - bb),
             g * (zlo - hlo + qb * Const(N_LO) - bb * Const(1 << 128)),
             g * (zhi - hhi + qb * Const(N_HI) + bb),
-            # EIP-155 recovery parity: v = 2*chain_id + 35 + parity
+            # recovery parity: legacy (tx_type 0) v = 2*chain_id + 35 +
+            # parity (EIP-155); typed (1/2) v IS the parity
             g * vp * (one - vp),
-            g * (fv(TxFieldTag.SIG_V) - Const(2) * fv(TxFieldTag.CHAIN_ID)
-                 - Const(35) - vp),
+            g * ty * (ty - one) * (ty - Const(2)),  # tx_type in {0,1,2}
+            g * (fv(TxFieldTag.SIG_V)
+                 - leg * (Const(2) * fv(TxFieldTag.CHAIN_ID) + Const(35))
+                 - vp),
             g * fvh(TxFieldTag.SIG_V),
             g * fvh(TxFieldTag.CHAIN_ID),
+            g * fvh(TxFieldTag.TX_TYPE),
         ])
         addr_table.lookup(cs, "tx_sig_addr", [g]
             + [g * e for e in limb_sums(32)]
@@ -370,6 +399,7 @@ def configure(
         q_rlpu_last, q_rlps_last, is_real, value_lo, value_hi, is_act,
         aux, gc_acc, inv, rlc, rt8, challenges, table,
         addr_table, q_sig, q_sb, sb,
+        al_addr_cap=al_addr_cap, al_key_cap=al_key_cap,
     )
 
 
@@ -450,7 +480,8 @@ def assign(
         # fixed structure (every slot, used or not)
         asg.cols[cfg.q_blk][base : base + B] = one
         asg.cols[cfg.q_blk_gt0][base + 1 : base + B] = one
-        asg.cols[cfg.q_tt][base : base + NFIELDS + cfg.cd_cap] = one
+        asg.cols[cfg.q_tt][
+            base : base + NFIELDS + cfg.cd_cap + cfg.al_cap] = one
         for i, t in enumerate(FIELD_TAGS):
             asg.set_int(cfg.tag, base + i, int(t))
             asg.set_int(cfg.tx_id, base + i, tid)
@@ -463,8 +494,21 @@ def assign(
             asg.set_int(cfg.tag, cd0 + i, int(TxFieldTag.CALL_DATA))
             asg.set_int(cfg.index, cd0 + i, i)
             asg.set_int(cfg.tx_id, cd0 + i, tid)
+        # access-list subregions: fixed tags + indices
+        al0 = cd0 + cfg.cd_cap
+        for i in range(cfg.al_addr_cap):
+            asg.set_int(cfg.tag, al0 + i,
+                        int(TxFieldTag.ACCESS_LIST_ADDRESS))
+            asg.set_int(cfg.index, al0 + i, i)
+            asg.set_int(cfg.tx_id, al0 + i, tid)
+        alk0 = al0 + cfg.al_addr_cap
+        for i in range(cfg.al_key_cap):
+            asg.set_int(cfg.tag, alk0 + i,
+                        int(TxFieldTag.ACCESS_LIST_STORAGE_KEY))
+            asg.set_int(cfg.index, alk0 + i, i)
+            asg.set_int(cfg.tx_id, alk0 + i, tid)
         for si in range(2):
-            r0 = NFIELDS + cfg.cd_cap + si * cfg.rlp_cap
+            r0 = NFIELDS + cfg.cd_cap + cfg.al_cap + si * cfg.rlp_cap
             asg.set_int(cfg.q_rlp0, base + r0, 1)
             asg.cols[cfg.q_rlp][base + r0 : base + r0 + cfg.rlp_cap] = one
             asg.cols[cfg.q_rlp_gt0][base + r0 + 1 : base + r0 + cfg.rlp_cap] = one
@@ -472,7 +516,9 @@ def assign(
             # field-value lookups key off it)
             for i in range(cfg.rlp_cap):
                 asg.set_int(cfg.tx_id, base + r0 + i, tid)
-        asg.set_int(cfg.q_rlpu_last, base + NFIELDS + cfg.cd_cap + cfg.rlp_cap - 1, 1)
+        asg.set_int(cfg.q_rlpu_last,
+                    base + NFIELDS + cfg.cd_cap + cfg.al_cap
+                    + cfg.rlp_cap - 1, 1)
         asg.set_int(cfg.q_rlps_last, base + B - 1, 1)
         if cfg.addr_table is not None:
             asg.set_int(cfg.q_sig, base, 1)
@@ -481,7 +527,6 @@ def assign(
         if slot >= len(txs):
             continue  # unused slot: is_real = 0, all advice zero
         tx = txs[slot]
-        assert not tx.is_create, "contract creation is a later-round item"
         assert len(tx.data) <= cfg.cd_cap, "calldata exceeds slot capacity"
         asg.cols[cfg.is_real][base : base + B] = one
 
@@ -494,7 +539,7 @@ def assign(
         put_field(TxFieldTag.GAS, tx.gas)
         put_field(TxFieldTag.CALLER_ADDRESS, tx.caller)
         put_field(TxFieldTag.CALLEE_ADDRESS, tx.to or 0)
-        put_field(TxFieldTag.IS_CREATE, 0)
+        put_field(TxFieldTag.IS_CREATE, int(tx.is_create))
         put_field(TxFieldTag.VALUE, tx.value)
         put_field(TxFieldTag.CALL_DATA_LENGTH, len(tx.data))
         put_field(TxFieldTag.CALL_DATA_GAS_COST, tx.call_data_gas_cost())
@@ -504,6 +549,28 @@ def assign(
         put_field(TxFieldTag.TX_SIGN_HASH, int.from_bytes(tx.sign_hash(), "big"))
         put_field(TxFieldTag.TX_HASH, int.from_bytes(tx.hash(), "big"))
         put_field(TxFieldTag.CHAIN_ID, tx.chain_id)
+        put_field(TxFieldTag.TX_TYPE, tx.tx_type)
+        put_field(TxFieldTag.MAX_PRIORITY_FEE, tx.max_priority_fee_per_gas)
+        put_field(TxFieldTag.MAX_FEE, tx.max_fee_per_gas)
+        put_field(TxFieldTag.ACCESS_LIST_ADDRESSES_LEN,
+                  len(tx.access_list))
+        put_field(TxFieldTag.ACCESS_LIST_KEYS_LEN,
+                  sum(len(k) for _, k in tx.access_list))
+        # access-list rows
+        assert len(tx.access_list) <= cfg.al_addr_cap, \
+            "access-list addresses exceed slot capacity"
+        kflat = 0
+        al0_s = base + NFIELDS + cfg.cd_cap
+        alk0_s = al0_s + cfg.al_addr_cap
+        for i, (a_, keys) in enumerate(tx.access_list):
+            asg.set_int(cfg.value_lo, al0_s + i, a_ & M128)
+            asg.set_int(cfg.value_hi, al0_s + i, a_ >> 128)
+            for k_ in keys:
+                assert kflat < cfg.al_key_cap, \
+                    "access-list keys exceed slot capacity"
+                asg.set_int(cfg.value_lo, alk0_s + kflat, k_ & M128)
+                asg.set_int(cfg.value_hi, alk0_s + kflat, k_ >> 128)
+                kflat += 1
 
         # calldata rows
         gacc = 0
@@ -537,7 +604,7 @@ def assign(
         # rlp streams
         for si, data in enumerate([tx.rlp_unsigned(), tx.rlp_signed()]):
             assert 0 < len(data) <= cfg.rlp_cap, "rlp exceeds slot capacity"
-            r0 = NFIELDS + cfg.cd_cap + si * cfg.rlp_cap
+            r0 = NFIELDS + cfg.cd_cap + cfg.al_cap + si * cfg.rlp_cap
             for i in range(cfg.rlp_cap):
                 row = base + r0 + i
                 if i < len(data):

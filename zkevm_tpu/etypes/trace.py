@@ -789,6 +789,7 @@ def trace_call(
     block_ctx: dict | None = None,
     gas_price: int = 0,
     create: bool = False,
+    access_list: list | None = None,
 ) -> GethExecTrace:
     """Execute the tx's root message call, emitting a struct log per
     opcode across all call depths. Runs the tx state prologue itself
@@ -799,9 +800,18 @@ def trace_call(
         sdb, cdb, origin=caller, gas_price=gas_price, block_ctx=block_ctx
     )
     # per-tx access-list warm-up (EIP-2929 §: tx.origin, tx.to, precompiles
-    # 0x01-0x09 are always warm)
-    sdb.access_list_account = {caller, callee} | set(range(1, 10))
+    # 0x01-0x09 are always warm; EIP-2930 pre-warms the declared list)
+    sdb.access_list_account = {caller} | set(range(1, 10))
+    if callee is not None:
+        sdb.access_list_account.add(callee)
     sdb.access_list_storage = set()
+    al_gas = 0
+    for a, keys in (access_list or []):
+        sdb.access_list_account.add(a)
+        al_gas += 2400
+        for k in keys:
+            sdb.access_list_storage.add((a, k))
+            al_gas += 1900
     interp._original = {
         (a, k): v
         for a, acc in sdb.accounts.items()
@@ -812,7 +822,7 @@ def trace_call(
     # intrinsic gas (geth ApplyMessage / IntrinsicGas): 21000 + calldata
     # bytes at the EIP-2028 schedule (+ 32000 and the EIP-3860 initcode
     # word cost for creation txs), deducted BEFORE the interpreter runs
-    intrinsic = 21000 + sum(4 if b == 0 else 16 for b in calldata)
+    intrinsic = 21000 + sum(4 if b == 0 else 16 for b in calldata) + al_gas
     if create:
         intrinsic += 32000 + 2 * _mem_words(len(calldata))
     assert gas >= intrinsic, "intrinsic gas exceeds the gas limit"

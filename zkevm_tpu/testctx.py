@@ -92,6 +92,10 @@ class MockTransaction:
         self._gas_price = MOCK_GAS_PRICE
         self._input = b""
         self._nonce: int | None = None
+        self._type = 0
+        self._access_list: list = []
+        self._max_fee = 0
+        self._max_priority_fee = 0
 
     def from_(self, a: int) -> "MockTransaction":
         self._from = a
@@ -119,6 +123,24 @@ class MockTransaction:
 
     def nonce(self, n: int) -> "MockTransaction":
         self._nonce = n
+        return self
+
+    def type(self, t: int) -> "MockTransaction":
+        """Tx envelope type: 0 legacy, 1 EIP-2930, 2 EIP-1559."""
+        self._type = t
+        return self
+
+    def access_list(self, al: list) -> "MockTransaction":
+        """[(addr_or_index, [storage keys...])...] (EIP-2930)."""
+        self._access_list = al
+        return self
+
+    def max_fee(self, f: int) -> "MockTransaction":
+        self._max_fee = f
+        return self
+
+    def max_priority_fee(self, f: int) -> "MockTransaction":
+        self._max_priority_fee = f
         return self
 
 
@@ -189,9 +211,14 @@ class TestContext:
             fn(m)
             frm, to = resolve(m._from), resolve(m._to)
             nonce = m._nonce if m._nonce is not None else sdb.get_account(frm).nonce
+            al = [(resolve(a), list(keys)) for a, keys in m._access_list]
             tx = Transaction(
                 nonce=nonce, gas_price=m._gas_price, gas=m._gas, to=to,
                 value=m._value, data=m._input, chain_id=chain_id,
+                tx_type=m._type, access_list=al,
+                max_priority_fee_per_gas=m._max_priority_fee,
+                max_fee_per_gas=(m._max_fee or m._gas_price
+                                 if m._type == 2 else 0),
             )
             if frm in key_of:
                 tx.sign(key_of[frm])
@@ -202,6 +229,7 @@ class TestContext:
                 sdb, cdb, caller=frm, callee=to, calldata=tx.data,
                 value=tx.value, gas=tx.gas, gas_price=tx.gas_price,
                 block_ctx=block_ctx, create=to is None,
+                access_list=tx.access_list,
             )
             built_txs.append(tx)
             traces.append(tr)
@@ -217,5 +245,6 @@ class TestContext:
         for tx, tr in zip(self.txs, self.traces):
             b.handle_tx(tr, caller=tx.caller, callee=tx.to,
                         value=tx.value, calldata=tx.data,
-                        create=tx.to is None)
+                        create=tx.to is None,
+                        access_list=tx.access_list)
         return b

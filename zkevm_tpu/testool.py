@@ -75,6 +75,23 @@ def _resolve(spec_addr, addrs):
     return spec_addr
 
 
+_CS_CACHE: dict = {}
+
+
+def _configured_super(params):
+    """Memoized SuperCircuit configure — the constraint-system build is
+    expensive and identical across corpus tests with the same params."""
+    key = (params.max_txs, params.max_calldata, params.max_rlp)
+    if key not in _CS_CACHE:
+        from zkevm_tpu.circuits import super_circuit as sup
+        from zkevm_tpu.plonk import ConstraintSystem
+
+        cs = ConstraintSystem()
+        cfg = sup.configure(cs, params)
+        _CS_CACHE[key] = (cs, cfg)
+    return _CS_CACHE[key]
+
+
 def run_state_test(spec: dict, tier: str = WITNESS,
                    mock_challenges=None) -> StateTestResult:
     """Execute one spec. Spec keys:
@@ -105,11 +122,8 @@ def run_state_test(spec: dict, tier: str = WITNESS,
 
         tx_fns = []
         for t in spec["txs"]:
-            if t.get("to") is None:
-                raise NotImplementedError("contract-creation tx (CREATE)")
-
             def tfn(m, t=t):
-                m.from_(t["frm"]).to(t["to"]).value(t.get("value", 0))
+                m.from_(t["frm"]).to(t.get("to")).value(t.get("value", 0))
                 m.input(t.get("data", b""))
                 if "gas" in t:
                     m.gas(t["gas"])
@@ -172,17 +186,22 @@ def run_state_test(spec: dict, tier: str = WITNESS,
 
         if tier == CIRCUIT:
             from zkevm_tpu.circuits import super_circuit as sup
-            from zkevm_tpu.plonk import ConstraintSystem, MockProver
+            from zkevm_tpu.plonk import MockProver
 
+            cd = max((len(t.get("data", b"")) for t in spec["txs"]),
+                     default=16) or 16
+            # bucket calldata capacity so the (expensive) configure is
+            # shared across the whole corpus run
+            cd_cap = 16
+            while cd_cap < cd:
+                cd_cap *= 2
             params = CircuitsParams(
                 max_txs=max(2, len(spec["txs"])),
-                max_calldata=max((len(t.get("data", b""))
-                                  for t in spec["txs"]), default=16) or 16,
-                max_rlp=160,
+                max_calldata=cd_cap,
+                max_rlp=max(160, 2 * cd_cap),
             )
             block = block_convert(ctx, params)
-            cs = ConstraintSystem()
-            cfg = sup.configure(cs, params)
+            cs, cfg = _configured_super(params)
             k = sup.choose_k(cfg, block)
             wit = sup.assign(cs, cfg, 1 << k, block)
             ch = mock_challenges or [0x100, 0x107, 0x10E]

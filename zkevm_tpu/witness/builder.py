@@ -270,6 +270,7 @@ class CircuitInputBuilder:
     def handle_tx(
         self, trace: GethExecTrace, *, caller: int, callee: int | None,
         value: int = 0, calldata: bytes = b"", create: bool = False,
+        access_list: list | None = None,
     ) -> None:
         """Full tx replay: BeginTx (call-context reads, nonce bump, callee
         code-hash read, balance transfer) -> call tree -> EndTx
@@ -291,8 +292,13 @@ class CircuitInputBuilder:
             init_hash = self.cdb.insert(bytes(calldata))
         # per-tx warm-up mirrors the tracer's
         # EIP-2929 warm-up mirrors the tracer: origin, to, precompiles
+        # (+ the EIP-2930 declared access list)
         self.sdb.access_list_account = {caller, callee} | set(range(1, 10))
         self.sdb.access_list_storage = set()
+        for a, keys in (access_list or []):
+            self.sdb.access_list_account.add(a)
+            for k in keys:
+                self.sdb.access_list_storage.add((a, k))
         self._original = {
             (a, k): v
             for a, acc in self.sdb.accounts.items()
