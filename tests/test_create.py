@@ -265,3 +265,33 @@ def test_create_copy_circuit_tier():
     orig = FR.decode(asg2.cols[cp_cfg.byte][target])
     asg2.set_int(cp_cfg.byte, target, (orig + 1) % 256)
     assert MockProver(cs, asg2).verify(), "tampered deposit byte accepted"
+
+
+def test_create_root_tx_circuit_tier():
+    """VERDICT r4 item #4 circuit leg: a root creation tx (deploy) and a
+    follow-up call to the deployed code, both through the full
+    13-subcircuit SuperCircuit composition via the testool CIRCUIT tier
+    (BeginTx create leg: new-account nonce write + memless
+    TX_CALLDATA->BYTECODE init binding; RETURN deposit leg: CODE_HASH
+    write + MEMORY->BYTECODE copy lookup)."""
+    from zkevm_tpu.testool import CIRCUIT, run_state_test
+
+    from zkevm_tpu.etypes.tx import rlp_encode
+    from zkevm_tpu.testctx import MOCK_ADDRS
+
+    runtime = bytes([0x60, 7, 0x60, 3, 0x01, 0x60, 5, 0x55, 0x00])
+    init = (bytes([0x60, len(runtime), 0x60, 12, 0x60, 0, 0x39,
+                   0x60, len(runtime), 0x60, 0, 0xF3]) + runtime)
+    sender = MOCK_ADDRS[0]
+    created = int.from_bytes(
+        keccak256(rlp_encode([sender.to_bytes(20, "big"), b""]))[12:],
+        "big")
+    spec = {
+        "name": "create_root_then_call",
+        "pre": {0: {"balance": 10**18}},
+        "txs": [{"frm": 0, "to": None, "data": init},
+                {"frm": 0, "to": created}],
+        "expect": {"post": {created: {"storage": {5: 10}}}},
+    }
+    res = run_state_test(spec, tier=CIRCUIT)
+    assert res.status == "pass", (res.status, res.detail)

@@ -58,7 +58,7 @@ def test_forged_new_root_rejected(circuit, updates):
     cs = circuit[0]
 
     def tamper(asg, mcfg):
-        row = 2 * DEPTH - 1  # root row of update 2
+        row = mpt.KEY_BITS + DEPTH - 1  # root row of update 2
         cur = FR.decode(asg.cols[mcfg.root_new][row])
         asg.set_int(mcfg.root_new, row, cur ^ 1)
 
@@ -71,7 +71,7 @@ def test_forged_value_rejected(circuit, updates):
     cs = circuit[0]
 
     def tamper(asg, mcfg):
-        asg.set_int(mcfg.vlo_new, DEPTH, 334)  # update 2's leaf row
+        asg.set_int(mcfg.vlo_new, mpt.KEY_BITS, 334)  # update 2's leaf row
 
     asg = _witness(circuit, updates, tamper)
     assert MockProver(cs, asg).verify(), "forged value accepted"
@@ -82,7 +82,7 @@ def test_forged_path_bit_rejected(circuit, updates):
     cs = circuit[0]
 
     def tamper(asg, mcfg):
-        row = DEPTH + 3  # level 3 of update 2
+        row = mpt.KEY_BITS + 3  # level 3 of update 2
         cur = FR.decode(asg.cols[mcfg.bit][row])
         asg.set_int(mcfg.bit, row, 1 - cur)
 
@@ -95,7 +95,7 @@ def test_broken_chain_rejected(circuit, updates):
     cs = circuit[0]
 
     def tamper(asg, mcfg):
-        row = 2 * DEPTH - 1
+        row = mpt.KEY_BITS + DEPTH - 1
         cur = FR.decode(asg.cols[mcfg.root_old][row])
         asg.set_int(mcfg.root_old, row, cur ^ 1)
 

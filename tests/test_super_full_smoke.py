@@ -24,8 +24,10 @@ from zkevm_tpu.witness.block import CircuitsParams, block_convert
 R_WORD, R_KECCAK = 0x100, 0x107
 CHALLENGES = [R_WORD, R_KECCAK, 0x10E]
 
-# SSTORE(5, 7); SLOAD(1) [pre-warmed by the access list]; STOP
-CODE = bytes([0x60, 7, 0x60, 5, 0x55, 0x60, 1, 0x54, 0x50, 0x00])
+# SSTORE(5, 7) [slot pre-warmed by the access list]; STOP
+# (one touched storage slot keeps the poseidon/zktrie row budget at
+# k=14 — each slot costs ~2*depth permutations)
+CODE = bytes([0x60, 7, 0x60, 5, 0x55, 0x00])
 PARAMS = CircuitsParams(max_txs=1, max_calldata=16, max_rlp=256)
 
 
@@ -33,12 +35,12 @@ def build():
     ctx = TestContext.new(
         accounts=[
             lambda a: a.balance(10**19),
-            lambda a: a.balance(10**18).code(CODE).storage({5: 3, 1: 9}),
+            lambda a: a.balance(10**18).code(CODE).storage({5: 3}),
         ],
         txs=[
             lambda t: t.from_(0).to(1).value(3).type(2)
             .max_fee(10**9).max_priority_fee(2).gas_price(10**9)
-            .access_list([(1, [1])]),
+            .access_list([(1, [5])]),
         ],
     )
     return ctx, block_convert(ctx, PARAMS)

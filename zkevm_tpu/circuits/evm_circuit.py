@@ -373,6 +373,8 @@ class EvmConfig:
     sdv_k: list = None  # SDIV/SMOD abs-binding carry bits
     srv: Column = None  # SDIV/SMOD materialized result sign
     sdv_en: Column = None  # SDIV/SMOD word-table-lookup enable
+    icf: Column = None  # current frame is a CREATION frame (chained;
+    #                     TxTable IS_CREATE-bound on BeginTx rows)
 
 
 def _word(cs) -> tuple:
@@ -428,6 +430,7 @@ def configure(
     vcell2 = cs.advice_column()
     byv, sev, sarm = (cs.advice_column() for _ in range(3))
     dep, istc, vnz, ccid = (cs.advice_column() for _ in range(4))
+    icf = cs.advice_column()
     p2s, p2lo, p2hi = (cs.fixed_column() for _ in range(3))
     om_op, om_tag = cs.fixed_column(), cs.fixed_column()
     # error-state cells: invalid-jump (oob flag, fetched byte/is_code,
@@ -1650,6 +1653,33 @@ def configure(
             MC * (rwc.cur() + Const(3) + opn.cur()), MC * opn.cur(),
             ZERO2, ZERO2,
         ])
+        # creation-frame RETURN: memory bytes -> the deposited bytecode
+        # entry (w4 = keccak(deposited); nonzero length only). vnz is
+        # free on RETURN rows (CALL1 pins it elsewhere); pin it to
+        # [ret_len != 0] and pin w4 to the EMPTY hash when len = 0.
+        R_ic = S[ES.RETURN] * icf.cur()
+        iz["dep_lo"] = IsZero.configure(cs, R_ic, w[1][0].cur(),
+                                        "ev_iz_deplo")
+        iz["dep_hi"] = IsZero.configure(cs, R_ic, w[1][1].cur(),
+                                        "ev_iz_dephi")
+        from zkevm_tpu.etypes.state import EMPTY_CODE_HASH as _ECH2
+
+        cs.create_gate("ev_return_deposit", [
+            R_ic * (vnz.cur()
+                    - (one - iz["dep_lo"].expr() * iz["dep_hi"].expr())),
+            R_ic * (one - vnz.cur()) * (w[4][0].cur()
+                                        - Const(_ECH2 & M128)),
+            R_ic * (one - vnz.cur()) * (w[4][1].cur()
+                                        - Const(_ECH2 >> 128)),
+        ])
+        RDEP = S[ES.RETURN] * icf.cur() * vnz.cur()
+        copy_table.lookup(cs, "ev_return_deposit_copy", [
+            RDEP, RDEP * MEMC, RDEP * BCC, RDEP * cid.cur(), ZERO2,
+            RDEP * w[4][0].cur(), RDEP * w[4][1].cur(),
+            RDEP * w[0][0].cur(), ZERO2, RDEP * w[1][0].cur(),
+            RDEP * (rwc.cur() + Const(2)), RDEP * opn.cur(),
+            ZERO2, ZERO2,
+        ])
         copy_table.lookup(cs, "ev_log_copy", [
             LG, LG * MEMC, LG * TXLC, LG * cid.cur(), ZERO2,
             LG * tx_id.cur(), LG * aux[1].cur(), LG * w[0][0].cur(),
@@ -1754,6 +1784,10 @@ def configure(
                     ES.COPY: rwc.cur() + Const(3) + opn.cur(),
                     ES.MCOPY: rwc.cur() + Const(3)
                     + Const(2) * opn.cur(),
+                    # creation-frame RETURN: + opn deposit word reads
+                    # + the CODE_HASH write
+                    ES.RETURN: rwc.cur() + Const(2)
+                    + icf.cur() * (opn.cur() + one),
                     ES.LOG: rwc.cur() + Const(2)
                     + (opcode.cur() - Const(0xA0)) + opn.cur() + one
                     + (one - inr.columns[0].cur()) * w[1][0].cur(),
@@ -1808,7 +1842,15 @@ def configure(
                      ES.CALL4: istc.cur() + st4 - istc.cur() * st4,
                      ES.RESTORE: ps_restore},
               lambda s: istc.cur()),
+        # creation-frame flag: freed across tx boundaries (the next
+        # BeginTx re-binds it from the TxTable); CALL children and
+        # Restore resume into non-create frames (create frames making
+        # calls are circuit-tier out of scope this round)
+        trans(icf, {ES.END_TX: icf.rot(1), ES.END_BLOCK: icf.rot(1),
+                    ES.CALL4: Const(0), ES.RESTORE: Const(0)},
+              lambda s: icf.cur()),
     ])
+    cs.create_gate("ev_icf_bool", [qs * icf.cur() * (one - icf.cur())])
 
     # -- RW lookup slots --------------------------------------------------
     # spec per (state, slot): field exprs after `enabled`
@@ -1861,9 +1903,20 @@ def configure(
     use(ES.BEGIN_TX, 3, [one, Const(ACC), ZERO, comb(w[1]),
                          Const(int(AccountField.NONCE)), ZERO,
                          aux[0].cur() + one, ZERO, aux[0].cur(), ZERO])
-    use(ES.BEGIN_TX, 4, [ZERO, Const(ACC), ZERO, comb(w[2]),
-                         Const(int(AccountField.CODE_HASH)), ZERO,
-                         *wc(5), *wc(5)])
+    # slot 4: callee CODE_HASH read — or, for creation txs (icf), the
+    # new account's EIP-161 NONCE write (0 -> 1); w5 then carries the
+    # init-code hash, bound by the TX_CALLDATA->BYTECODE copy lookup
+    icb = icf.cur()
+    use(ES.BEGIN_TX, 4, [
+        icb, Const(ACC), ZERO, comb(w[2]),
+        Const(int(AccountField.CODE_HASH))
+        + icb * Const(int(AccountField.NONCE)
+                      - int(AccountField.CODE_HASH)), ZERO,
+        (one - icb) * w[5][0].cur() + icb,
+        (one - icb) * w[5][1].cur(),
+        (one - icb) * w[5][0].cur(),
+        (one - icb) * w[5][1].cur(),
+    ])
     use(ES.BEGIN_TX, 5, [one, Const(ACC), ZERO, comb(w[1]),
                          Const(int(AccountField.BALANCE)), ZERO,
                          *wc(3), caller_prev_lo, caller_prev_hi])
@@ -2099,6 +2152,21 @@ def configure(
     for s_exit in (ES.RETURN, ES.REVERT):
         use(s_exit, 0, stack_rd(spc, wc(0)))
         use(s_exit, 1, stack_rd(spc + one, wc(1)))
+    # RETURN in a CREATION frame (icf): code deposit — after the opn
+    # memory word reads (which ride the copy event's rwc range), the
+    # created account's CODE_HASH flips EMPTY -> keccak(deposited), and
+    # a MEMORY->BYTECODE copy event binds the memory bytes to the
+    # deposited bytecode entry (reference create.rs code-store leg)
+    icr_ = icf.cur()
+    from zkevm_tpu.etypes.state import EMPTY_CODE_HASH as _ECH
+
+    slots[2].append((ES.RETURN, [
+        icr_, icr_ * (rwc.cur() + Const(2) + opn.cur()),
+        icr_, icr_ * Const(ACC), ZERO, icr_ * callee.cur(),
+        icr_ * Const(int(AccountField.CODE_HASH)), ZERO,
+        icr_ * w[4][0].cur(), icr_ * w[4][1].cur(),
+        icr_ * Const(_ECH & M128), icr_ * Const(_ECH >> 128),
+    ]))
     # context/environment pushes
     for s_push in (ES.BLOCK_CTX, ES.TX_CTX, ES.PC_GAS):
         use(s_push, 0, stack_wr(spc - one, wc(0), pc_(0)))
@@ -2306,13 +2374,49 @@ def configure(
 
         for nm, tag, wi in [
             ("caller", TxFieldTag.CALLER_ADDRESS, 1),
-            ("callee", TxFieldTag.CALLEE_ADDRESS, 2),
             ("value", TxFieldTag.VALUE, 0),
         ]:
             tx_table.lookup(cs, f"ev_tx_{nm}", [
                 B, B * tx_id.cur(), B * Const(int(tag)), ZERO,
                 B * w[wi][0].cur(), B * w[wi][1].cur(),
             ])
+        # callee binds for message calls; creation txs derive the
+        # address (keccak(rlp([caller, nonce])) binding is a documented
+        # later item — the ctx row carries the derived address)
+        b_nc = B * (one - icb)
+        tx_table.lookup(cs, "ev_tx_callee", [
+            b_nc, b_nc * tx_id.cur(),
+            b_nc * Const(int(TxFieldTag.CALLEE_ADDRESS)), ZERO,
+            b_nc * w[2][0].cur(), b_nc * w[2][1].cur(),
+        ])
+        # the creation flag itself is the signed tx's is_create bit
+        tx_table.lookup(cs, "ev_tx_is_create", [
+            B, B * tx_id.cur(), B * Const(int(TxFieldTag.IS_CREATE)),
+            ZERO, B * icb, ZERO,
+        ])
+        # creation txs: init-code length = the tx's calldata length
+        b_cr = B * icb
+        tx_table.lookup(cs, "ev_tx_initlen", [
+            b_cr, b_cr * tx_id.cur(),
+            b_cr * Const(int(TxFieldTag.CALL_DATA_LENGTH)), ZERO,
+            b_cr * pcell[1][0].cur(), ZERO,
+        ])
+    if copy_table is not None:
+        # creation txs: the executed init code (code_hash = w5, via
+        # ev_begin_tx) IS the tx calldata — the memless TX_CALLDATA ->
+        # BYTECODE copy event binds them byte by byte
+        b_cr = B * icf.cur()
+        Z2 = Const(0)
+        copy_table.lookup(cs, "ev_begin_create_copy", [
+            b_cr, b_cr * Const(3), b_cr * Const(2),  # TX_CALLDATA, BYTECODE
+            b_cr * tx_id.cur(), Z2,
+            b_cr * w[5][0].cur(), b_cr * w[5][1].cur(),
+            Z2, Z2,  # memless events anchor at address 0
+            b_cr * pcell[1][0].cur(),  # length = CALL_DATA_LENGTH
+            Z2,  # memless rwc chain starts at 0
+            b_cr * pcell[0][0].cur(),  # word count (event-pinned)
+            Z2, Z2,
+        ])
 
     return EvmConfig(
         q_step, q_first, q_last, q_trans, sel, tx_id, cid, pc, opcode,
@@ -2328,7 +2432,7 @@ def configure(
         mrdl, mrdb, mrd2l, mrd2b, mlt, inr, cl_lt_a, cl_lt_b,
         wp_op=wp_op, bigb=bigb, eg_nb=eg_nb, mgate=mgate, m8b=m8b,
         ltg_24=ltg_24, ltg_sa=ltg_sa, ltg_sb=ltg_sb, sdv_k=sdv_k, srv=srv,
-        sdv_en=sdv_en_col,
+        sdv_en=sdv_en_col, icf=icf,
     )
 
 
@@ -2493,6 +2597,7 @@ def assign(
             callee = c_.address
             ch_lo, ch_hi = c_.code_hash & M128, c_.code_hash >> 128
             asg.set_int(cfg.istc, r, int(c_.is_static))
+            asg.set_int(cfg.icf, r, int(c_.is_create))
         asg.set_int(cfg.dep, r, step.depth)
         asg.set_int(cfg.sel.columns[int(st)], r, 1)
         asg.set_int(cfg.tx_id, r, cur_tx)
@@ -2617,7 +2722,19 @@ def assign(
             put_word(1, caller_addr)
             put_word(2, callee_addr)
             asg.set_int(cfg.aux[0], r, vals[3].value_prev)  # old nonce
-            put_word(5, vals[4].value)  # code hash word
+            is_cr = bool(calls_map and step.call_id in calls_map
+                         and calls_map[step.call_id].is_create)
+            if is_cr:
+                # vals[4] is the new account's NONCE write; w5 carries
+                # the init-code hash (copy-lookup-bound)
+                assert vals[4].value == 1
+                ih_ = calls_map[step.call_id].code_hash
+                put_word(5, ih_)
+                init_code = codes_by_hash[ih_][0]
+                asg.set_int(cfg.pcell[1][0], r, len(init_code))
+                asg.set_int(cfg.pcell[0][0], r, -(-len(init_code) // 32))
+            else:
+                put_word(5, vals[4].value)  # code hash word
             put_word(3, vals[5].value)  # caller new balance
             put_word(4, vals[6].value_prev)  # callee prev balance
             # carries of the two balance additions
@@ -3208,6 +3325,18 @@ def assign(
                 gap = (steps[r + 1].rw_counter_start
                        - step.rw_counter_start - 2)
                 asg.set_int(cfg.opn, r, gap)
+            if st == ES.RETURN and calls_map \
+                    and step.call_id in calls_map \
+                    and calls_map[step.call_id].is_create:
+                # code deposit: [off, len, <nw mem reads>, hash write]
+                ln_ = vals[1].value
+                nw_ = len(vals) - 3
+                asg.set_int(cfg.opn, r, nw_)
+                put_word(4, vals[-1].value)  # deposited code hash
+                if "dep_lo" in cfg.iz:
+                    _set_inv(asg, cfg.iz["dep_lo"], r, ln_ & M128)
+                    _set_inv(asg, cfg.iz["dep_hi"], r, ln_ >> 128)
+                asg.set_int(cfg.vnz, r, 1 if ln_ else 0)
         elif st == ES.SAR:
             shift, x = vals[0].value, vals[1].value
             put_word(0, shift)

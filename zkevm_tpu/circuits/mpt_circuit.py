@@ -74,7 +74,7 @@ class MptConfig:
     nd_new: Column
     pacc: Column  # downward path accumulator (bits i..253)
     e: Column  # still-equal-to-p chain (canonicality)
-    hb: list  # 6 high key bits (root row)
+    q_top: Column  # fixed: the region's top (bit-253) row
     kh: Column  # leaf row cells
     k0: Column
     k1: Column
@@ -93,11 +93,18 @@ class MptConfig:
 def configure(cs: ConstraintSystem, pt: PoseidonTable,
               depth: int = 248) -> MptConfig:
     nhi = KEY_BITS - depth
-    assert 0 < nhi <= 6
+    assert 0 < nhi and depth >= 8
+    # One update region spans KEY_BITS rows regardless of depth: the low
+    # `depth` rows are hash-folding path levels; the high `nhi` rows
+    # carry only the remaining key bits (bit/pacc/e chains, no folds).
+    # This keeps the full 254-bit canonical key decomposition at ANY
+    # trie depth — shallow tries (test harnesses, and eventually the
+    # compressed scroll-style trie) just skip the fold lookups.
     q_lvl = cs.fixed_column()
     q_leaf = cs.fixed_column()
     q_root = cs.fixed_column()
     q_fold = cs.fixed_column()
+    q_top = cs.fixed_column()  # the region's last (bit-253) row
     q_chain = cs.fixed_column()
     pbit = cs.fixed_column()
     pw = cs.fixed_column()
@@ -108,12 +115,12 @@ def configure(cs: ConstraintSystem, pt: PoseidonTable,
     nd_new = cs.advice_column()
     pacc = cs.advice_column()
     e = cs.advice_column()
-    hb = [cs.advice_column() for _ in range(nhi)]
     (kh, k0, k1, vh_old, vh_new, vlo_old, vhi_old, vlo_new, vhi_new,
      is_ins, root_old, root_new) = [cs.advice_column() for _ in range(12)]
 
     one = Const(1)
     ql, qf, qr, qn = q_lvl.cur(), q_leaf.cur(), q_root.cur(), q_fold.cur()
+    qt_ = q_top.cur()
     a = act.cur()
     b = bit.cur()
 
@@ -127,35 +134,22 @@ def configure(cs: ConstraintSystem, pt: PoseidonTable,
 
     # -- path accumulator + canonical decomposition ----------------------
     pb = pbit.cur()
-    hi_acc = Const(0)
-    e_expr = one
-    viol = []
-    for j in reversed(range(nhi)):
-        hjb = hb[j].cur()
-        viol.append(qr * hjb * (one - hjb))
-        pbj = (FR_MOD >> (depth + j)) & 1
-        if pbj:
-            eq = hjb
-        else:
-            viol.append(qr * e_expr * hjb)  # greater-than-p violation
-            eq = one - hjb
-        e_expr = e_expr * eq
-        hi_acc = hi_acc + Const(1 << (depth + j)) * hjb
-    # e(row i) = "key bits 253..i+1 all equal p's" — the root row's value
-    # covers the 6 high bits; each lower row folds in the bit ABOVE it.
-    cs.create_gate("mpt_canon_hi", viol + [qr * (e.cur() - e_expr)])
     bn, pn = bit.rot(1), pbit.rot(1)
     eq_next = bn * pn + (one - bn) * (one - pn)
+    eq_cur = b * pb + (one - b) * (one - pb)
     cs.create_gate("mpt_canon_chain", [
-        (ql - qr) * (e.cur() - e.rot(1) * eq_next),
+        # e(row i) = "key bits 253..i+1 all equal p's"; the top row
+        # starts the chain with its own bit's equality folded below
+        qt_ * a * (e.cur() - one),
+        (ql - qt_) * (e.cur() - e.rot(1) * eq_next),
         # while still equal above, this row's bit may not exceed p's
         ql * e.cur() * b * (one - pb),
         # full equality with p (key == p == 0 wrapped) is not canonical
-        qf * e.cur() * (b * pb + (one - b) * (one - pb)),
+        qf * e.cur() * eq_cur,
     ])
     cs.create_gate("mpt_path", [
-        qr * (pacc.cur() - hi_acc - pw.cur() * b),
-        (ql - qr) * (pacc.cur() - pacc.rot(1) - pw.cur() * b),
+        qt_ * (pacc.cur() - pw.cur() * b),
+        (ql - qt_) * (pacc.cur() - pacc.rot(1) - pw.cur() * b),
         qf * (pacc.cur() - kh.cur()),
     ])
 
@@ -193,7 +187,7 @@ def configure(cs: ConstraintSystem, pt: PoseidonTable,
     # -- chained updates: next update starts from this root ---------------
     D = depth
     cs.create_gate("mpt_chain", [
-        q_chain.cur() * (root_old.rot(D) - root_new.cur()),
+        q_chain.cur() * (root_old.rot(KEY_BITS) - root_new.cur()),
     ])
 
     # -- MptTable surface -------------------------------------------------
@@ -213,14 +207,14 @@ def configure(cs: ConstraintSystem, pt: PoseidonTable,
 
     return MptConfig(
         depth, q_lvl, q_leaf, q_root, q_fold, q_chain, pbit, pw, act, bit,
-        sib, nd_old, nd_new, pacc, e, hb, kh, k0, k1, vh_old, vh_new,
+        sib, nd_old, nd_new, pacc, e, q_top, kh, k0, k1, vh_old, vh_new,
         vlo_old, vhi_old, vlo_new, vhi_new, is_ins, root_old, root_new,
         table,
     )
 
 
 def capacity(cs: ConstraintSystem, n: int, depth: int = 248) -> int:
-    return cs.usable_rows(n) // depth
+    return cs.usable_rows(n) // KEY_BITS
 
 
 @dataclass
@@ -301,13 +295,15 @@ def assign(
     assert len(updates) <= nslots
     one = FR.encode(1)
 
+    R = KEY_BITS  # region rows (path levels + high key-bit rows)
     for slot in range(nslots):
-        base = slot * D
-        asg.cols[cfg.q_lvl][base : base + D] = one
+        base = slot * R
+        asg.cols[cfg.q_lvl][base : base + R] = one
         asg.set_int(cfg.q_leaf, base, 1)
         asg.set_int(cfg.q_root, base + D - 1, 1)
+        asg.set_int(cfg.q_top, base + R - 1, 1)
         asg.cols[cfg.q_fold][base : base + D - 1] = one
-        for i in range(D):
+        for i in range(R):
             asg.set_int(cfg.pbit, base + i, (FR_MOD >> i) & 1)
             asg.set_int(cfg.pw, base + i, (1 << i) % FR_MOD)
         if chained and slot + 1 < len(updates):
@@ -316,7 +312,7 @@ def assign(
         if slot >= len(updates):
             continue
         u = updates[slot]
-        asg.cols[cfg.act][base : base + D] = one
+        asg.cols[cfg.act][base : base + R] = one
         asg.set_int(cfg.kh, base, u.kh)
         asg.set_int(cfg.k0, base, u.k0)
         asg.set_int(cfg.k1, base, u.k1)
@@ -336,36 +332,31 @@ def assign(
             nd_old = h2(1, u.kh, vh_old)
 
         path = u.kh & ((1 << D) - 1)
-        hi = u.kh >> D
-        # downward accumulators (pacc_i = bits i..253 of kh)
-        pacc = [0] * (D + 1)
-        pacc[D] = hi << D
-        for i in reversed(range(D)):
-            pacc[i] = pacc[i + 1] + (((path >> i) & 1) << i)
-        # canonical-comparison chain: e(row i) = bits 253..i+1 equal p's
-        e_vals = [0] * D
+        # downward accumulators (pacc_i = bits i..253 of kh) and the
+        # canonical-comparison chain over ALL key-bit rows
+        pacc = [0] * (R + 1)
+        for i in reversed(range(R)):
+            pacc[i] = pacc[i + 1] + (((u.kh >> i) & 1) << i)
+        e_vals = [0] * R
         still = True
-        for j in reversed(range(KEY_BITS - D)):
-            still = still and ((hi >> j) & 1) == ((FR_MOD >> (D + j)) & 1)
-        for i in reversed(range(D)):
-            e_vals[i] = 1 if still else 0  # before folding bit i
+        for i in reversed(range(R)):
+            e_vals[i] = 1 if still else 0  # bits above row i equal p's
             if still:
-                still = ((path >> i) & 1) == ((FR_MOD >> i) & 1)
+                still = ((u.kh >> i) & 1) == ((FR_MOD >> i) & 1)
 
-        for j in range(KEY_BITS - D):
-            asg.set_int(cfg.hb[j], base + D - 1, (hi >> j) & 1)
-        for i in range(D):
+        for i in range(R):
             row = base + i
-            bitv = (path >> i) & 1
+            bitv = (u.kh >> i) & 1
             asg.set_int(cfg.bit, row, bitv)
-            asg.set_int(cfg.sib, row, u.siblings[i])
-            asg.set_int(cfg.nd_old, row, nd_old)
-            asg.set_int(cfg.nd_new, row, nd_new)
             asg.set_int(cfg.pacc, row, pacc[i] % FR_MOD)
             asg.set_int(cfg.e, row, e_vals[i])
-            s = u.siblings[i]
-            nd_old = h2(2, *((s, nd_old) if bitv else (nd_old, s)))
-            nd_new = h2(2, *((s, nd_new) if bitv else (nd_new, s)))
+            if i < D:
+                asg.set_int(cfg.sib, row, u.siblings[i])
+                asg.set_int(cfg.nd_old, row, nd_old)
+                asg.set_int(cfg.nd_new, row, nd_new)
+                s = u.siblings[i]
+                nd_old = h2(2, *((s, nd_old) if bitv else (nd_old, s)))
+                nd_new = h2(2, *((s, nd_new) if bitv else (nd_new, s)))
         asg.set_int(cfg.root_old, base + D - 1, u.root_old)
         asg.set_int(cfg.root_new, base + D - 1, u.root_new)
     return asg

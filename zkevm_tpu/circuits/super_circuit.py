@@ -212,8 +212,10 @@ def _full_row_usage(cfg: SuperConfig, block: Block) -> dict:
     from zkevm_tpu.circuits import poseidon_table as pt
 
     depth = cfg.mpt.depth
+    from zkevm_tpu.circuits.mpt_circuit import KEY_BITS
+
     return {
-        "mpt": n_storage * depth + 1,
+        "mpt": n_storage * KEY_BITS + 1,
         # <= 2 path perms per trie level (old+new) + ~5 key/value perms
         "poseidon": n_storage * (2 * depth + 5) * pt.PERM + 1,
         "sig": (len(block.txs) + len(block.ecrecover_sigs))
@@ -360,7 +362,7 @@ def assign(
     kwit = kt.assign(cs, cfg.kt, n, keccak_messages(block, full), asg)
     bwit = bc.assign(cs, cfg.bc, n, block.codes, asg)
     evm.assign(cs, cfg.ev, n, block.steps, block.rws, asg=asg,
-               calls=block.calls)
+               calls=block.calls, codes=block.codes)
     xevents = evm.exp_events(block.steps, block.rws)
     ec.assign(cs, cfg.ex, n, xevents, asg)
     wac.assign(cs, cfg.wa, n,
