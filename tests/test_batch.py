@@ -166,3 +166,53 @@ def test_batch_with_blob(chunks, monkeypatch):
     y = from_limbs(inst_vals[16:19])
     assert y == barycentric_eval(coeffs, z, n_blob), "instance (z,y) wrong"
     MockProver(bc.cs, asg).assert_satisfied()
+
+
+def test_batch_keccak_header(chunks, monkeypatch):
+    """keccak_header mode: the L1-facing BatchHash (batch.rs:104-131)
+    proven IN-CIRCUIT — the 193-byte header preimage rides a byte column
+    whose keccak_input RLC feeds a KeccakTable lookup; the digest (hi,lo)
+    lands in the instance bit-equal to header.py's batch_hash(); the
+    preimage's (z, y) byte spans are bound to the barycentric limbs."""
+    from zkevm_tpu.aggregation.blob import (
+        BLS_R, BlobParams, barycentric_eval, batch_bytes_to_coeffs,
+    )
+    from zkevm_tpu.aggregation.header import BatchHeader, ChunkInfo
+    from zkevm_tpu.gadgets.bigint import from_limbs
+
+    params, pk, insts, proofs = chunks
+    _stub_ec(monkeypatch)
+    n_blob = 16
+    payload = b"keccak header batch payload"
+    coeffs = batch_bytes_to_coeffs(payload, n_blob)
+    infos = [
+        ChunkInfo(5, b"\x11" * 32, b"\x22" * 32, b"\x33" * 32,
+                  b"\x44" * 32, b"tx-bytes-0"),
+        ChunkInfo(5, b"\x22" * 32, b"\x55" * 32, b"\x66" * 32,
+                  b"\x77" * 32, b"tx-bytes-1"),
+    ]
+    header = BatchHeader.construct_from_chunks(
+        version=3, batch_index=7, l1_message_popped=0,
+        total_l1_message_popped=0, parent_batch_hash=b"\x01" * 32,
+        last_block_timestamp=1234, chunks=infos, blob_bytes=payload,
+        n_snarks=2, blob_params=BlobParams.unsafe_setup(n_blob))
+    bc = batch_mod.BatchCircuit.build(pk.vk, [ACC_ROWS + NPI], 2, 14,
+                                      n_blob=n_blob, keccak_header=True)
+    asg, inst_vals, acc = bc.assign(insts, proofs, blob_coeffs=coeffs,
+                                    header=header)
+    assert vc.finalize_accumulator(params, acc)
+    # instance tail: ... z limbs(3), y limbs(3), hash hi, hash lo
+    dig = header.batch_hash()
+    assert inst_vals[-2] == int.from_bytes(dig[:16], "big")
+    assert inst_vals[-1] == int.from_bytes(dig[16:], "big")
+    z = from_limbs(inst_vals[-8:-5])
+    y = from_limbs(inst_vals[-5:-2])
+    assert z == int.from_bytes(header.blob_data_proof[0], "big")
+    assert y == barycentric_eval(coeffs, z, n_blob)
+    bc.fill_mock_phase1(asg)
+    MockProver(bc.cs, asg).assert_satisfied()
+
+    # tamper: a different preimage byte must break the keccak lookup
+    asg.set_int(bc.hh.hbyte, 3, (bc._hbytes[3] + 1) % 256)
+    from zkevm_tpu.plonk.mock import MockProver as MP
+    assert MP(bc.cs, asg).verify(), "tampered header byte must fail"

@@ -159,6 +159,29 @@ class ParamsKZG:
         )
 
     # ------------------------------------------------------------------
+    def use_mesh(self, mesh=None, *, scan: bool = False) -> "ParamsKZG":
+        """Shard the commit hot path over a device mesh (in place).
+
+        Replaces the single-device MSM engine with parallel.mesh.MeshMSM:
+        every `commit` (and therefore every column/lookup/quotient
+        commitment inside plonk.prover.create_proof) runs point-sharded
+        over the mesh with an all_gather partial reduce. With mesh=None a
+        1-D mesh over all visible devices is built — call this when
+        jax.device_count() > 1 to scale the production prover over chips.
+        """
+        from zkevm_tpu.ec import group_t
+        from zkevm_tpu.parallel import mesh as meshmod
+
+        if mesh is None:
+            mesh = meshmod.default_mesh()
+        nchips = mesh.shape["chips"]
+        assert self.n % nchips == 0, (self.n, nchips)
+        self.pippenger = meshmod.MeshMSM(
+            mesh, group_t.from_g1(self.g1_powers), scan=scan
+        )
+        self.committer = None
+        return self
+
     def commit(self, coeffs_mont) -> G1:
         """Commit to a coefficient-form polynomial ((n, 16) Montgomery)."""
         scalars = ff.from_mont(FR, jnp.asarray(coeffs_mont))

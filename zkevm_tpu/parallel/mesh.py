@@ -240,6 +240,43 @@ def sharded_msm_t_scan(mesh: Mesh, points_t, scalars, *,
     return _G1T(x, y, z)
 
 
+class MeshMSM:
+    """Mesh-sharded MSM engine with the ParamsKZG.pippenger interface:
+    `__call__(scalars standard-form (N,16)) -> G1T (16,1)`.
+
+    This is how the PRODUCTION prover shards over chips: plonk/prover.py's
+    `_commit` -> `ParamsKZG.commit` -> this engine -> `sharded_msm_t[_scan]`
+    (point axis over the `chips` mesh, all_gather partial reduce). The
+    reference parallelizes the same stage with rayon inside halo2's
+    `best_multiexp` (SURVEY §2.5); here the parallelism is ICI collectives
+    over a jax.sharding.Mesh.
+
+    scan=True routes through the scan-CIOS double-and-add kernel — the
+    compile-lean path the driver's forced-host-device dryrun can afford;
+    scan=False uses the bucketed Pippenger (the real-chip hot path).
+    """
+
+    def __init__(self, mesh: Mesh, points_t, *, scan: bool = False,
+                 c: int = 16, num_bits: int = 256):
+        self.mesh = mesh
+        self.points = points_t
+        self.scan = scan
+        self.c = c
+        self.num_bits = num_bits
+        self.n = points_t.x.shape[1]
+
+    def __call__(self, scalars):
+        scalars = jnp.asarray(scalars, jnp.uint32)
+        if scalars.ndim == 1:
+            scalars = scalars[None]
+        assert scalars.shape[0] == self.n, (scalars.shape, self.n)
+        if self.scan:
+            return sharded_msm_t_scan(self.mesh, self.points, scalars,
+                                      num_bits=self.num_bits)
+        return sharded_msm_t(self.mesh, self.points, scalars, c=self.c,
+                             num_bits=self.num_bits)
+
+
 def sharded_msm_t(mesh: Mesh, points_t, scalars, *, c: int = 4,
                   num_bits: int = 256, sublanes: int = 128):
     """Point-sharded bucketed Pippenger MSM (the commit hot path,

@@ -77,6 +77,13 @@ class Failure:
 
 
 class MockProver:
+    @staticmethod
+    def default_challenges(cs: ConstraintSystem) -> list[int]:
+        """The deterministic pseudo-challenges (halo2 mock convention) —
+        exported so circuits can pre-fill challenge-dependent phase-1
+        columns before assert_satisfied."""
+        return [0x100 + 7 * i for i in range(len(cs.challenges))]
+
     def __init__(self, cs: ConstraintSystem, assignment: Assignment, challenges: list[int] | None = None):
         self.cs = cs
         self.assignment = assignment
@@ -85,7 +92,7 @@ class MockProver:
             # deterministic pseudo-challenges, like halo2's mock challenge
             # values — fine because the mock prover checks identities that
             # must hold for every challenge
-            challenges = [0x100 + 7 * i for i in range(len(cs.challenges))]
+            challenges = self.default_challenges(cs)
         self.challenge_values = challenges
 
     def verify(self) -> list[Failure]:

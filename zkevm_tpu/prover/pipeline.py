@@ -177,6 +177,8 @@ class BundlePipeline:
         from zkevm_tpu.transcript import PoseidonTranscript
 
         if self.mock:
+            if hasattr(cc, "fill_mock_phase1"):
+                cc.fill_mock_phase1(asg)
             MP(cc.cs, asg).assert_satisfied()
             return LayerSnark([inst_vals], None, acc, None, cc.k)
         params = self._params(cc.k)
@@ -184,7 +186,9 @@ class BundlePipeline:
         for col in cc.cs.fixed_columns:
             fixed_only.cols[col][:] = asg.cols[col]
         pk = keygen(params, cc.cs, fixed_only)
-        proof = create_proof(params, pk, [inst_vals], asg,
+        witness = (cc.witness_phases(asg)
+                   if hasattr(cc, "witness_phases") else asg)
+        proof = create_proof(params, pk, [inst_vals], witness,
                              transcript=PoseidonTranscript())
         assert verify_proof(params, pk.vk, [inst_vals], proof,
                             transcript=PoseidonTranscript())
@@ -206,7 +210,8 @@ class BundlePipeline:
     def batch(self, chunk_vk, chunk_snarks: list, *, n_blob: int = 0,
               blob_coeffs=None, chain_checks=None, chunk_infos=None,
               batch_payload: bytes | None = None, blob_params=None,
-              header_fields: dict | None = None) -> LayerSnark:
+              header_fields: dict | None = None,
+              keccak_header: bool = False) -> LayerSnark:
         """N chunk-layer snarks -> batch snark (reference layer3).
 
         When `chunk_infos` (aggregation.header.ChunkInfo list) is given,
@@ -251,13 +256,18 @@ class BundlePipeline:
                 n_blob=n_blob or None, **hf)
 
         lens = [[len(c) for c in s.instances] for s in chunk_snarks]
+        if keccak_header:
+            assert header is not None, \
+                "keccak_header needs chunk_infos to build the BatchHeader"
         bc = BatchCircuit.build(chunk_vk, lens[0], len(chunk_snarks),
                                 self.k_batch, n_blob=n_blob,
-                                ec_mode=self.ec_mode)
+                                ec_mode=self.ec_mode,
+                                keccak_header=keccak_header)
         asg, inst_vals, acc = bc.assign(
             [s.instances for s in chunk_snarks],
             [s.proof for s in chunk_snarks],
-            chain_checks=chain_checks, blob_coeffs=blob_coeffs)
+            chain_checks=chain_checks, blob_coeffs=blob_coeffs,
+            header=header if keccak_header else None)
         out = self._prove(bc, asg, inst_vals, acc, "layer3")
         out.batch_header = header
         return out
