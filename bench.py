@@ -121,8 +121,16 @@ def bench_msm(platform, rng):
     t0 = time.time()
     params = _setup_cached(k)
     if params.pippenger is None:
-        engine = os.environ.get("ZKEVM_TPU_MSM", "l13")
-        if engine == "l13" and _remaining() < 700:
+        # Default engine: the best MEASURED one (psmsm wgroup=16).
+        # The l13 MXU-hybrid becomes the default only once a successful
+        # timed l13 run has stamped the sentinel (its SRS-conversion npz
+        # + persistent compile cache are then warm, so the driver's
+        # budget is safe) — round 4 timed out by defaulting to a cold
+        # l13 without this guard.
+        l13_warm = os.path.exists(f"/root/.cache/zkevm_l13_ok_k{k}")
+        engine = os.environ.get("ZKEVM_TPU_MSM",
+                                "l13" if l13_warm else "ps")
+        if engine == "l13" and not l13_warm and _remaining() < 700:
             # l13's cold compile measured ~310 s on the chip; with less
             # than ~700 s left prefer the cheap-compile engine so the
             # run still produces a number (see BENCH_BUDGET_S).
@@ -156,7 +164,8 @@ def bench_msm(platform, rng):
                          ax13=np.asarray(params.pippenger.ax13),
                          ay13=np.asarray(params.pippenger.ay13))
         elif engine == "ps":
-            # sort+prefix-sum MSM over the u16 CIOS core (round 2/3)
+            # sort+prefix-sum MSM over the u16 CIOS core (round 2/3;
+            # wgroup=16 was the best measured config, 3.3e5 pts/s)
             from zkevm_tpu.ec.psmsm import PsMSM
 
             params.pippenger = PsMSM(group_t.from_g1(params.g1_powers),
@@ -189,6 +198,10 @@ def bench_msm(platform, rng):
         f"compile={compile_s:.1f}s run={dt*1e3:.1f}ms pts/s={pts_per_s:.3e}",
         file=sys.stderr,
     )
+    if type(params.pippenger).__name__ == "Msm13":
+        # successful timed l13 run: its caches are warm — future bench
+        # runs (the driver's) may default to it safely
+        open(f"/root/.cache/zkevm_l13_ok_k{k}", "w").write("ok\n")
     return k, pts_per_s
 
 

@@ -16,7 +16,9 @@ constraints are merged into shared gates/lookups as sum_s sel_s * expr_s
 (the same merging the reference's constraint builder does per column,
 done here per slot).
 
-Implemented states (38 of the reference's 79): BeginTx, EndTx, EndBlock
+Implemented states (69 merged states vs the reference's 79 execution
+states — several reference states share one merged state here, e.g. the
+comparator family): BeginTx, EndTx, EndBlock
 (padding), STOP, PUSH1/2, POP, ADD/SUB, DUP1-16, SWAP1-16, MLOAD, MSTORE
 (32-byte-aligned words), SLOAD, SSTORE (EIP-2929 access-list rows, gas
 from the looked-up is_warm bit), JUMPDEST, JUMP, JUMPI (taken jumps
