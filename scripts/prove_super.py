@@ -74,6 +74,12 @@ def main():
         print(f"[prove_super] srs loaded from {srs_file}", flush=True)
     else:
         params = ParamsKZG.unsafe_setup(k, tau=777)
+    if jax.device_count() > 1:
+        # shard every create_proof commitment over the visible chips
+        # (parallel.mesh.MeshMSM: point-sharded, all_gather reduce)
+        params.use_mesh()
+        print(f"[prove_super] commit path sharded over "
+              f"{jax.device_count()} devices", flush=True)
     t_srs = time.time() - t0
 
     t0 = time.time()

@@ -168,8 +168,14 @@ class BundlePipeline:
     def _params(self, k: int) -> ParamsKZG:
         if k not in self.params_db:
             log.warning("using unsafe test SRS for k=%d", k)
-            self.params_db[k] = ParamsKZG.unsafe_setup(k, tau=777,
-                                                       windowed=False)
+            p = ParamsKZG.unsafe_setup(k, tau=777, windowed=False)
+            import jax
+
+            if jax.device_count() > 1:
+                # multi-chip visible: shard the commit hot path over the
+                # mesh (parallel.mesh.MeshMSM)
+                p.use_mesh()
+            self.params_db[k] = p
         return self.params_db[k]
 
     def _prove(self, cc, asg, inst_vals, acc, name: str) -> LayerSnark:
